@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is executed once to warm the JVM/code cache, then timed.
+The timed run materializes results via count() on the aggregated
+output (small), so timings measure scan+shuffle+agg, not driver
+collection of wide rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from crm_etl_pipeline_spark.registry import load_all
+from crm_etl_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_segment_revenue",
+    "pricing_summary",
+    "topk_orders_by_revenue",
+    "filtered_scan",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark("crm-etl-pipeline-bench")
+    reg = load_all()
+    names = [n for n in HEADLINE if n in reg]
+    timings: dict[str, float] = {}
+    # warm-up: JVM JIT + parquet footer cache
+    for name in names:
+        reg[name].fn(spark, sf_dir).count()
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        reg[name].fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

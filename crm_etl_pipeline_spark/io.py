@@ -1,0 +1,40 @@
+"""Source layer: parquet table readers for the fixture star schema.
+
+Reference parity: the reference's scans are paginated REST extractions
+with server-side filter/limit pushdown (`PodioApiWrapper.py:104-167`).
+Here a scan is a declarative ``spark.read.parquet`` — Catalyst pushes
+filters to the parquet row-group level and prunes columns, and file
+splits replace the manual offset loop with partition parallelism, so
+at 100 TB the same one-liner becomes a 1000-way parallel scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (S1 family: filter/limit/projection pushdown
+    happen automatically once callers chain .filter/.select)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

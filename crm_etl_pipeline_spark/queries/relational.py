@@ -1,0 +1,183 @@
+"""Relational core queries (SURVEY.md §2.1 scans, §2.3 filters, §2.5
+joins, §2.6 aggregations, §2.4 ordering/top-k).
+
+The reference's scans are REST pagination loops with server-side filter
+pushdown (`PodioApiWrapper.py:104-167`); here every scan is a parquet
+read whose filters/projections Catalyst pushes to the row-group level.
+Joins the reference's data model implies (`app`-type FK fields,
+`PodioApiWrapper.py:68-69`) map to equi-joins; the tiny dimensions
+(nation/region — catalog analogs) broadcast.
+
+Cross-engine determinism: money aggregates accumulate in DECIMAL and
+cast to double at the end (see registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+# l_extendedprice ~ 1e5 max; decimal(18,2) holds row values; Spark widens
+# sums automatically. Both engines compute the per-row product in double
+# (deterministic per-row), cast to decimal (exact), then sum exactly.
+_DISC_PRICE_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))"
+_CHARGE_DEC = "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))"
+
+
+def _disc_price_dec() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+
+
+def _charge_dec() -> F.Column:
+    return (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+
+
+@query(
+    "flagship_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           COUNT(*) AS n_lineitems
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_mktsegment
+    """,
+    survey="S1,F1,J1,A3,L-ordering (flagship; SURVEY §7 milestone 0)",
+)
+def flagship_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current revenue per customer market segment.
+
+    lineitem ⋈ orders ⋈ customer → groupBy(segment).agg(sum, countDistinct).
+    customer is small relative to the fact table → broadcast; the
+    orders⋈lineitem join shuffles on orderkey, which AQE coalesces.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _disc_price_dec().alias("disc_price")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_DISC_PRICE_DEC}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_CHARGE_DEC}) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="A-family,F1 (TPC-H Q1 shape)",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one scan, map-side partial aggs,
+    8 aggregates over 2 group keys. Whole plan stays in codegen."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.sum(_disc_price_dec()).cast("double").alias("sum_disc_price"),
+        F.sum(_charge_dec()).cast("double").alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / cnt).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "point_lookup",
+    oracle="SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer WHERE c_custkey = 42",
+    survey="S2 (point lookup by key; PodioApiWrapper.py:270-294)",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch one item by key — partition/file pruning on the key column."""
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+@query(
+    "filtered_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+      AND l_quantity >= 45
+    """,
+    survey="S1,F1 (filtered app scan w/ pushdown; PodioApiWrapper.py:104-167)",
+)
+def filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Server-side-filter analog: predicate + projection pushed to parquet.
+
+    `.explain` shows PushedFilters on l_shipdate/l_quantity and a
+    4-column ReadSchema — the 100 TB version scans only matching
+    row groups.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+            & (F.col("l_quantity") >= 45)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "topk_orders_by_revenue",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey="J1,A3,L1 (top-k; TPC-H Q3 shape)",
+)
+def topk_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BUILDING-segment orders by revenue; ties broken by key so
+    the result is deterministic. TakeOrderedAndProject — no full sort."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", _disc_price_dec().alias("disc_price"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum("disc_price").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
