@@ -1,0 +1,74 @@
+"""Catalog layer: metadata tree sync + schema-drift detection.
+
+Reference parity: `get_podio_system_setup` walks org → spaces → apps →
+fields into a nested dict, refreshed twice daily to catch field
+adds/drops/renames (`PodioApiWrapper.py:239-268`, `PodioApiWrapper.py:13`,
+`README.md:18`). Here the catalog is a DataFrame built by joining the
+dimension scans (the Spark analog of the nested loops), and drift is a
+full-outer join of two snapshots — both fully declarative, so at scale
+the whole sync is one small broadcast-join job instead of ~380
+sequential API calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_catalog(spaces: DataFrame, apps: DataFrame, exclude_space: str | None = None) -> DataFrame:
+    """Join space-level and app-level scans into the flat catalog table.
+
+    Mirrors S3–S6: the composite key ``space_app_id`` is
+    '{space_id}.{app_id}' (`PodioApiWrapper.py:201`) and one space can
+    be excluded by name (`PodioApiWrapper.py:254`). ``spaces`` must
+    have (space_id, space_name); ``apps`` (app_id, app_name, space_id).
+    """
+    out = apps.join(F.broadcast(spaces), "space_id")
+    if exclude_space is not None:
+        out = out.filter(F.col("space_name") != F.lit(exclude_space))
+    return out.select(
+        "space_id",
+        "space_name",
+        "app_id",
+        "app_name",
+        F.concat_ws(".", F.col("space_id"), F.col("app_id")).alias("space_app_id"),
+    )
+
+
+def split_composite_key(df: DataFrame, col: str = "space_app_id") -> DataFrame:
+    """Inverse of the composite key build (`PodioApiWrapper.py:260`)."""
+    parts = F.split(F.col(col), r"\.")
+    return df.withColumn("space_id_part", parts.getItem(0).cast("long")).withColumn(
+        "app_id_part", parts.getItem(1).cast("long")
+    )
+
+
+def drift_diff(old: DataFrame, new: DataFrame, key: str, attrs: list[str]) -> DataFrame:
+    """Schema-drift report between two catalog snapshots.
+
+    Full-outer join on ``key``; rows are classified added / dropped /
+    changed / unchanged. This is the declarative version of the
+    twice-daily metadata refresh diff the reference performs by
+    re-reading everything (`PodioApiWrapper.py:13`).
+    """
+    o = old.select(key, *attrs).alias("o")
+    n = new.select(key, *attrs).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~(
+            F.col(f"o.{a}").eqNullSafe(F.col(f"n.{a}"))
+        )
+    status = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("dropped"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        status.alias("status"),
+        *[F.col(f"o.{a}").alias(f"old_{a}") for a in attrs],
+        *[F.col(f"n.{a}").alias(f"new_{a}") for a in attrs],
+    )

@@ -11,6 +11,7 @@ at 100 TB the same one-liner becomes a 1000-way parallel scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,9 +29,20 @@ TABLES = (
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (S1 family: filter/limit/projection pushdown
-    happen automatically once callers chain .filter/.select)."""
+    happen automatically once callers chain .filter/.select).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; we read nanos as long and convert to a microsecond
+    timestamp with integer arithmetic (no double round-trip — ns since
+    epoch exceeds double's 53-bit mantissa). DuckDB truncates ns→µs the
+    same way, so oracle comparisons agree.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

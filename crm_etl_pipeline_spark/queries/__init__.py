@@ -1,3 +1,11 @@
 """Query modules — importing this package fills registry.REGISTRY."""
 
-from crm_etl_pipeline_spark.queries import relational  # noqa: F401
+from crm_etl_pipeline_spark.queries import (  # noqa: F401
+    aggregates,
+    catalog_q,
+    events_q,
+    joins,
+    relational,
+    transforms,
+    windows,
+)

@@ -1,0 +1,146 @@
+"""Aggregation extensions (SURVEY §2.6 + engine completeness): multi-
+level rollup/cube, pivot, distinct aggs, approximate aggs, and the
+per-key version-count shape implied by the versioned item store
+(`PodioApiGateway.py:132-137`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+
+@query(
+    "version_counts_per_key",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_versions,
+           MAX(ts) AS latest_ts,
+           MIN(ts) AS first_ts,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    survey="A3 (per-key version count; PodioApiGateway.py:132-137)",
+)
+def version_counts_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History depth per key — the versioned-store bookkeeping query."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max("ts").alias("latest_ts"),
+            F.min("ts").alias("first_ts"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    survey="A-family (rollup w/ grouping ids)",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; GROUPING() distinguishes real NULLs from
+    subtotal rows (cross-engine safe)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey="A-family (cube)",
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations in one pass (Expand operator)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey="A-family (pivot / conditional agg)",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (required at scale — implicit
+    pivot triggers an extra distinct pass over 100 TB)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[
+                F.coalesce(F.col(v), F.lit(0)).alias(f"status_{v}")
+                for v in ("O", "F", "P")
+            ],
+        )
+    )
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_suppkey
+    HAVING COUNT(*) >= 20
+    """,
+    survey="A-family + post-agg filter (HAVING)",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING) — filter after groupBy."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        )
+        .filter(F.col("n_items") >= 20)
+    )

@@ -1,0 +1,222 @@
+"""Event-queue operators in batch form (SURVEY §2.3 F2/F3/F6, §2.4
+L1/L4/L7, §2.7 ST5–ST6). The same logic runs streaming inside
+``foreachBatch`` (see streaming/pipeline.py); batch form is what the
+DuckDB oracle can verify.
+
+Reference parity: the worker pops the oldest pending event
+(`PodioApiGateway.py:190`), filters to item.update/item.create
+(`PodioApiGateway.py:120`), collapses queued duplicates per key once
+one completes (`PodioApiGateway.py:143-145`), requeues failures with
+``failed_attempts + 1`` and dead-letters at >= 10
+(`PodioApiGateway.py:153-159`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+
+@query(
+    "fifo_head",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events ORDER BY ts, event_id LIMIT 5
+    """,
+    survey="L1 (FIFO pop, oldest first; PodioApiGateway.py:190)",
+)
+def fifo_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oldest pending events — TakeOrderedAndProject, no full sort."""
+    return (
+        table(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .limit(5)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@query(
+    "event_type_routing",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    """,
+    survey="F2,F3 (event-type IN filter + routing; PodioApiGateway.py:120)",
+)
+def event_type_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The webhook IN-list filter + per-route aggregation."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "event_dedup_last_write_wins",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts, value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    survey="L4,ST6 (duplicate collapse per key, last wins; PodioApiGateway.py:143-145)",
+)
+def event_dedup_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: newest event per (user, type). This is
+    `dropDuplicates` made reproducible via an explicit window."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "retry_and_dead_letter",
+    oracle="""
+    SELECT event_id, user_id, failed_attempts + 1 AS failed_attempts,
+           CASE WHEN failed_attempts + 1 >= 10 THEN 'dead_letter' ELSE 'requeue' END AS disposition
+    FROM (
+      SELECT event_id, user_id, CAST(FLOOR(value) AS INT) % 12 AS failed_attempts
+      FROM events WHERE event_type = 'error'
+    )
+    """,
+    survey="F6,L7,ST3,ST4 (retry requeue + DLQ at >=10; PodioApiGateway.py:153-159)",
+)
+def retry_and_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure branch: increment failed_attempts, route to requeue or
+    dead-letter (attempt counter derived deterministically from value)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            (F.floor(F.col("value")).cast("int") % 12).alias("failed_attempts"),
+        )
+    )
+    bumped = F.col("failed_attempts") + 1
+    return ev.select(
+        "event_id",
+        "user_id",
+        bumped.alias("failed_attempts"),
+        F.when(bumped >= 10, F.lit("dead_letter")).otherwise(F.lit("requeue")).alias("disposition"),
+    )
+
+
+@query(
+    "tumbling_daily_counts",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    survey="ST-windows (tumbling agg, batch form of watermark+window)",
+)
+def tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows over event time; the streaming twin uses
+    withWatermark + window() (streaming/windows.py)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    survey="ST-windows (session windows: lag + gap + cumsum)",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: lag → gap flag → running sum as
+    session id → per-session aggregate. The streaming twin is
+    session_window(ts, '30 minutes')."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "props_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(REGEXP_EXTRACT(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k_value
+    FROM events WHERE event_type = 'click'
+    """,
+    survey="T6,T8 (safe scalar extraction from semi-structured payload)",
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed scalar from the JSON props payload — the
+    engine-native version of the reference's per-row dict probing."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.regexp_extract(F.col("props"), r'"k": (-?\d+)', 1).cast("long").alias("k_value"),
+        )
+    )
