@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -26,12 +27,19 @@ HEADLINE = [
     "pricing_summary",
     "topk_orders_by_revenue",
     "filtered_scan",
+    "event_dedup_last_write_wins",
+    "latest_order_per_customer",
+    "sessionization",
+    "exact_dedup_documents",
+    "minhash_near_dup",
+    "ann_cosine_topk",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
     spark = get_spark("crm-etl-pipeline-bench")
     reg = load_all()
     names = [n for n in HEADLINE if n in reg]

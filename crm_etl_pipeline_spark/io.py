@@ -40,7 +40,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is set at session build (session.py); sessions built
+        # elsewhere (e.g. the driver's) get a one-time guarded set here —
+        # it is a session-wide legacy conf with no per-read equivalent.
+        # DuckDB truncates ns→µs the same way (the fixture's sub-µs
+        # component is zero), so oracles agree.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,7 +1,7 @@
 """Event-queue operators in batch form (SURVEY §2.3 F2/F3/F6, §2.4
 L1/L4/L7, §2.7 ST5–ST6). The same logic runs streaming inside
-``foreachBatch`` (see streaming/pipeline.py); batch form is what the
-DuckDB oracle can verify.
+``foreachBatch`` (see crm_etl_pipeline_spark/streaming.py); batch form
+is what the DuckDB oracle can verify.
 
 Reference parity: the worker pops the oldest pending event
 (`PodioApiGateway.py:190`), filters to item.update/item.create
@@ -142,7 +142,7 @@ def retry_and_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day windows over event time; the streaming twin uses
-    withWatermark + window() (streaming/windows.py)."""
+    withWatermark + window() (crm_etl_pipeline_spark/streaming.py)."""
     return (
         table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
@@ -158,15 +158,15 @@ def tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
+             CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 OR
                        LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -182,9 +182,11 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
+    # gap compare at full µs precision — identically-truncated integers in
+    # both engines (oracle uses EPOCH_US), so boundary gaps classify the same
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
     return (
@@ -204,7 +206,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_extract",
     oracle="""
     SELECT event_id,
-           CAST(REGEXP_EXTRACT(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k_value
+           TRY_CAST(REGEXP_EXTRACT(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k_value
     FROM events WHERE event_type = 'click'
     """,
     survey="T6,T8 (safe scalar extraction from semi-structured payload)",

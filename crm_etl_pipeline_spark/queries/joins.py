@@ -28,14 +28,15 @@ from crm_etl_pipeline_spark.registry import query
     survey="J1,J2 (item→referenced item + item→catalog; PodioApiWrapper.py:68-69)",
 )
 def join_fk_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-hop FK dereference: fact → dim → dim → dim, all small sides
-    broadcast — the `app`-field dereference chain at scale."""
+    """3-hop FK dereference: fact → dim → dim → dim. nation/region are
+    genuinely constant-size → broadcast hints; customer is fact-scaled
+    (tens of GB at the 100 TB design point) → no hint, AQE decides."""
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(

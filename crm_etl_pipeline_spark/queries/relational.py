@@ -55,8 +55,10 @@ def flagship_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current revenue per customer market segment.
 
     lineitem ⋈ orders ⋈ customer → groupBy(segment).agg(sum, countDistinct).
-    customer is small relative to the fact table → broadcast; the
-    orders⋈lineitem join shuffles on orderkey, which AQE coalesces.
+    customer is fact-scaled (150k × SF — tens of GB at the 100 TB design
+    point), so no forced broadcast: AQE picks broadcast at small SF and
+    demotes to shuffle join at scale. The orders⋈lineitem join shuffles
+    on orderkey, which AQE coalesces.
     """
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -65,7 +67,7 @@ def flagship_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.sum("disc_price").cast("double").alias("revenue"),
@@ -169,13 +171,21 @@ def filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def topk_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 BUILDING-segment orders by revenue; ties broken by key so
-    the result is deterministic. TakeOrderedAndProject — no full sort."""
+    the result is deterministic. TakeOrderedAndProject — no full sort.
+
+    Scale plan: semi-filter ``orders`` down to the surviving ~1/5 FIRST,
+    so the big lineitem shuffle carries only matching orders; customer is
+    fact-scaled, so no forced broadcast (AQE decides per actual size).
+    """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = table(spark, sf_dir, "orders")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
+    )
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", _disc_price_dec().alias("disc_price"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum("disc_price").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))

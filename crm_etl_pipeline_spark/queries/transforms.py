@@ -1,9 +1,8 @@
 """Per-record transformation operators (SURVEY §2.2 T1–T9) as
-driver-visible queries over the fixture tables. The full CRM typed
-decode (`clean_item`, `PodioApiWrapper.py:45-102`) lives in
-crm_etl_pipeline_spark/decode.py and is unit-tested on CRM-shaped
-structs; these queries exercise the same column expressions on the
-oracle-checkable tables.
+driver-visible queries over the fixture tables. These queries exercise
+the individual column expressions on oracle-checkable tables; the
+composed CRM typed decode (`clean_item`, `PodioApiWrapper.py:45-102`)
+is in crm_etl_pipeline_spark/decode.py (query: typed_field_decode).
 """
 
 from __future__ import annotations

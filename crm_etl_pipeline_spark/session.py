@@ -38,6 +38,9 @@ def get_spark(app_name: str = "crm_etl_pipeline_spark", cpus: int | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS); read nanos as long once,
+        # globally, instead of mutating session conf inside readers
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
