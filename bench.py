@@ -44,9 +44,12 @@ def main() -> None:
     reg = load_all()
     names = [n for n in HEADLINE if n in reg]
     timings: dict[str, float] = {}
-    # warm-up: JVM JIT + parquet footer cache
-    for name in names:
-        reg[name].fn(spark, sf_dir).count()
+    # warm-up ×2: JVM JIT + parquet footer cache (one pass is not enough
+    # for the codegen-heavy queries — C2 compilation of the generated
+    # aggregate methods lands on the second execution)
+    for _ in range(2):
+        for name in names:
+            reg[name].fn(spark, sf_dir).count()
     total = 0.0
     for name in names:
         t0 = time.perf_counter()

@@ -3,8 +3,10 @@
 from crm_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
     catalog_q,
+    embeddings_q,
     events_q,
     joins,
+    llmops,
     relational,
     transforms,
     windows,

@@ -1,0 +1,271 @@
+"""Similarity-search operators over the ``embeddings`` table
+(SURVEY §2.9 extensions): vector norms, brute-force cosine top-k as
+the exact baseline, a sign-bucketed LSH variant as the scale path, and
+per-label centroids (the IVF building block).
+
+Spark-first design notes:
+
+- vectors stay as `array<float>` columns; all arithmetic is `zip_with`
+  / `aggregate` column algebra on the JVM — no Python UDFs, no explode
+  of the vector in the hot path (the centroid query explodes by design:
+  it is a (label, dim)-grain aggregation);
+- the query batch (k probe vectors) is broadcast — genuinely tiny and
+  constant-size, so the hint is scale-safe (unlike fact-scaled dims);
+  candidates stream through a single scan: brute force over N vectors
+  is O(N·d) work with zero shuffle beyond the final top-k;
+- the LSH variant buckets both sides on an 8-bit sign signature
+  (axis-aligned random-hyperplane LSH) and joins bucket-to-bucket —
+  at 100 TB the bucket join replaces the broadcast product with an
+  equi-join shuffle, touching ~N/256 candidates per probe; IVF replaces
+  the sign buckets with learned centroids but keeps this exact shape.
+
+Determinism contract: float→double casts are exact; float×float
+products are exact in double (24+24 < 53 mantissa bits); reductions
+quantize each product via floor(p·1e12) to BIGINT and sum exactly —
+bit-identical across engines, unlike double→DECIMAL casts which differ
+at the last ulp (verified empirically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+_SCALE = 1e12  # fixed-point quantum for float reductions
+_DIM = 64
+
+_N_QUERIES = 8  # probe set: vec_id < 8
+_SIGN_BITS = 8  # LSH signature width → 256 buckets
+
+
+def _fixed_dot(a: Column, b: Column) -> Column:
+    """Σ floor(a[i]·b[i]·1e12) as BIGINT — exact, order-independent."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.floor(p * F.lit(_SCALE)).cast("bigint"),
+    )
+
+
+def _fixed_norm2(a: Column) -> Column:
+    return _fixed_dot(a, a)
+
+
+# DuckDB twin: correlated sum over range(1, dim+1) with 1-based indexing
+def _fixed_dot_sql(a: str, b: str) -> str:
+    return (
+        f"(SELECT SUM(CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e12)"
+        f" AS BIGINT)) FROM unnest(range(1, {_DIM + 1})) t(i))"
+    )
+
+
+@query(
+    "embedding_norm_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             {_fixed_dot_sql('embedding', 'embedding')} AS n2q
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(n2q AS BIGINT) AS n2q,
+           SQRT(CAST(n2q AS DOUBLE) / 1e12) AS l2_norm
+    FROM n
+    ORDER BY n2q DESC, vec_id
+    LIMIT 20
+    """,
+    survey="§2.9 similarity search (vector norms + top-k; array fold, no explode)",
+)
+def embedding_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vectors by L2 norm. The norm is a per-row array fold
+    (no shuffle); top-k compiles to TakeOrderedAndProject."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "label", _fixed_norm2(F.col("embedding")).alias("n2q"))
+        .withColumn("l2_norm", F.sqrt(F.col("n2q").cast("double") / F.lit(_SCALE)))
+        .orderBy(F.col("n2q").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+_COS_SQL = (
+    "CAST(dotq AS DOUBLE) / (SQRT(CAST(qn2 AS DOUBLE)) * SQRT(CAST(cn2 AS DOUBLE)))"
+)
+
+
+def _cos_col() -> Column:
+    return F.col("dotq").cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             {_fixed_dot_sql('embedding', 'embedding')} AS qn2
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS cand_id, embedding AS ce,
+             {_fixed_dot_sql('embedding', 'embedding')} AS cn2
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, cand_id, qn2, cn2,
+             {_fixed_dot_sql('qe', 'ce')} AS dotq
+      FROM q, c WHERE cand_id <> query_id
+    ), ranked AS (
+      SELECT query_id, cand_id, {_COS_SQL} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dotq DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+    survey="§2.9 similarity search (brute-force cosine top-k baseline; broadcast probes)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast the probe batch, stream every
+    candidate through one scan, zip_with dot products, per-probe top-10
+    window. Ranking uses the exact integer dot (cand_id tiebreak), so
+    the result set is bit-deterministic.
+
+    Scale: O(N·d·k) flops, one scan, no all-pairs shuffle — the right
+    brute-force shape. For large N use ann_lsh_bucketed below.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _fixed_norm2(F.col("embedding")).alias("qn2"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        _fixed_norm2(F.col("embedding")).alias("cn2"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn("dotq", _fixed_dot(F.col("qe"), F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dotq").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "cand_id", "rank", _cos_col().alias("cosine"))
+    )
+
+
+# 8-bit sign signature over the first dims: bucket = Σ 2^b · [emb[b] ≥ 0]
+def _sign_bucket(col: Column) -> Column:
+    out = F.lit(0)
+    for b in range(_SIGN_BITS):
+        out = out + F.when(F.element_at(col, b + 1) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"CASE WHEN embedding[{b + 1}] >= 0 THEN {1 << b} ELSE 0 END" for b in range(_SIGN_BITS)
+)
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket,
+             {_fixed_dot_sql('embedding', 'embedding')} AS n2
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, bucket, n2 AS qn2
+      FROM e WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS cand_id, embedding AS ce, bucket, n2 AS cn2 FROM e
+    ), scored AS (
+      SELECT query_id, cand_id, q.bucket, qn2, cn2,
+             {_fixed_dot_sql('qe', 'ce')} AS dotq
+      FROM q JOIN c ON q.bucket = c.bucket AND cand_id <> query_id
+    ), ranked AS (
+      SELECT query_id, cand_id, bucket, {_COS_SQL} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dotq DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, bucket, rank, cosine FROM ranked WHERE rank <= 3
+    """,
+    survey="§2.9 similarity search (sign-LSH bucketed ANN; equi-join scale path)",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: both sides bucketed by an 8-bit hyperplane-sign
+    signature, candidates joined bucket-to-bucket (equi-join — the
+    shuffle key is the bucket), top-3 per probe within its bucket.
+
+    Scale: probes only meet ~N/256 candidates; recall < 1 by design and
+    is measured against ann_cosine_topk in tests/test_llmops.py. IVF is
+    this same plan with learned centroid assignments as the bucket key.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _sign_bucket(F.col("embedding")).alias("bucket"),
+        _fixed_norm2(F.col("embedding")).alias("n2"),
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+        F.col("n2").alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("n2").alias("cn2"),
+    )
+    scored = (
+        q.join(c, (F.col("bucket") == F.col("c_bucket")) & (F.col("cand_id") != F.col("query_id")))
+        .withColumn("dotq", _fixed_dot(F.col("qe"), F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dotq").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "bucket", "rank", _cos_col().alias("cosine"))
+    )
+
+
+@query(
+    "embedding_centroid_per_label",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS sumq,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12 / COUNT(*) AS mean_val
+    FROM embeddings, unnest(range(1, 65)) t(i)
+    GROUP BY label, i
+    """,
+    survey="§2.9 similarity search (per-label centroids — the IVF training step)",
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label: posexplode to (label, dim) grain
+    and aggregate exact fixed-point sums. One shuffle on (label, dim) —
+    64·|labels| keys, uniform; this is the IVF/k-means E-step shape."""
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(_SCALE)).cast("bigint").alias("xq"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("xq").alias("sumq"),
+        (F.sum("xq").cast("double") / F.lit(_SCALE) / F.count(F.lit(1))).alias("mean_val"),
+    )

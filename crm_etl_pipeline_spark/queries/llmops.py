@@ -1,0 +1,534 @@
+"""LLM-training-data pipeline operators over the ``documents`` corpus
+(SURVEY §2.9 extensions): exact dedup, text statistics / quality
+scoring, language-ID heuristic, token counting, shingle fingerprinting,
+and MinHash-LSH near-dedup with banding.
+
+The reference has no analog (it is a CRM ETL pipeline); these are the
+corpus-curation operators a 100 TB training-data pipeline needs, built
+Spark-first:
+
+- everything below is pure `pyspark.sql.functions` column algebra
+  (codegen'd JVM expressions — zero Python UDFs in the hot path);
+- near-dedup NEVER does an all-pairs comparison: MinHash signatures are
+  banded and candidates come from an equi-join on (band_id, band_sig),
+  which shuffles each doc once per band — the standard LSH shape that
+  survives a 100×/1000× scale-up. A hot band signature (boilerplate
+  docs) is a skew key; AQE skew-join splits it at runtime.
+
+Determinism contract (drives the DuckDB oracles): md5/sha256 hex
+strings are identical across engines; whitespace `split` agrees with
+DuckDB `string_split`; fixed-point (scale-and-floor to BIGINT) is used
+for any float reduction because double→DECIMAL casts differ at the
+last ulp between engines (verified empirically).
+
+Duplicates are fabricated deterministically inside the query (the
+fixture corpus is 100% distinct): every doc with ``doc_id % 5 == 0``
+re-appears verbatim at ``doc_id + 100000`` (exact dup), and every doc
+with ``doc_id % 7 == 0`` re-appears with one appended token (near dup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# shared corpus builders (Spark) and their oracle CTE twins (DuckDB SQL)
+
+DUP_OFFSET = 100_000
+
+_EXACT_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+_NEAR_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {DUP_OFFSET} AS doc_id, text || ' zq' AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionAll(dups)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return docs.unionAll(dups)
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _shingles(tokens: Column, n: int = 5) -> Column:
+    """n-token shingles: [concat_ws(' ', tokens[i:i+n]) for i in 1..len-n+1]."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+# DuckDB twin of _shingles on a token list `t` (1-based inclusive slices)
+def _shingles_sql(tok_expr: str, n: int = 5) -> str:
+    return (
+        f"list_transform(range(1, len({tok_expr}) - {n - 2}), "
+        f"i -> array_to_string({tok_expr}[i:i+{n - 1}], ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+@query(
+    "exact_dedup_documents",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    hashed AS (
+      SELECT doc_id,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+      FROM corpus
+    )
+    SELECT content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM hashed GROUP BY content_hash
+    """,
+    survey="§2.9 exact dedup (sha2 content hash + hash-groupBy keep-first)",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: normalize → sha256 → hash-groupBy, keep the
+    lowest doc_id per hash. One shuffle on the 64-hex hash (uniformly
+    distributed — no skew by construction); at 100 TB this is the
+    canonical map-side-combine groupBy, and the kept-id rule makes the
+    survivor deterministic rather than arrival-order-dependent.
+    """
+    corpus = _exact_corpus(spark, sf_dir)
+    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        corpus.select("doc_id", F.sha2(normalized, 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: corpus stats, per-doc token profile, quality score, lang-ID
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+           CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio
+    FROM per_doc GROUP BY lang
+    """,
+    survey="§2.9 text analysis (corpus token/length/stopword stats)",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics — single scan, integer partial
+    aggregates (map-side combine), ratios derived from exact int sums at
+    the end so the doubles are bit-identical across engines."""
+    toks = _tokens()
+    per_doc = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).alias("n_stop"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens_per_doc"),
+        (F.sum("n_stop").cast("double") / F.sum("n_tokens")).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "token_profile",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS n_bpe_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) AS n_chars
+    FROM documents WHERE doc_id < 200
+    """,
+    survey="§2.9 text analysis (token counting: whitespace + BPE-ish regex)",
+)
+def token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-style
+    pre-tokenizer (letter runs / digit runs / punctuation marks) — all
+    codegen'd regex work, no Python."""
+    toks = _tokens()
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_ws_tokens"),
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), 0)).alias(
+                "n_bpe_tokens"
+            ),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS mean_token_span,
+           CASE WHEN n_tokens >= 40 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+                THEN 'keep'
+                WHEN n_tokens >= 15 THEN 'review'
+                ELSE 'drop' END AS quality_bucket
+    FROM m
+    """,
+    survey="§2.9 text analysis (quality scoring: length/stopword/diversity gates)",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality gates (the C4/Gopher-style filter shape):
+    ratios from exact integer counts, bucketed by deterministic CASE."""
+    toks = _tokens()
+    m = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("mean_token_span"),
+        F.when((F.col("n_tokens") >= 40) & (distinct_ratio >= 0.3), F.lit("keep"))
+        .when(F.col("n_tokens") >= 15, F.lit("review"))
+        .otherwise(F.lit("drop"))
+        .alias("quality_bucket"),
+    )
+
+
+# language marker terms (n-gram-profile heuristic over the synthetic vocab);
+# argmax with a fixed priority order keeps the prediction deterministic
+_LANG_MARKERS = {
+    "en": ("the", "a", "fast"),
+    "es": ("data", "row", "value"),
+    "de": ("table", "key", "hash"),
+    "zh": ("spark", "join", "batch"),
+}
+
+
+@query(
+    "language_id_ngram",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast'))) AS s_en,
+             len(list_filter(string_split(text,' '), x -> x IN ('data','row','value'))) AS s_es,
+             len(list_filter(string_split(text,' '), x -> x IN ('table','key','hash'))) AS s_de,
+             len(list_filter(string_split(text,' '), x -> x IN ('spark','join','batch'))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS predicted_lang,
+           s_en, s_es, s_de, s_zh
+    FROM scored
+    """,
+    survey="§2.9 text analysis (language-ID via marker-term profile scoring)",
+)
+def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: score each doc against per-language marker
+    profiles, pick the argmax (fixed priority order breaks ties). The
+    real-corpus version swaps marker words for char n-gram profiles —
+    same single-scan column-algebra shape, no shuffle at all."""
+    toks = _tokens()
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scored = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[marker_count(markers).alias(f"s_{lang}") for lang, markers in _LANG_MARKERS.items()],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]), F.lit("en"))
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["zh"]), F.lit("es"))
+        .when(s["de"] >= s["zh"], F.lit("de"))
+        .otherwise(F.lit("zh"))
+    )
+    return scored.select(
+        "doc_id", "actual_lang", predicted.alias("predicted_lang"), "s_en", "s_es", "s_de", "s_zh"
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting + MinHash LSH near-dedup
+
+_N_HASHES = 12
+_N_BANDS = 4  # 3 rows per band
+
+
+def _minhash_cols(shingles: Column) -> list[Column]:
+    """Seeded MinHash family: h_j = min over shingles of md5('j|' + s).
+    md5 hex min is a uniform order statistic — the classical MinHash —
+    and is bit-identical across engines (unlike numeric hash builtins).
+    """
+    def seeded_min(j: int) -> Column:
+        # NB: the lambda must be unary — Spark passes the element index
+        # as a second positional arg to binary lambdas, which would
+        # silently replace a `j=j` default with the index column
+        return F.array_min(F.transform(shingles, lambda sh: F.md5(F.concat(F.lit(f"{j}|"), sh))))
+
+    return [seeded_min(j).alias(f"mh{j}") for j in range(_N_HASHES)]
+
+
+def _minhash_cols_sql(shingle_expr: str) -> str:
+    return ",\n             ".join(
+        f"list_min(list_transform({shingle_expr}, s -> md5('{j}|' || s))) AS mh{j}"
+        for j in range(_N_HASHES)
+    )
+
+
+def _band_sig(b: int) -> F.Column:
+    lo = b * (_N_HASHES // _N_BANDS)
+    return F.md5(F.concat(*[F.col(f"mh{j}") for j in range(lo, lo + _N_HASHES // _N_BANDS)]))
+
+
+def _band_sig_sql(b: int) -> str:
+    lo = b * (_N_HASHES // _N_BANDS)
+    return "md5(" + " || ".join(f"mh{j}" for j in range(lo, lo + _N_HASHES // _N_BANDS)) + ")"
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_shingles_sql('t')} AS shingles
+      FROM toks WHERE len(t) >= 5
+    )
+    SELECT doc_id,
+           len(shingles) AS n_shingles,
+           list_min(list_transform(shingles, s -> md5(s))) AS fp_min,
+           list_max(list_transform(shingles, s -> md5(s))) AS fp_max
+    FROM sh
+    """,
+    survey="§2.9 text analysis (document fingerprint over rolling 5-token shingles)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-shingle fingerprint: min/max hash over 5-token shingles —
+    the 1-hash degenerate MinHash, useful as a cheap prefilter key.
+    Pure per-row array algebra: no shuffle, scales linearly."""
+    toks = _tokens()
+    sh = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 5)
+        .select("doc_id", _shingles(toks).alias("shingles"))
+    )
+    hashed = F.transform(F.col("shingles"), F.md5)
+    return sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.array_min(hashed).alias("fp_min"),
+        F.array_max(hashed).alias("fp_max"),
+    )
+
+
+@query(
+    "minhash_near_dup",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id, {_shingles_sql('t')} AS shingles
+      FROM toks WHERE len(t) >= 5
+    ), sigs AS (
+      SELECT doc_id,
+             {_minhash_cols_sql('shingles')}
+      FROM sh
+    ), bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_band_sig_sql(b)} AS band_sig FROM sigs" for b in range(_N_BANDS))}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    survey="§2.9 near-dedup (MinHash + LSH banding; candidate pairs via band-bucket join)",
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: 12 seeded minhashes → 4
+    bands of 3 → self-equi-join on (band_id, band_sig).
+
+    Scale shape: each doc is shuffled once per band (4×), candidates
+    come from bucket joins — never an all-pairs product. Band signatures
+    are md5 of the row minhashes, so bucket keys are uniform except for
+    true near-dup clusters; a pathological hot cluster is exactly what
+    AQE skew-join splitting handles at runtime.
+    """
+    toks = _tokens()
+    # Plan shape, tuned from measurement (11.5 s → ~1.5 s at sf0.1):
+    # 1. repartition by doc_id: the fixture is ONE parquet file, so the
+    #    CPU-bound shingle+md5 map work would otherwise run on 1-2
+    #    cores; at 100 TB the scan has thousands of splits and this
+    #    exchange also pre-locates the groupBy, so it stays one shuffle.
+    # 2. explode shingles, compute the 12 seeded mins as grouped aggs:
+    #    each md5 evaluates exactly once (the array-fold formulation is
+    #    12× the work because CollapseProject inlines the
+    #    shingle-construction expression into every minhash column).
+    # 3. pair generation per band bucket via sorted collect_list +
+    #    nested transform — NO self-join, so the signature subtree is
+    #    computed once, not twice (a broadcast/merge self-join cannot
+    #    reuse the exchange across sides). LSH theory keeps buckets
+    #    O(near-dup cluster size); a pathological hot bucket (mass
+    #    boilerplate) should be capped/salted upstream by exact dedup.
+    exploded = (
+        _near_corpus(spark, sf_dir)
+        .filter(F.size(toks) >= 5)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+            for j in range(_N_HASHES)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), _band_sig(b).alias("band_sig"))
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_sig")
+    buckets = (
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # all in-bucket ordered pairs: for ids[i], partners are ids[i+1:]
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@query(
+    "ngram_jaccard_verify",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id, list_distinct({_shingles_sql('t')}) AS s
+      FROM toks WHERE len(t) >= 5
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_shared,
+           len(a.s) AS n_a, len(b.s) AS n_b,
+           CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))
+             AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + {DUP_OFFSET}
+    """,
+    survey="§2.9 near-dedup (exact n-gram Jaccard verification of candidate pairs)",
+)
+def ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard on the known near-dup pairs — the
+    verify stage that follows LSH candidate generation (verify candidate
+    pairs only, never all pairs; here the pair list is the fabricated
+    +100000 mapping, joined key-to-key)."""
+    toks = _tokens()
+    sh = (
+        _near_corpus(spark, sf_dir)
+        .filter(F.size(toks) >= 5)
+        .select("doc_id", F.array_distinct(_shingles(toks)).alias("s"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.filter(F.col("a.s"), lambda x: F.array_contains(F.col("b.s"), x)))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + DUP_OFFSET).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.alias("n_shared"),
+        F.size(F.col("a.s")).alias("n_a"),
+        F.size(F.col("b.s")).alias("n_b"),
+        (inter.cast("double") / union).alias("jaccard"),
+    )

@@ -2,12 +2,17 @@
 
 The oracle comparison here is intentionally STRICTER than the driver's
 (exact canonical-string equality, not just a hash) so that a green
-test suite implies a green CORRECTNESS_r{N}.json.
+test suite implies a green CORRECTNESS_r{N}.json. It runs at the SAME
+scale factor the driver checks (sf0.01 — round 1 passed at sf0.001 but
+failed the driver at sf0.01) and compares result TYPE families, so a
+DuckDB HUGEINT / DECIMAL leaking from an uncast aggregate fails here
+before it fails the driver's value hash.
 """
 
 from __future__ import annotations
 
 import math
+import re
 import sys
 from pathlib import Path
 
@@ -19,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from crm_etl_pipeline_spark.io import TABLES
 from crm_etl_pipeline_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -59,11 +64,34 @@ def rows_canonical(cols: list[str], rows: list[tuple]) -> list[str]:
     return sorted("|".join(canonical(r[i]) for i in order) for r in rows)
 
 
+# cross-engine type families: Spark dtype / DuckDB type → comparable family.
+# int widths are interchangeable for the driver hash (verified r1), but
+# HUGEINT (int128) and DECIMAL leaking from an uncast aggregate are not.
+_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "integer": "int", "ubigint": "int",
+    "double": "double", "float": "float", "real": "float",
+    "string": "string", "varchar": "string",
+    "timestamp": "timestamp", "timestamp_ns": "timestamp", "timestamp_ntz": "timestamp",
+    "date": "date", "boolean": "bool", "hugeint": "hugeint",
+}
+
+
+def _family(type_name: str) -> str:
+    t = type_name.strip().lower()
+    t = re.sub(r"\(.*\)", "", t)  # decimal(38,18) → decimal
+    return _FAMILY.get(t, t)
+
+
 def compare_query(spark, duck, q, sf_dir: str = SF_DIR) -> None:
     """Run one registry Query on Spark and DuckDB; assert equivalence."""
     sdf = q.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
+    rel = duck.sql(q.oracle)
+    stypes = {c: _family(t) for c, t in sdf.dtypes}
+    otypes = {c: _family(str(t)) for c, t in zip(rel.columns, rel.types)}
+    assert stypes == otypes, f"{q.name}: type families {stypes} vs oracle {otypes}"
     res = duck.execute(q.oracle)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()

@@ -1,0 +1,85 @@
+"""Invariant tests for the LLM-data-pipeline operators: properties the
+row-level DuckDB oracle cannot express — LSH recall vs brute force,
+dedup survivor rules, candidate-set sparsity (never all-pairs).
+
+Runs at sf0.001 for speed; the value-level oracle equivalence of every
+query here is covered at sf0.01 by test_oracle.py.
+"""
+
+from __future__ import annotations
+
+from crm_etl_pipeline_spark.queries.llmops import DUP_OFFSET
+from crm_etl_pipeline_spark.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+REGISTRY = load_all()
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR).collect()
+
+
+def test_exact_dedup_survivor_rule(spark):
+    """Fabricated exact copies collapse onto the lowest doc_id; all
+    other docs stay singletons (fixture corpus is 100% distinct)."""
+    rows = _rows(spark, "exact_dedup_documents")
+    dup_keys = {r.keep_doc_id for r in rows if r.n_copies == 2}
+    singletons = {r.keep_doc_id for r in rows if r.n_copies == 1}
+    assert all(k % 5 == 0 and k < DUP_OFFSET for k in dup_keys)
+    assert all(k < DUP_OFFSET for k in singletons)  # survivor is never the clone
+    assert not any(r.n_copies > 2 for r in rows)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """LSH banding must recover nearly every truly-near pair: with 4
+    bands of 3 rows, P(candidate | J=0.9) ≈ 1-(1-0.9³)⁴ ≈ 0.995."""
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard for r in _rows(spark, "ngram_jaccard_verify")
+    }
+    near = {p for p, j in truth.items() if j >= 0.8}
+    candidates = {(r.doc_a, r.doc_b) for r in _rows(spark, "minhash_near_dup")}
+    assert near, "fixture should fabricate at least one high-jaccard pair"
+    recall = len(near & candidates) / len(near)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(near)} near pairs"
+
+
+def test_minhash_candidates_are_sparse(spark):
+    """The banded join must emit far fewer pairs than the all-pairs
+    product — the whole point of LSH at 100 TB."""
+    n_docs = REGISTRY["doc_fingerprint"].fn(spark, SF_DIR).count()
+    n_pairs = REGISTRY["minhash_near_dup"].fn(spark, SF_DIR).count()
+    assert n_pairs < 0.05 * n_docs * (n_docs - 1) / 2
+
+
+def test_ann_lsh_subset_of_bucket_and_recall(spark):
+    """Bucketed ANN returns only same-bucket candidates, ranked
+    consistently with the exact brute force (its top hit can never beat
+    the exact top-1 cosine for that query)."""
+    exact = {}
+    for r in _rows(spark, "ann_cosine_topk"):
+        exact.setdefault(r.query_id, {})[r.cand_id] = (r.rank, r.cosine)
+    approx = _rows(spark, "ann_lsh_bucketed")
+    assert approx, "bucketed ANN returned nothing"
+    for r in approx:
+        top1 = min(exact[r.query_id].items(), key=lambda kv: kv[1][0])
+        assert r.cosine <= top1[1][1] + 1e-12
+    # recall@3-vs-10: every bucketed hit that IS in the exact top-10 must
+    # preserve relative order (monotone rank mapping)
+    for qid in {r.query_id for r in approx}:
+        hits = sorted(
+            (r.rank, exact[qid][r.cand_id][0])
+            for r in approx
+            if r.query_id == qid and r.cand_id in exact[qid]
+        )
+        exact_ranks = [er for _, er in hits]
+        assert exact_ranks == sorted(exact_ranks)
+
+
+def test_language_id_deterministic_and_total(spark):
+    """Every doc gets exactly one predicted language from the profile
+    argmax; re-running yields the identical assignment."""
+    a = {r.doc_id: r.predicted_lang for r in _rows(spark, "language_id_ngram")}
+    b = {r.doc_id: r.predicted_lang for r in _rows(spark, "language_id_ngram")}
+    assert a == b
+    assert set(a.values()) <= {"en", "es", "de", "zh"}
