@@ -8,6 +8,8 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
     joins,
     llmops,
     relational,
+    scd_q,
+    streaming_q,
     transforms,
     windows,
 )

@@ -1,0 +1,165 @@
+"""SCD2 versioned-store queries (SURVEY §2.4 L2/L3/L5/L6): the driver-
+visible face of crm_etl_pipeline_spark/scd.py.
+
+The fixture replay (FIXTURES.md §5): ``customer`` plays the initial
+item load (one base version per key, epoch timestamp) and ``events``
+of type purchase/signup play the webhook updates keyed by user_id —
+together they produce a `podio_items`-shaped versioned store
+(`PodioApiGateway.py:131-137`). All derived flags are recomputed
+deterministically, so a DuckDB window oracle can verify every row.
+
+``scd2_store_roundtrip`` exercises the ACTUAL write path: it
+materializes the store to parquet partitioned by is_current and reads
+it back — the first df.write in the engine — and still matches the
+same oracle because the round trip is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark import scd
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+_BASE_TS = "1990-01-01 00:00:00"
+
+_STORE_SQL = f"""
+    WITH base AS (
+      SELECT c_custkey AS item_id, 0 AS event_id,
+             TIMESTAMP '{_BASE_TS}' AS ts,
+             c_acctbal AS value
+      FROM customer
+    ), upd AS (
+      SELECT user_id AS item_id, event_id, ts, value
+      FROM events WHERE event_type IN ('purchase', 'signup')
+    ), all_v AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd
+    ), v AS (
+      SELECT item_id, event_id, ts, value,
+             CAST(ROW_NUMBER() OVER
+                  (PARTITION BY item_id ORDER BY ts, event_id) AS INT) AS version,
+             ROW_NUMBER() OVER
+                  (PARTITION BY item_id ORDER BY ts DESC, event_id DESC) = 1 AS is_current
+      FROM all_v
+    )
+"""
+
+
+def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select(
+            F.col("user_id").alias("item_id"),
+            "event_id",
+            "ts",
+            "value",
+        )
+    )
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("item_id"),
+        F.lit(0).cast("bigint").alias("event_id"),
+        F.lit(_BASE_TS).cast("timestamp").alias("ts"),
+        F.col("c_acctbal").alias("value"),
+    )
+
+
+def _store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd.scd2_apply(_base(spark, sf_dir), _updates(spark, sf_dir))
+
+
+@query(
+    "scd2_versioned_store",
+    oracle=_STORE_SQL + "SELECT item_id, event_id, ts, value, version, is_current FROM v",
+    survey="L3 (SCD2 upsert: flip current:0 / insert current:1; PodioApiGateway.py:132-137)",
+)
+def scd2_versioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full version history after replaying all updates: every row
+    keeps its data, flags derived by key-partitioned windows (one
+    shuffle on item_id — high cardinality, scale-safe)."""
+    return _store(spark, sf_dir).select(
+        "item_id", "event_id", "ts", "value", "version", "is_current"
+    )
+
+
+@query(
+    "scd2_current_view",
+    oracle=_STORE_SQL
+    + """
+    SELECT item_id, event_id, ts, value, version
+    FROM v WHERE is_current AND value >= 100
+    """,
+    survey="L2 (latest-version lookup; PodioApiGateway.py:165)",
+)
+def scd2_current_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The current=1 projection the reference maintains eagerly; here a
+    filter that, on a write_store layout, prunes to current=true files."""
+    return (
+        scd.current_view(_store(spark, sf_dir))
+        .filter(F.col("value") >= 100)
+        .select("item_id", "event_id", "ts", "value", "version")
+    )
+
+
+@query(
+    "scd2_soft_delete",
+    oracle=_STORE_SQL
+    + """
+    , del AS (
+      SELECT user_id AS item_id, MAX(ts) AS delete_ts
+      FROM events WHERE event_type = 'error' AND value > 90
+      GROUP BY user_id
+    )
+    SELECT v.item_id, v.event_id, v.ts, v.value, v.version,
+           v.is_current AND del.delete_ts IS NOT NULL AS deleted,
+           del.delete_ts
+    FROM v LEFT JOIN del ON v.item_id = del.item_id
+    """,
+    survey="L6 (soft delete on latest version, history kept; PodioApiGateway.py:161-178)",
+)
+def scd2_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete replay: high-value error events mark the item's
+    current version deleted=true; superseded rows and history survive
+    untouched (`PodioApiGateway.py:166-169`)."""
+    deletes = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("value") > 90))
+        .groupBy(F.col("user_id").alias("item_id"))
+        .agg(F.max("ts").alias("delete_ts"))
+    )
+    return scd.soft_delete(_store(spark, sf_dir), deletes).select(
+        "item_id", "event_id", "ts", "value", "version", "deleted", "delete_ts"
+    )
+
+
+@query(
+    "scd2_store_roundtrip",
+    oracle=_STORE_SQL
+    + """
+    SELECT item_id, event_id, ts, value, version
+    FROM v WHERE is_current
+    """,
+    survey="L5 (append/write to versioned store + partition-pruned readback; PodioApiGateway.py:137)",
+)
+def scd2_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the store to parquet partitioned by is_current, read the
+    current view back. The readback filter hits only the
+    is_current=true partition directory (partition pruning — at 100 TB
+    the current view never touches historical files)."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"crm_etl_scd2_store_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    scd.write_store(_store(spark, sf_dir), path)
+    readback = scd.read_store(spark, path)
+    return scd.current_view(readback).select(
+        "item_id", "event_id", "ts", "value", "version"
+    )

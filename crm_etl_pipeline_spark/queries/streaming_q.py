@@ -1,0 +1,88 @@
+"""Driver-visible Structured Streaming queries (SURVEY §2.7 ST1–ST6):
+each runs a bounded (availableNow) stream end-to-end, then returns the
+materialized result as a batch DataFrame — so the driver's DuckDB
+oracle can verify the CONVERGED state of the stream, not just row
+counts. The convergence itself (streaming == batch on the same input)
+is what makes the oracles below valid: they are the batch SQL for the
+state the stream must reach.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark import scd, streaming
+from crm_etl_pipeline_spark.queries.scd_q import _STORE_SQL
+from crm_etl_pipeline_spark.registry import query
+
+
+def _workdir(tag: str, sf_dir: str) -> str:
+    """Fresh work area per invocation (streams cannot resume across a
+    content change, and parallel runs must not share checkpoints)."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"crm_etl_stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+@query(
+    "streaming_scd2_state",
+    oracle=_STORE_SQL
+    + """
+    SELECT item_id, event_id, ts, value, version
+    FROM v WHERE is_current
+    """,
+    survey="S7,ST1-ST3 (readStream → foreachBatch SCD2 merge; PodioApiGateway.py:111-195)",
+)
+def streaming_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full streaming pipeline (readStream → filter →
+    foreachBatch merge/append/DLQ, availableNow) and return the current
+    view of the resulting store — which must equal the batch SCD2
+    replay, verified by the same window oracle."""
+    paths = streaming.run_pipeline(spark, sf_dir, workdir=_workdir("scd2", sf_dir))
+    store = scd.read_store(spark, paths["store"])
+    return scd.current_view(store).select("item_id", "event_id", "ts", "value", "version")
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    survey="ST5 + watermark windows (event-time tumbling agg over the stream)",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling windows, drained availableNow in
+    complete mode: over bounded input the final window table equals the
+    batch GROUP BY date_trunc — same oracle as tumbling_daily_counts."""
+    out = os.path.join(_workdir("win", sf_dir), "counts")
+    streaming.windowed_counts_stream(spark, sf_dir, out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "streaming_dlq",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(FLOOR(value) AS INT) % 12 + 1 AS failed_attempts
+    FROM events
+    WHERE event_type = 'error' AND CAST(FLOOR(value) AS INT) % 12 + 1 >= {streaming.DLQ_THRESHOLD}
+    """,
+    survey="ST4,F6 (dead-letter routing at failed_attempts >= 10; PodioApiGateway.py:157-159)",
+)
+def streaming_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter queue contents after the bounded run: every error
+    event whose derived failed_attempts crossed the threshold."""
+    paths = streaming.run_pipeline(spark, sf_dir, workdir=_workdir("dlq", sf_dir))
+    return spark.read.parquet(paths["dlq"]).select("event_id", "user_id", "failed_attempts")

@@ -1,0 +1,109 @@
+"""SCD Type-2 versioned store: the write half of the reference's load
+path, Spark-first.
+
+Reference parity: on each processed event the reference flips every
+prior version of the item to ``current: 0`` and inserts the new decode
+with ``current: 1`` (`PodioApiGateway.py:132-137`), appends the event
+to the completed queue (`PodioApiGateway.py:139-141`), and has a
+drafted soft-delete that marks the latest version ``deleted: True``
+without removing history (`PodioApiGateway.py:161-178`).
+
+Plain parquet has no MERGE, so the engine offers the two standard
+strategies:
+
+- **merge-on-read** (`scd2_apply` + `current_view`): the store is an
+  append-only union of versions; ``current`` is derived by a
+  row_number window at read time. Writes are cheap appends (no
+  rewrite); the window partitions by the item key — high cardinality,
+  so it scales.
+- **rewrite-on-write** (`write_store` / `read_store`): materialize the
+  computed flags and partition the files by ``is_current``, so the hot
+  "current view" read prunes to the current=true files only — at
+  100 TB that's the difference between scanning every version ever
+  written and scanning one generation.
+
+At-scale notes: the apply window shuffles once on the item key; a
+single mega-hot key (millions of versions of one item) would skew —
+that is a data bug upstream, not a partitioning concern, since CRM
+items have bounded update rates. ``mode("append")`` on the completed
+queue matches the reference's insert-only queue semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: system columns every version row carries (FIXTURES.md §1 decoded row)
+KEY_COL = "item_id"
+TS_COL = "ts"
+SEQ_COL = "event_id"  # deterministic tiebreaker within equal timestamps
+
+
+def scd2_apply(store: DataFrame | None, updates: DataFrame) -> DataFrame:
+    """Merge a batch of new versions into the versioned store.
+
+    ``store`` is the existing version table (or None for bootstrap);
+    ``updates`` carries one row per new version with the same schema
+    minus the derived columns. Both get ``version`` (1 = oldest) and
+    ``is_current`` recomputed — the declarative equivalent of the
+    reference's update_many(current:0) + insert(current:1)
+    (`PodioApiGateway.py:132-137`). Idempotent: applying the same batch
+    twice yields the same flags (duplicates collapse on the
+    (key, ts, seq) identity first).
+    """
+    bare = updates.select(*_bare_cols(updates))
+    if store is not None:
+        bare = store.select(*_bare_cols(store)).unionByName(bare)
+    bare = bare.dropDuplicates([KEY_COL, TS_COL, SEQ_COL])
+    w_asc = Window.partitionBy(KEY_COL).orderBy(F.col(TS_COL), F.col(SEQ_COL))
+    w_desc = Window.partitionBy(KEY_COL).orderBy(F.col(TS_COL).desc(), F.col(SEQ_COL).desc())
+    return bare.withColumn("version", F.row_number().over(w_asc)).withColumn(
+        "is_current", F.row_number().over(w_desc) == 1
+    )
+
+
+def _bare_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in ("version", "is_current")]
+
+
+def current_view(store: DataFrame) -> DataFrame:
+    """Latest version per key (`PodioApiGateway.py:165` sort-desc
+    find_one, table-wide). On a store written by ``write_store`` this
+    filter is a partition predicate — only current=true files scan."""
+    return store.filter(F.col("is_current"))
+
+
+def soft_delete(store: DataFrame, delete_keys: DataFrame) -> DataFrame:
+    """Mark the current version of each key in ``delete_keys`` as
+    deleted without dropping history (`PodioApiGateway.py:166-169`).
+    ``delete_keys`` must have (item_id, delete_ts) — one row per key.
+    No broadcast hint: a replay-sized delete set is key-scaled, so AQE
+    picks broadcast only when the batch is genuinely small.
+    """
+    marked = store.join(delete_keys, KEY_COL, "left")
+    return marked.withColumn(
+        "deleted", F.col("is_current") & F.col("delete_ts").isNotNull()
+    )
+
+
+def write_store(store: DataFrame, path: str) -> None:
+    """Rewrite-on-write materialization, partitioned by ``is_current``
+    so the current view prunes to one generation of files."""
+    store.write.mode("overwrite").partitionBy("is_current").parquet(path)
+
+
+def append_completed(events: DataFrame, path: str) -> None:
+    """Append processed events to the completed queue
+    (`PodioApiGateway.py:139-141`): insert-only parquet append."""
+    events.withColumn("completed_timestamp", F.current_timestamp()).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def read_store(spark, path: str) -> DataFrame:
+    """Read a write_store layout back. Partition-column values come
+    back as strings (Spark's partition type inference has no boolean
+    case), so restore ``is_current`` to its logical type."""
+    df = spark.read.parquet(path)
+    return df.withColumn("is_current", F.col("is_current").cast("boolean"))

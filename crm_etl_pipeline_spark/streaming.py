@@ -1,0 +1,175 @@
+"""Structured Streaming ingest (SURVEY §2.1 S7, §2.7 ST1–ST6): the
+engine's counterpart of the reference's webhook gateway + worker loop.
+
+Reference parity: webhook POSTs enqueue events (`PodioApiGateway.py:
+75-89,197-266`), a single background worker pops them FIFO, filters to
+item.update/item.create, fetches + decodes the item, SCD2-upserts it,
+appends to the completed queue, and requeues failures with
+``failed_attempts + 1`` → dead-letter at ≥ 10
+(`PodioApiGateway.py:111-195`).
+
+Spark shape: ``readStream`` (file source here; Kafka in production) →
+IN-list filter → ``foreachBatch`` doing {per-key last-write-wins within
+the batch, SCD2 merge into the versioned store, completed-queue append,
+DLQ routing} on a 10 s processing-time trigger
+(`PodioApiGateway.py:195`) — or ``availableNow`` for bounded replay in
+tests and the driver.
+
+Scale notes: foreachBatch works at any batch size because the merge is
+one window over item_id (high cardinality); the store rewrite is the
+local-parquet stand-in for a MERGE-capable table format. The windowed
+aggregation path uses event-time + watermark, so late events older
+than the watermark are dropped deterministically instead of reordering
+history (the reference simply processes in arrival order — ST5).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark import scd
+
+PROCESS_TYPES = ("purchase", "signup")  # plays item.update/item.create
+DLQ_THRESHOLD = 10  # failed_attempts >= 10 → dead letter
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events fixture (S7). The stream
+    schema is the batch schema (ts arrives as nanos-long, converted to
+    a µs timestamp exactly like io.table)."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _merge_batch(store_path: str, updates: DataFrame) -> None:
+    """SCD2-merge one micro-batch into the parquet store. Within the
+    batch, last write wins per (item_id, ts, event_id) identity —
+    the batch analog of the reference's one-at-a-time FIFO (ST5/ST6).
+    localCheckpoint materializes the merged result before the overwrite
+    so we never overwrite files we are still lazily reading."""
+    spark = updates.sparkSession
+    store = scd.read_store(spark, store_path)
+    merged = scd.scd2_apply(store, updates).localCheckpoint(eager=True)
+    scd.write_store(merged, store_path)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str | None = None,
+    trigger_available_now: bool = True,
+) -> dict[str, str]:
+    """The full event loop (ST1–ST4): bootstrap the store from the
+    customer base load, then stream events through foreachBatch doing
+    merge + completed-append + DLQ. Returns the output paths.
+
+    With ``trigger_available_now`` the stream drains the backlog and
+    stops (bounded replay); otherwise it runs on the reference's 10 s
+    poll cadence (`PodioApiGateway.py:195`).
+    """
+    from crm_etl_pipeline_spark.queries.scd_q import _base  # avoid import cycle
+
+    workdir = workdir or tempfile.mkdtemp(prefix="crm_etl_stream_")
+    paths = {
+        "store": os.path.join(workdir, "store"),
+        "completed": os.path.join(workdir, "completed"),
+        "dlq": os.path.join(workdir, "dlq"),
+        "checkpoint": os.path.join(workdir, "checkpoint"),
+    }
+    scd.write_store(scd.scd2_apply(None, _base(spark, sf_dir)), paths["store"])
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            updates = batch.filter(F.col("event_type").isin(*PROCESS_TYPES)).select(
+                F.col("user_id").alias("item_id"), "event_id", "ts", "value"
+            )
+            _merge_batch(paths["store"], updates)
+            scd.append_completed(
+                batch.filter(F.col("event_type").isin(*PROCESS_TYPES)), paths["completed"]
+            )
+            # failure branch: failed_attempts derived deterministically
+            # (same rule as retry_and_dead_letter); ≥10 → DLQ append
+            failures = batch.filter(F.col("event_type") == "error").withColumn(
+                "failed_attempts", F.floor(F.col("value")).cast("int") % 12 + 1
+            )
+            failures.filter(F.col("failed_attempts") >= DLQ_THRESHOLD).write.mode(
+                "append"
+            ).parquet(paths["dlq"])
+        finally:
+            batch.unpersist()
+
+    writer = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", paths["checkpoint"])
+    )
+    if trigger_available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.trigger(processingTime="10 seconds").start()
+    return paths
+
+
+def windowed_counts_stream(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Event-time tumbling window with watermark (the idiomatic upgrade
+    of ST5): 1-day windows, 1-hour lateness bound. Runs availableNow in
+    complete mode via foreachBatch, materializing the final window
+    table to parquet."""
+    counts = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+    def write_final(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(write_final)
+        .option("checkpointLocation", os.path.join(out_path + "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def batch_equivalent_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch result the streaming pipeline must converge to (used
+    by tests and the driver oracle)."""
+    from crm_etl_pipeline_spark.queries.scd_q import _base, _updates
+
+    return scd.scd2_apply(_base(spark, sf_dir), _updates(spark, sf_dir))
+
+
+def dedup_last_write_wins(batch: DataFrame) -> DataFrame:
+    """ST6 within a micro-batch: collapse to the newest event per
+    (user_id, event_type) exactly like the reference deletes queued
+    duplicates once one completes (`PodioApiGateway.py:143-145`)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,85 @@
+"""SCD2 invariants from FIXTURES.md §4: exactly one current row per
+key, the current row has the max (ts, event_id), history is preserved,
+incremental two-batch apply converges to the single-shot result, and
+the parquet round trip is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark import scd
+from crm_etl_pipeline_spark.queries.scd_q import _base, _store, _updates
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_exactly_one_current_per_key(spark):
+    store = _store(spark, SF_DIR)
+    per_key = store.groupBy("item_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    assert per_key.filter(F.col("n_current") != 1).count() == 0
+    assert per_key.filter(F.col("n_versions") < 1).count() == 0
+
+
+def test_current_is_latest_and_history_preserved(spark):
+    store = _store(spark, SF_DIR)
+    latest = store.groupBy("item_id").agg(
+        F.max(F.struct("ts", "event_id")).alias("mx")
+    )
+    bad = (
+        store.filter(F.col("is_current"))
+        .join(latest, "item_id")
+        .filter(F.struct("ts", "event_id") != F.col("mx"))
+    )
+    assert bad.count() == 0
+    # history: every input row survives the merge
+    n_base = _base(spark, SF_DIR).count()
+    n_upd = _updates(spark, SF_DIR).count()
+    assert store.count() == n_base + n_upd
+
+
+def test_incremental_apply_converges(spark):
+    """Applying updates in two timestamp-split batches through
+    scd2_apply must equal the single-shot merge — the foreachBatch
+    streaming path relies on exactly this property."""
+    base = _base(spark, SF_DIR)
+    upd = _updates(spark, SF_DIR)
+    split = upd.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    first = scd.scd2_apply(base, upd.filter(F.col("ts") <= split))
+    final = scd.scd2_apply(first, upd.filter(F.col("ts") > split))
+    single = scd.scd2_apply(base, upd)
+    cols = ["item_id", "event_id", "ts", "value", "version", "is_current"]
+    assert sorted(map(tuple, final.select(cols).collect())) == sorted(
+        map(tuple, single.select(cols).collect())
+    )
+
+
+def test_apply_is_idempotent(spark):
+    base = _base(spark, SF_DIR)
+    upd = _updates(spark, SF_DIR)
+    once = scd.scd2_apply(base, upd)
+    twice = scd.scd2_apply(once, upd)
+    cols = ["item_id", "event_id", "ts", "value", "version", "is_current"]
+    assert sorted(map(tuple, twice.select(cols).collect())) == sorted(
+        map(tuple, once.select(cols).collect())
+    )
+
+
+def test_write_store_partitions_by_current(spark, tmp_path):
+    store = _store(spark, SF_DIR)
+    path = str(tmp_path / "store")
+    scd.write_store(store, path)
+    back = scd.read_store(spark, path)
+    assert back.count() == store.count()
+    # partition layout: current view scans only the is_current=true dir
+    files = [
+        r.file_path
+        for r in scd.current_view(back)
+        .select(F.input_file_name().alias("file_path"))
+        .distinct()
+        .collect()
+    ]
+    assert files and all("is_current=true" in f for f in files)
