@@ -36,6 +36,46 @@ def build_catalog(spaces: DataFrame, apps: DataFrame, exclude_space: str | None 
     )
 
 
+def build_catalog_with_fields(
+    spaces: DataFrame,
+    apps: DataFrame,
+    fields: DataFrame,
+    exclude_space: str | None = None,
+) -> DataFrame:
+    """The full 3-level sync org → space → app → fields (S5/S6/F5):
+    `get_podio_system_setup` nests `get_app_fields_data` per app
+    (`PodioApiWrapper.py:239-268`, fields at `PodioApiWrapper.py:
+    207-237`). ``fields`` must have (field_id, field_label, field_type,
+    return_type, hidden, app_id); per-field ``return_type`` falls back
+    to ``field_type`` when absent (`PodioApiWrapper.py:230-233`) and
+    ``hidden`` is carried for downstream projection decisions
+    (`PodioApiWrapper.py:226`).
+
+    Scale: fields ⋈ (apps ⋈ spaces) — both upper levels are broadcast
+    (genuinely constant-size metadata), so the whole sync is one
+    shuffle-free job regardless of field count.
+    """
+    two_level = build_catalog(spaces, apps, exclude_space=exclude_space)
+    return fields.join(F.broadcast(two_level), "app_id").select(
+        "space_id",
+        "space_name",
+        "app_id",
+        "app_name",
+        "space_app_id",
+        "field_id",
+        "field_label",
+        F.col("field_type"),
+        F.coalesce(F.col("return_type"), F.col("field_type")).alias("effective_type"),
+        "hidden",
+    )
+
+
+def visible_fields(catalog: DataFrame) -> DataFrame:
+    """F5: the projection decision — hidden fields drop out of the
+    schema the item table exposes (`PodioApiWrapper.py:226,234`)."""
+    return catalog.filter(~F.col("hidden"))
+
+
 def split_composite_key(df: DataFrame, col: str = "space_app_id") -> DataFrame:
     """Inverse of the composite key build (`PodioApiWrapper.py:260`)."""
     parts = F.split(F.col(col), r"\.")

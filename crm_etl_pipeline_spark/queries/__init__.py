@@ -3,6 +3,7 @@
 from crm_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
     catalog_q,
+    decode_q,
     embeddings_q,
     events_q,
     joins,

@@ -1,5 +1,6 @@
 """Catalog-layer driver queries (SURVEY §2.1 S3–S6, §2.2 T10–T11,
-§2.3 F4–F5) over the region/nation dims, which play org-spaces/apps.
+§2.3 F4–F5) over the region/nation/supplier dims, which play
+org-spaces / apps / app-fields respectively.
 """
 
 from __future__ import annotations
@@ -7,9 +8,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crm_etl_pipeline_spark.catalog import build_catalog, drift_diff, split_composite_key
+from crm_etl_pipeline_spark.catalog import (
+    build_catalog,
+    build_catalog_with_fields,
+    drift_diff,
+    split_composite_key,
+    visible_fields,
+)
 from crm_etl_pipeline_spark.io import table
 from crm_etl_pipeline_spark.registry import query
+
+
+def _spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("space_id"), F.col("r_name").alias("space_name")
+    )
+
+
+def _apps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("app_id"),
+        F.col("n_name").alias("app_name"),
+        F.col("n_regionkey").alias("space_id"),
+    )
+
+
+def _fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier plays the per-app field metadata: deterministic
+    field_type by key, return_type override on every 5th field
+    (the coalesce-fallback case), hidden = negative account balance."""
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("field_id"),
+        F.col("s_name").alias("field_label"),
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit("number"))
+        .when(F.col("s_suppkey") % 3 == 1, F.lit("text"))
+        .otherwise(F.lit("category"))
+        .alias("field_type"),
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit("calculation")).alias("return_type"),
+        (F.col("s_acctbal") < 0).alias("hidden"),
+        F.col("s_nationkey").alias("app_id"),
+    )
 
 
 @query(
@@ -26,16 +65,7 @@ from crm_etl_pipeline_spark.registry import query
 def catalog_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Org→space→app catalog walk as one broadcast join, with the
     reference's space-exclusion filter (`PodioApiWrapper.py:254`)."""
-    spaces = (
-        table(spark, sf_dir, "region")
-        .select(F.col("r_regionkey").alias("space_id"), F.col("r_name").alias("space_name"))
-    )
-    apps = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("app_id"),
-        F.col("n_name").alias("app_name"),
-        F.col("n_regionkey").alias("space_id"),
-    )
-    return build_catalog(spaces, apps, exclude_space="EUROPE")
+    return build_catalog(_spaces(spark, sf_dir), _apps(spark, sf_dir), exclude_space="EUROPE")
 
 
 @query(
@@ -120,3 +150,77 @@ def catalog_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").alias("field_type"),
     )
     return drift_diff(old, new, "field_id", ["field_label", "field_type"])
+
+
+_FIELDS_SQL = """
+      SELECT s_suppkey AS field_id, s_name AS field_label,
+             CASE CAST(s_suppkey % 3 AS INT)
+                  WHEN 0 THEN 'number' WHEN 1 THEN 'text'
+                  ELSE 'category' END AS field_type,
+             CASE WHEN s_suppkey % 5 = 0 THEN 'calculation' END AS return_type,
+             s_acctbal < 0 AS hidden,
+             s_nationkey AS app_id
+      FROM supplier
+"""
+
+
+@query(
+    "catalog_fields_tree",
+    oracle=f"""
+    WITH f AS ({_FIELDS_SQL})
+    SELECT r_regionkey AS space_id, r_name AS space_name,
+           n_nationkey AS app_id, n_name AS app_name,
+           CONCAT_WS('.', r_regionkey, n_nationkey) AS space_app_id,
+           field_id, field_label, field_type,
+           COALESCE(return_type, field_type) AS effective_type,
+           hidden
+    FROM f
+    JOIN nation ON f.app_id = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name <> 'EUROPE'
+    """,
+    survey="S5,S6,T11,F5 (3-level org→space→app→fields sync; PodioApiWrapper.py:207-268)",
+)
+def catalog_fields_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full metadata sync: fields ⋈ broadcast(apps ⋈ spaces), with
+    return_type fallback and the hidden flag carried through — the
+    ~380-sequential-API-call walk as one shuffle-free job."""
+    return build_catalog_with_fields(
+        _spaces(spark, sf_dir),
+        _apps(spark, sf_dir),
+        _fields(spark, sf_dir),
+        exclude_space="EUROPE",
+    )
+
+
+@query(
+    "hidden_field_projection",
+    oracle=f"""
+    WITH f AS ({_FIELDS_SQL})
+    SELECT app_id,
+           COUNT(*) AS n_visible,
+           CAST(SUM(CASE WHEN effective_type = 'calculation' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overridden
+    FROM (SELECT app_id, COALESCE(return_type, field_type) AS effective_type
+          FROM f WHERE NOT hidden)
+    GROUP BY app_id
+    """,
+    survey="F5 (hidden-field projection decision; PodioApiWrapper.py:226,234)",
+)
+def hidden_field_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema the item table actually exposes: hidden fields dropped,
+    per-app counts of visible and return_type-overridden fields."""
+    fields = visible_fields(_fields(spark, sf_dir))
+    return (
+        fields.select(
+            "app_id",
+            F.coalesce(F.col("return_type"), F.col("field_type")).alias("effective_type"),
+        )
+        .groupBy("app_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_visible"),
+            F.sum((F.col("effective_type") == "calculation").cast("int"))
+            .cast("bigint")
+            .alias("n_overridden"),
+        )
+    )
