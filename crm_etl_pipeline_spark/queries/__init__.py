@@ -8,6 +8,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
     events_q,
     joins,
     llmops,
+    multimodal_q,
     relational,
     scd_q,
     streaming_q,
