@@ -54,25 +54,33 @@ def _charge_dec() -> F.Column:
 def flagship_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current revenue per customer market segment.
 
-    lineitem ⋈ orders ⋈ customer → groupBy(segment).agg(sum, countDistinct).
-    customer is fact-scaled (150k × SF — tens of GB at the 100 TB design
-    point), so no forced broadcast: AQE picks broadcast at small SF and
-    demotes to shuffle join at scale. The orders⋈lineitem join shuffles
-    on orderkey, which AQE coalesces.
+    lineitem is pre-aggregated to order grain FIRST (one narrow
+    map-side-combined shuffle on l_orderkey), so (a) the joins carry one
+    row per order instead of every lineitem and (b) n_orders is a plain
+    count — no countDistinct Expand pass over the fact table. customer
+    is fact-scaled (150k × SF — tens of GB at the 100 TB design point),
+    so no forced broadcast: AQE picks broadcast at small SF and demotes
+    to shuffle join at scale.
     """
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", _disc_price_dec().alias("disc_price")
+    per_order = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", _disc_price_dec().alias("disc_price"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("disc_price").alias("order_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum("disc_price").cast("double").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("order_revenue").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_lines").alias("n_lineitems"),
         )
     )
 
