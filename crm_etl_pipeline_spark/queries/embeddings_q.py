@@ -269,3 +269,104 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xq").alias("sumq"),
         (F.sum("xq").cast("double") / F.lit(_SCALE) / F.count(F.lit(1))).alias("mean_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dedup
+
+# clones score ~0.83–0.95 (the +0.5 shift on a unit vector), random
+# pairs ≤ 0.6 — 0.8 recovers every clone with a 0.2 margin
+_NEAR_THRESHOLD = 0.8
+_PERT_DIM = 10  # outside the 8 sign-bucket dims → clone lands in the same bucket
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings
+    ), corpus AS (
+      SELECT vec_id, vd FROM base
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             vd[1:{_PERT_DIM - 1}] || [vd[{_PERT_DIM}] + 0.5] || vd[{_PERT_DIM + 1}:{_DIM}] AS vd
+      FROM base WHERE vec_id % 6 = 0
+    ), e AS (
+      SELECT vec_id, vd,
+             {" + ".join(f"CASE WHEN vd[{b + 1}] >= 0 THEN {1 << b} ELSE 0 END" for b in range(_SIGN_BITS))} AS bucket,
+             {_fixed_dot_sql('vd', 'vd')} AS n2
+      FROM corpus
+    ), scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+             CAST({_fixed_dot_sql('a.vd', 'b.vd')} AS DOUBLE)
+               / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, bucket, cosine FROM scored WHERE cosine >= {_NEAR_THRESHOLD}
+    """,
+    survey="§2.9 near-dedup (embedding-cosine near-dup via sign-bucket LSH join)",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: perturbed clones are
+    fabricated deterministically (one element outside the bucket dims
+    shifted +0.5 → same sign bucket, cosine ≈ 0.97 vs ≤ 0.6 for random
+    pairs), then recovered by an in-bucket pairwise sweep.
+
+    Scale shape: same no-self-join bucket pattern as the text LSH —
+    vectors shuffle once to their bucket, pairs generate inside the
+    bucket, never across the full corpus.
+    """
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vd")
+    )
+    pert = base.filter(F.col("vec_id") % 6 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("vd", 1, _PERT_DIM - 1),
+            F.array(F.element_at("vd", _PERT_DIM) + F.lit(0.5)),
+            F.slice("vd", _PERT_DIM + 1, _DIM - _PERT_DIM),
+        ).alias("vd"),
+    )
+    corpus = base.unionAll(pert)
+    e = corpus.select(
+        "vec_id",
+        "vd",
+        _sign_bucket(F.col("vd")).alias("bucket"),
+        _fixed_dot(F.col("vd"), F.col("vd")).alias("n2"),
+    )
+    buckets = (
+        e.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "vd", "n2"))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                lambda y: F.struct(
+                    x["vec_id"].alias("vec_a"),
+                    y["vec_id"].alias("vec_b"),
+                    x["vd"].alias("va"),
+                    y["vd"].alias("vb"),
+                    x["n2"].alias("n2a"),
+                    y["n2"].alias("n2b"),
+                ),
+            ),
+        )
+    )
+    p = buckets.select("bucket", F.explode(pair_array).alias("p"))
+    cosine = F.col("dotq").cast("double") / (
+        F.sqrt(F.col("p.n2a").cast("double")) * F.sqrt(F.col("p.n2b").cast("double"))
+    )
+    return (
+        p.withColumn("dotq", _fixed_dot(F.col("p.va"), F.col("p.vb")))
+        .select(
+            F.col("p.vec_a").alias("vec_a"),
+            F.col("p.vec_b").alias("vec_b"),
+            "bucket",
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _NEAR_THRESHOLD)
+    )

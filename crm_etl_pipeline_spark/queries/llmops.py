@@ -532,3 +532,118 @@ def ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("b.s")).alias("n_b"),
         (inter.cast("double") / union).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup: 16-bit signature + nibble-band LSH
+
+_SIM_BITS = 16
+_SIM_BANDS = 4  # 4 nibbles of 4 bits; hamming<=3 ⇒ >=1 identical nibble
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+@query(
+    "simhash_near_dup",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM corpus
+    ), scores AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) IN {_HIGH_HEX} THEN 1 ELSE -1 END) AS s{j}" for j in range(_SIM_BITS))}
+      FROM toks GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id,
+             {" + ".join(f"CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(_SIM_BITS))} AS sig
+      FROM scores
+    ), bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, sig, {b} AS band_id, (sig >> {4 * b}) & 15 AS nib FROM sigs" for b in range(_SIM_BANDS))}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+           COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.nib = b.nib AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, bit_count(xor(a.sig, b.sig))
+    HAVING bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    survey="§2.9 near-dedup (SimHash 16-bit signature + hamming-LSH nibble banding)",
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicates: per-bit vote over distinct-token md5
+    bits → 16-bit signature → 4-nibble LSH banding → same-nibble pairs
+    filtered to hamming ≤ 3. The pigeonhole guarantee makes recall
+    exact: hamming ≤ 3 over 4 nibbles forces at least one identical
+    nibble, so no true near-pair can be missed by the banding.
+
+    Scale shape: explode(distinct tokens) → one groupBy(doc_id) with 16
+    conditional sums (map-side combined) → nibble-bucket pair
+    generation — same no-self-join pattern as minhash_near_dup.
+    """
+    toks = _tokens()
+    exploded = (
+        _near_corpus(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
+        # one md5 per token; the 16 per-bit votes read substrings of it
+        .select("doc_id", F.substring(F.md5("tok"), 1, _SIM_BITS).alias("h16"))
+    )
+    scores = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h16", j + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(_SIM_BITS)
+        ]
+    )
+    sig = None
+    for j in range(_SIM_BITS):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = scores.select("doc_id", sig.alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("sig"), 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
+                    )
+                    for b in range(_SIM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.nib")
+    buckets = (
+        bands.groupBy("band_id", "nib")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    hamming = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))).cast("int")
+    return (
+        buckets.select(F.explode(pair_array).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .filter(F.col("hamming") <= 3)
+    )

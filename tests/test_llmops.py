@@ -83,3 +83,23 @@ def test_language_id_deterministic_and_total(spark):
     b = {r.doc_id: r.predicted_lang for r in _rows(spark, "language_id_ngram")}
     assert a == b
     assert set(a.values()) <= {"en", "es", "de", "zh"}
+
+
+def test_simhash_finds_fabricated_pairs(spark):
+    """Appending one token barely moves the bit votes, so every
+    fabricated (doc, doc+OFFSET) pair must land within hamming ≤ 3 and
+    be recovered (banding recall is exact by pigeonhole)."""
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in _rows(spark, "simhash_near_dup")}
+    fabricated = [(a, b) for (a, b) in pairs if b == a + DUP_OFFSET]
+    assert fabricated, "no fabricated simhash pair recovered"
+    assert all(pairs[p] <= 3 for p in fabricated)
+
+
+def test_embedding_near_dup_recovers_all_clones(spark):
+    from crm_etl_pipeline_spark.io import table
+
+    n_clones = table(spark, SF_DIR, "embeddings").filter("vec_id % 6 = 0").count()
+    rows = _rows(spark, "embedding_near_dup")
+    clone_pairs = {(r.vec_a, r.vec_b) for r in rows if r.vec_b == r.vec_a + 100000}
+    assert len(clone_pairs) == n_clones  # every clone found
+    assert all(r.cosine >= 0.8 for r in rows)
