@@ -1,0 +1,43 @@
+"""Bucketed storage layout: shuffle-free co-located joins and
+aggregations (SURVEY §4 point-lookup/latest-version access patterns at
+scale).
+
+The reference pays a network round trip per item lookup
+(`PodioApiWrapper.py:270-294`) and re-sorts the queue per pop
+(`PodioApiGateway.py:190`). At 100 TB the Spark answer is layout, not
+indexes: bucket both fact tables by the join/group key at write time,
+and every subsequent equi-join or groupBy on that key runs with ZERO
+exchange — the single biggest shuffle eliminator for a repeated join
+key (item_id / orderkey) in a batch pipeline.
+
+Bucket-count guidance: pick so one bucket of the LARGER table is
+~100-200 MB (fits an executor core comfortably); both sides of a
+co-located join must use the same count. Bucket pruning applies to
+point lookups on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, name: str, key: str, n_buckets: int, sort: bool = True
+) -> None:
+    """Materialize ``df`` as a bucketed (and optionally sorted) table.
+    Sorting within buckets upgrades SortMergeJoin to skip its sort."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.format("parquet").saveAsTable(name)
+
+
+def co_located_join(
+    spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str
+) -> DataFrame:
+    """Equi-join of two same-bucket-count tables on their bucket keys:
+    Catalyst sees both outputs hash-partitioned on the key and plans a
+    SortMergeJoin with no Exchange on either side."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, left[left_key] == right[right_key])

@@ -41,6 +41,8 @@ def get_spark(app_name: str = "crm_etl_pipeline_spark", cpus: int | None = None)
         # events.parquet stores TIMESTAMP(NANOS); read nanos as long once,
         # globally, instead of mutating session conf inside readers
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed tables (bucketing.py) land here, never in the repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/crm_etl_warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

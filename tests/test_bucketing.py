@@ -1,0 +1,68 @@
+"""Bucketed-layout invariants: a co-located join and a bucket-key
+aggregation over same-bucket-count tables must plan with ZERO
+exchanges — the layout, not the optimizer, absorbs the shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark import bucketing
+from crm_etl_pipeline_spark.io import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    bucketing.write_bucketed(orders, "orders_b", "o_orderkey", 8)
+    bucketing.write_bucketed(li, "lineitem_b", "l_orderkey", 8)
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_co_located_join_has_no_exchange(spark, bucketed_tables):
+    orders_b, lineitem_b = bucketed_tables
+    # disable broadcast so the join genuinely exercises the bucket layout
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.co_located_join(
+            spark, lineitem_b, orders_b, "l_orderkey", "o_orderkey"
+        )
+        plan = _plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # result parity with the plain parquet join
+        plain = table(spark, SF_DIR, "lineitem").join(
+            table(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucket_key_aggregation_has_no_exchange(spark, bucketed_tables):
+    _, lineitem_b = bucketed_tables
+    agg = (
+        spark.table(lineitem_b)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    plan = _plan_of(agg)
+    assert "Exchange" not in plan, f"bucket-key groupBy still shuffles:\n{plan}"
