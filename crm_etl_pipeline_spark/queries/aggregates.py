@@ -144,3 +144,61 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_items") >= 20)
     )
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle="""
+    WITH dist AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), hashed AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+      FROM dist
+    ), kth AS (
+      SELECT event_type, hv AS kth_hv
+      FROM (SELECT event_type, hv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            FROM hashed)
+      WHERE rn = 64
+    ), exact AS (
+      SELECT event_type, COUNT(*) AS n_exact FROM dist GROUP BY event_type
+    )
+    SELECT exact.event_type, n_exact,
+           63 * POW(16, 13) / kth_hv AS kmv_estimate
+    FROM exact JOIN kth ON exact.event_type = kth.event_type
+    """,
+    survey="§2.9/custom sketch (KMV distinct-count estimator — deterministic, oracle-able)",
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch: estimate |distinct users| per
+    event type from the 64th-smallest md5 fraction — (k-1)/F(k).
+
+    Unlike HLL (approx_count_distinct), KMV over a fixed hash is fully
+    deterministic, so the estimate itself is oracle-checked, and the
+    exact count sits beside it for error inspection. Scale shape: the
+    k smallest hashes per group are a tiny mergeable summary — the
+    same partial-aggregate pattern HLL uses, here in pure column
+    algebra (distinct → hash → per-group rank ≤ k).
+    """
+    from pyspark.sql import Window
+
+    dist = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    hashed = dist.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 64)
+        .select("event_type", F.col("hv").alias("kth_hv"))
+    )
+    exact = dist.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(kth, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.lit(63) * F.pow(F.lit(16), F.lit(13)) / F.col("kth_hv")).alias("kmv_estimate"),
+    )

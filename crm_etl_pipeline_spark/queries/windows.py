@@ -124,3 +124,113 @@ def lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
     )
+
+
+@query(
+    "asof_join_latest_order",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS matched_orderkey,
+           o.o_orderdate AS matched_orderdate
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+    survey="custom op: as-of join (latest order at-or-before each event; union+window merge)",
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Spark-first: interleave both sides on (key, time) and
+    propagate the last order with `last(ignorenulls)` over an unbounded
+    window — the merge-join formulation: ONE shuffle on the key, no
+    per-row subquery, no range explosion. DuckDB verifies with its
+    native ASOF JOIN; equal-date orders are pre-collapsed to max
+    orderkey so the match is unambiguous in both engines.
+    """
+    orders_d = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    o_rows = orders_d.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),  # orders sort before events at equal t (<=)
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    e_rows = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o_rows.unionByName(e_rows).select(
+        "key",
+        "t",
+        "kind",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("matched_orderkey"),
+        F.last(F.when(F.col("kind") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("matched_orderdate"),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        F.col("t").alias("ts"),
+        "matched_orderkey",
+        "matched_orderdate",
+    )
+
+
+@query(
+    "range_join_clicks_before_purchase",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           COUNT(c.ts) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    survey="custom op: range join (clicks in the hour before each purchase)",
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with an equi anchor: the user-key equality drives a
+    hash join and the time band is a cheap post-filter, so there is no
+    interval explosion. A pure range join (no equi key) would instead
+    bucket time into coarse bins and join on the bin — the same banding
+    idea as the LSH operators."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.timestamp_add("HOUR", F.lit(-1), F.col("p_ts")))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("purchase_id")
+        .agg(
+            F.count("c_ts").alias("n_clicks"),
+            F.sum(F.col("c_value").cast("decimal(18,2)")).cast("double").alias("click_value"),
+        )
+    )
