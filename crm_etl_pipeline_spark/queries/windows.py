@@ -234,3 +234,68 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
             F.sum(F.col("c_value").cast("decimal(18,2)")).cast("double").alias("click_value"),
         )
     )
+
+
+@query(
+    "sliding_1h_user_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY EPOCH_US(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_1h
+    FROM events
+    """,
+    survey="ST-windows (sliding time-range frame: per-user 1h trailing sum)",
+)
+def sliding_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window: trailing 1-hour sum per user via a
+    RANGE frame over epoch-µs — the time-based twin of the ROWS-frame
+    running_revenue. Decimal accumulation keeps the double bit-exact;
+    the frame bound is numeric µs so both engines cut the window at the
+    same instant."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_1h"),
+    )
+
+
+@query(
+    "salted_user_event_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    survey="skew pattern (salted two-phase aggregation == plain groupBy)",
+)
+def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: partial-aggregate on
+    (user_id, salt) with a deterministic 16-way salt, then merge the
+    partials per user. The oracle is the PLAIN groupBy — proving the
+    salted plan is a pure re-partitioning of the same computation.
+
+    This is the manual escape hatch for a mega-hot key whose single
+    reduce task would straggle (AQE skew-join handles joins; skewed
+    groupBy keys need salting like this). Decimal partials merge
+    exactly, so the final doubles are unchanged.
+    """
+    salted = table(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % 16).cast("int")
+    )
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )
