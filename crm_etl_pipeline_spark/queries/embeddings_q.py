@@ -370,3 +370,134 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _NEAR_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: learned centroids as the bucket key
+
+_CENTROID_SQL = f"""
+      SELECT label, i AS dim,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 / COUNT(*) AS c
+      FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
+      GROUP BY label, i
+"""
+
+# squared distance of vector v to centroid rows (joined on dim), exact µs-grade
+# fixed point over the per-dim residuals
+_ASSIGN_SQL = f"""
+    SELECT vec_id, label AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2q, label) AS rnk
+    FROM (
+      SELECT e.vec_id, cen.label,
+             SUM(CAST(FLOOR((CAST(e.embedding[dim] AS DOUBLE) - cen.c)
+                            * (CAST(e.embedding[dim] AS DOUBLE) - cen.c) * 1e12) AS BIGINT)) AS d2q
+      FROM embeddings e, centroids cen
+      WHERE TRUE
+      GROUP BY e.vec_id, cen.label
+    )
+"""
+
+
+@query(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH centroids AS ({_CENTROID_SQL}),
+    assign AS ({_ASSIGN_SQL}),
+    cells AS (
+      SELECT vec_id, cell FROM assign WHERE rnk = 1
+    ), e AS (
+      SELECT em.vec_id, cells.cell, em.embedding,
+             {_fixed_dot_sql('em.embedding', 'em.embedding')} AS n2
+      FROM embeddings em JOIN cells ON em.vec_id = cells.vec_id
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, cell, n2 AS qn2
+      FROM e WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS cand_id, embedding AS ce, cell, n2 AS cn2 FROM e
+    ), scored AS (
+      SELECT query_id, cand_id, q.cell AS cell, qn2, cn2,
+             {_fixed_dot_sql('qe', 'ce')} AS dotq
+      FROM q JOIN c ON q.cell = c.cell AND cand_id <> query_id
+    ), ranked AS (
+      SELECT query_id, cand_id, cell, {_COS_SQL} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dotq DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cell, rank, cosine FROM ranked WHERE rank <= 3
+    """,
+    survey="§2.9 similarity search (IVF ANN: k-means-style cells as the bucket key)",
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: vectors are assigned to their nearest
+    centroid (per-label means play the trained codebook — the E-step of
+    embedding_centroid_per_label), probes search only their own cell.
+
+    Scale shape: the codebook is genuinely tiny (cells × dim) →
+    broadcast; assignment is one broadcast join + argmin (no shuffle of
+    the vectors); the probe search is the same in-cell equi-join as the
+    sign-LSH variant, with learned cells replacing hash buckets. The
+    1-probe search trades recall for a ~1/cells candidate fraction —
+    recall is measured against the exact baseline in tests.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    # codebook: per-label mean of each dimension (exact fixed-point means)
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pdim", "x"))
+        .groupBy("label", (F.col("pdim") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x").cast("double") * F.lit(_SCALE)).cast("bigint"))
+                .cast("double")
+                / F.lit(_SCALE)
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cen"))
+        .select(
+            F.col("label").alias("cen_label"),
+            F.transform("cen", lambda s: s["c"]).alias("cvec"),
+        )
+    )
+    # assignment: broadcast the codebook, exact fixed-point squared distance
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding", "cvec", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.floor(p * F.lit(_SCALE)).cast("bigint"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2q", "cen_label")
+    cells = (
+        emb.join(F.broadcast(centroids))
+        .select("vec_id", "cen_label", d2.alias("d2q"))
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cen_label").alias("cell"))
+    )
+    e = emb.join(cells, "vec_id").select(
+        "vec_id", "cell", "embedding", _fixed_norm2(F.col("embedding")).alias("n2")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "cell",
+        F.col("n2").alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("cell").alias("c_cell"),
+        F.col("n2").alias("cn2"),
+    )
+    scored = q.join(
+        c, (F.col("cell") == F.col("c_cell")) & (F.col("cand_id") != F.col("query_id"))
+    ).withColumn("dotq", _fixed_dot(F.col("qe"), F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.col("dotq").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cell", "rank", _cos_col().alias("cosine"))
+    )

@@ -86,3 +86,37 @@ def streaming_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     event whose derived failed_attempts crossed the threshold."""
     paths = streaming.run_pipeline(spark, sf_dir, workdir=_workdir("dlq", sf_dir))
     return spark.read.parquet(paths["dlq"]).select("event_id", "user_id", "failed_attempts")
+
+
+@query(
+    "streaming_stateful_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 OR
+                       LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    survey="ST-windows custom stateful op (applyInPandasWithState sessionization)",
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a custom stateful streaming operator: per-user
+    GroupState carries the open session across micro-batches, pandas
+    vectorizes within the batch. The converged output equals the batch
+    lag/cumsum sessionization — verified by the same window oracle."""
+    out = os.path.join(_workdir("sess", sf_dir), "sessions")
+    streaming.stateful_sessionization(spark, sf_dir, out)
+    return streaming.read_sessions(spark, out).select(
+        "user_id", "session_id", "n_events", "session_start", "session_end"
+    )

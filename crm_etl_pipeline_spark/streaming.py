@@ -173,3 +173,121 @@ def dedup_last_write_wins(batch: DataFrame) -> DataFrame:
         F.col("ts").desc(), F.col("event_id").desc()
     )
     return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: sessionization via applyInPandasWithState
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("sess_start_us", LongType()),
+        StructField("sess_id", LongType()),
+        StructField("n_ev", LongType()),
+    ]
+)
+
+
+def _sessionize_group(key, pdfs, state: GroupState):
+    """Per-user stateful sessionizer: carries the open session across
+    micro-batches; emits every session TOUCHED in this batch (closed
+    ones finally, the open one as a snapshot) — the sink merges
+    last-write-wins per (user_id, session_id), so re-emission converges.
+    Vectorized pandas inside the batch: diff/cumsum, no Python loop."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_us", "event_id"])
+    if state.exists:
+        last_us, sess_start_us, sess_id, n_ev = state.get
+    else:
+        last_us = sess_start_us = None
+        sess_id = 0
+        n_ev = 0
+    ts = rows["ts_us"].to_numpy()
+    prev = pd.Series(ts).shift(1)
+    new_flag = (prev.isna() | (pd.Series(ts) - prev > SESSION_GAP_US)).to_numpy()
+    if last_us is not None and ts[0] - last_us <= SESSION_GAP_US:
+        new_flag[0] = False  # continues the open session from state
+    rows = rows.assign(sess=new_flag.cumsum() + sess_id)
+    agg = rows.groupby("sess")["ts_us"].agg(["min", "max", "count"]).reset_index()
+    # stitch the open session's carried-over start/count onto its first slice
+    if last_us is not None and not new_flag[0]:
+        first = agg.index[0]
+        agg.loc[first, "min"] = sess_start_us
+        agg.loc[first, "count"] += n_ev
+    out = pd.DataFrame(
+        {
+            "user_id": user_id,
+            "session_id": agg["sess"].astype("int64"),
+            "n_events": agg["count"].astype("int64"),
+            "session_start": pd.to_datetime(agg["min"], unit="us"),
+            "session_end": pd.to_datetime(agg["max"], unit="us"),
+        }
+    )
+    tail = agg.iloc[-1]
+    state.update((int(tail["max"]), int(tail["min"]), int(tail["sess"]), int(tail["count"])))
+    yield out
+
+
+def stateful_sessionization(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """ST-windows via a CUSTOM stateful operator (applyInPandasWithState):
+    the engine-extensibility path for session semantics the built-in
+    session_window cannot express (e.g. carrying per-session aggregates
+    across batches). Emits per-batch session updates; the parquet sink
+    keeps last-write-wins per (user_id, session_id)."""
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_path)
+
+    q = (
+        sessions.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", out_path + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_sessions(spark: SparkSession, out_path: str) -> DataFrame:
+    """Converged session table: last emission wins per session key."""
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("session_end").desc(), F.col("n_events").desc()
+    )
+    return (
+        spark.read.parquet(out_path)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
