@@ -202,3 +202,31 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         (F.lit(63) * F.pow(F.lit(16), F.lit(13)) / F.col("kth_hv")).alias("kmv_estimate"),
     )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    survey="A-family (exact linear-interpolated percentiles per group)",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event type — both
+    engines interpolate (1-f)·a + f·b over the sorted doubles, so the
+    results are bit-identical (verified). The approximate sibling at
+    scale is approx_percentile / t-digest; exact needs a per-group sort
+    and is fine when groups fit an executor."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+    )

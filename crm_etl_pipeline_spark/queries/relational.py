@@ -199,3 +199,108 @@ def topk_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "exists_returned_lineitems",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+    survey="J3/F-family (EXISTS correlated predicate → left-semi join; TPC-H Q4 shape)",
+)
+def exists_returned_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS, Spark-first: the subquery becomes a left-semi
+    join against the pre-filtered lineitem side — one shuffle on
+    orderkey; Catalyst plans the same thing for the SQL EXISTS form."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    returned = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "correlated_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT partkey, MIN(cost) AS min_cost FROM ps GROUP BY partkey
+    )
+    SELECT ps.partkey, MIN(ps.suppkey) AS best_suppkey,
+           CAST(best.min_cost AS DOUBLE) AS min_cost
+    FROM ps JOIN best ON ps.partkey = best.partkey AND ps.cost = best.min_cost
+    GROUP BY ps.partkey, best.min_cost
+    """,
+    survey="J-family (correlated-min subquery → agg + re-join; TPC-H Q2 shape)",
+)
+def correlated_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'row matching the per-group minimum' pattern (TPC-H Q2's
+    correlated subquery) decorrelated Spark-first: aggregate to the
+    per-key minimum, re-join on (key, min) — two shuffles on the same
+    key, which AQE plans back-to-back without re-partitioning. Ties on
+    cost break to the lowest supplier for determinism."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    ps = li.groupBy("partkey", "suppkey").agg(F.min("price").alias("cost"))
+    best = ps.groupBy(F.col("partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("b_min_cost")
+    )
+    return (
+        ps.join(
+            best,
+            (F.col("partkey") == F.col("b_partkey")) & (F.col("cost") == F.col("b_min_cost")),
+        )
+        .groupBy("partkey", "b_min_cost")
+        .agg(F.min("suppkey").alias("best_suppkey"))
+        .select("partkey", "best_suppkey", F.col("b_min_cost").cast("double").alias("min_cost"))
+    )
+
+
+@query(
+    "disjunctive_filter_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE (l_quantity >= 45 AND l_discount >= 0.05)
+       OR (l_quantity <= 5 AND l_returnflag = 'R')
+       OR (l_linestatus = 'F' AND l_tax = 0.0)
+    """,
+    survey="F1 (disjunctive predicate pushdown; TPC-H Q19 shape)",
+)
+def disjunctive_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate: Catalyst pushes the full disjunction to the
+    parquet scan (row-group stats can skip on each branch's column
+    ranges) — the Q19 pattern that breaks naive pushdown rewrites."""
+    li = table(spark, sf_dir, "lineitem")
+    pred = (
+        ((F.col("l_quantity") >= 45) & (F.col("l_discount") >= 0.05))
+        | ((F.col("l_quantity") <= 5) & (F.col("l_returnflag") == "R"))
+        | ((F.col("l_linestatus") == "F") & (F.col("l_tax") == 0.0))
+    )
+    return li.filter(pred).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_disc_price_dec()).cast("double").alias("revenue"),
+    )
