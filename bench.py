@@ -33,6 +33,9 @@ HEADLINE = [
     "exact_dedup_documents",
     "minhash_near_dup",
     "ann_cosine_topk",
+    "typed_field_decode",
+    "scd2_versioned_store",
+    "asof_join_latest_order",
 ]
 
 

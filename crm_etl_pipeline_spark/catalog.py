@@ -112,3 +112,19 @@ def drift_diff(old: DataFrame, new: DataFrame, key: str, attrs: list[str]) -> Da
         *[F.col(f"o.{a}").alias(f"old_{a}") for a in attrs],
         *[F.col(f"n.{a}").alias(f"new_{a}") for a in attrs],
     )
+
+
+def read_evolving(spark, *paths: str) -> DataFrame:
+    """Read successive item-table generations written under different
+    catalog versions as one DataFrame: ``mergeSchema`` unions the
+    per-file schemas, so fields added by a catalog drift appear as
+    nullable columns on old rows and dropped fields stay readable on
+    history (SURVEY §1.3: the catalog sync is the schema authority;
+    `PodioApiWrapper.py:13`, `README.md:18`).
+
+    Scale note: schema merging reads every file footer — fine for
+    generation-partitioned layouts (few schema variants), wrong for
+    millions of heterogeneous files; at 100 TB keep one schema per
+    partition directory and let the catalog drive explicit casts.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

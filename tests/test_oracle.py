@@ -38,3 +38,35 @@ def test_driver_contract_shape():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 1
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Catalog drift → storage: a field added in generation 2 appears
+    as NULL on generation-1 rows under mergeSchema (SURVEY §1.3)."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.catalog import read_evolving
+    from crm_etl_pipeline_spark.io import table
+
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    cust = table(spark, "/root/testdata/sf0.001", "customer")
+    cust.select("c_custkey", "c_name").write.parquet(gen1)
+    cust.select("c_custkey", "c_name", "c_acctbal").write.parquet(gen2)
+    merged = read_evolving(spark, gen1, gen2)
+    assert set(merged.columns) == {"c_custkey", "c_name", "c_acctbal"}
+    n = cust.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("c_acctbal").isNull()).count() == n
+
+
+def test_bad_sf_dir_raises_cleanly(spark):
+    """A wrong data dir fails with AnalysisException (PATH_NOT_FOUND),
+    not a hang or a silent empty result."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from crm_etl_pipeline_spark.io import table
+
+    with pytest.raises(AnalysisException):
+        table(spark, "/root/testdata/sf-nonexistent", "customer").count()
