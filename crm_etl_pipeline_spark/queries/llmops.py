@@ -535,11 +535,45 @@ def ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dedup: 16-bit signature + nibble-band LSH
+# SimHash near-dedup: 64-bit signature (two 32-bit halves) + 16-bit-band LSH
+#
+# 64 bits is the Manku et al. (WWW'07) web-dedup design point. A 16-bit
+# signature collapses at corpus scale (measured at sf0.1: 5.7 k docs
+# saturate the 2^16 signature space → 9.7 M "near-dup" pairs from 16-value
+# nibble buckets — quadratic pair generation). With 64 bits and 4 bands of
+# 16 bits the band key has 65 536 values, so bucket size is driven by true
+# near-dup clusters, not by pigeonholed hash collisions. The signature is
+# stored as two 32-bit halves so every value fits a signed BIGINT in both
+# Spark and DuckDB (1<<63 would overflow).
 
-_SIM_BITS = 16
-_SIM_BANDS = 4  # 4 nibbles of 4 bits; hamming<=3 ⇒ >=1 identical nibble
+_SIM_HALF_BITS = 32
+_SIM_BANDS = 4  # 4 bands of 16 bits; hamming<=3 ⇒ >=1 identical band
 _HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+# band key exprs over (hi, lo): two 16-bit chunks from each half
+_BAND_SPARK = [
+    lambda: F.col("lo").bitwiseAND(F.lit(65535)),
+    lambda: F.shiftright(F.col("lo"), 16).bitwiseAND(F.lit(65535)),
+    lambda: F.col("hi").bitwiseAND(F.lit(65535)),
+    lambda: F.shiftright(F.col("hi"), 16).bitwiseAND(F.lit(65535)),
+]
+_BAND_SQL = ["lo & 65535", "(lo >> 16) & 65535", "hi & 65535", "(hi >> 16) & 65535"]
+
+
+def _simhash_score_sql(half: str) -> str:
+    # half 'hi' reads md5('A|'||tok), 'lo' reads md5('B|'||tok)
+    seed = "A" if half == "hi" else "B"
+    return ", ".join(
+        f"SUM(CASE WHEN substr(md5('{seed}|' || tok), {j + 1}, 1) IN {_HIGH_HEX} "
+        f"THEN 1 ELSE -1 END) AS s_{half}{j}"
+        for j in range(_SIM_HALF_BITS)
+    )
+
+
+def _simhash_sig_sql(half: str) -> str:
+    return " + ".join(
+        f"CASE WHEN s_{half}{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(_SIM_HALF_BITS)
+    )
 
 
 @query(
@@ -551,75 +585,87 @@ _HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
       FROM corpus
     ), scores AS (
       SELECT doc_id,
-             {", ".join(f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) IN {_HIGH_HEX} THEN 1 ELSE -1 END) AS s{j}" for j in range(_SIM_BITS))}
+             {_simhash_score_sql('hi')},
+             {_simhash_score_sql('lo')}
       FROM toks GROUP BY doc_id
     ), sigs AS (
       SELECT doc_id,
-             {" + ".join(f"CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(_SIM_BITS))} AS sig
+             {_simhash_sig_sql('hi')} AS hi,
+             {_simhash_sig_sql('lo')} AS lo
       FROM scores
     ), bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, sig, {b} AS band_id, (sig >> {4 * b}) & 15 AS nib FROM sigs" for b in range(_SIM_BANDS))}
+      {" UNION ALL ".join(f"SELECT doc_id, hi, lo, {b} AS band_id, {_BAND_SQL[b]} AS bkey FROM sigs" for b in range(_SIM_BANDS))}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming,
            COUNT(*) AS n_shared_bands
     FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.nib = b.nib AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, bit_count(xor(a.sig, b.sig))
-    HAVING bit_count(xor(a.sig, b.sig)) <= 3
+      ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+    HAVING bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
     """,
-    survey="§2.9 near-dedup (SimHash 16-bit signature + hamming-LSH nibble banding)",
+    survey="§2.9 near-dedup (SimHash 64-bit signature + hamming-LSH 16-bit banding)",
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicates: per-bit vote over distinct-token md5
-    bits → 16-bit signature → 4-nibble LSH banding → same-nibble pairs
-    filtered to hamming ≤ 3. The pigeonhole guarantee makes recall
-    exact: hamming ≤ 3 over 4 nibbles forces at least one identical
-    nibble, so no true near-pair can be missed by the banding.
+    bits → 64-bit signature (two 32-bit halves) → 4 × 16-bit LSH bands →
+    same-band-key pairs filtered to hamming ≤ 3. The pigeonhole
+    guarantee makes banding recall exact: ≤3 differing bits can touch at
+    most 3 of the 4 bands, so every true near-pair shares ≥1 band key.
 
-    Scale shape: explode(distinct tokens) → one groupBy(doc_id) with 16
-    conditional sums (map-side combined) → nibble-bucket pair
-    generation — same no-self-join pattern as minhash_near_dup.
+    Scale shape: explode(distinct tokens) → one groupBy(doc_id) with 64
+    conditional sums (map-side combined) → band-bucket pair generation
+    with 65 536-value keys — bucket size tracks real near-dup clusters,
+    never the pigeonholed N/16 of a short signature. Same no-self-join
+    collect_list pattern as minhash_near_dup.
     """
     toks = _tokens()
     exploded = (
         _near_corpus(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
-        # one md5 per token; the 16 per-bit votes read substrings of it
-        .select("doc_id", F.substring(F.md5("tok"), 1, _SIM_BITS).alias("h16"))
+        # two md5s per token, one per 32-bit half; the 64 per-bit votes
+        # read hex chars of these (hex char >= '8' ⇔ top bit set)
+        .select(
+            "doc_id",
+            F.md5(F.concat(F.lit("A|"), F.col("tok"))).alias("h_hi"),
+            F.md5(F.concat(F.lit("B|"), F.col("tok"))).alias("h_lo"),
+        )
     )
     scores = exploded.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.substring("h16", j + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(_SIM_BITS)
+                F.when(F.substring(col, j + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
+            ).alias(f"s_{half}{j}")
+            for half, col in (("hi", "h_hi"), ("lo", "h_lo"))
+            for j in range(_SIM_HALF_BITS)
         ]
     )
-    sig = None
-    for j in range(_SIM_BITS):
-        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    sigs = scores.select("doc_id", sig.alias("sig"))
+
+    def _half_sig(half: str) -> Column:
+        sig = None
+        for j in range(_SIM_HALF_BITS):
+            bit = F.when(F.col(f"s_{half}{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return sig
+
+    sigs = scores.select("doc_id", _half_sig("hi").alias("hi"), _half_sig("lo").alias("lo"))
     bands = sigs.select(
         "doc_id",
-        "sig",
+        "hi",
+        "lo",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("sig"), 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
-                    )
+                    F.struct(F.lit(b).alias("band_id"), _BAND_SPARK[b]().alias("bkey"))
                     for b in range(_SIM_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.nib")
+    ).select("doc_id", "hi", "lo", "band.band_id", "band.bkey")
     buckets = (
-        bands.groupBy("band_id", "nib")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
+        bands.groupBy("band_id", "bkey")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "hi", "lo"))).alias("members"))
         .filter(F.size("members") >= 2)
     )
     pair_array = F.flatten(
@@ -630,13 +676,18 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda y: F.struct(
                     x["doc_id"].alias("doc_a"),
                     y["doc_id"].alias("doc_b"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
+                    x["hi"].alias("hi_a"),
+                    y["hi"].alias("hi_b"),
+                    x["lo"].alias("lo_a"),
+                    y["lo"].alias("lo_b"),
                 ),
             ),
         )
     )
-    hamming = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))).cast("int")
+    hamming = (
+        F.bit_count(F.col("p.hi_a").bitwiseXOR(F.col("p.hi_b")))
+        + F.bit_count(F.col("p.lo_a").bitwiseXOR(F.col("p.lo_b")))
+    ).cast("int")
     return (
         buckets.select(F.explode(pair_array).alias("p"))
         .groupBy(
