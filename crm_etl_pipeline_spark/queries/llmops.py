@@ -698,3 +698,152 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: train/val/test split, benchmark decontamination, vocab
+
+
+@query(
+    "train_split_stratified",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY split, lang
+    """,
+    survey="§2.9 text analysis (deterministic hash-based train/val/test split, per-stratum stats)",
+)
+def train_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split: the first hex
+    char of md5(doc_id) buckets each doc ('0'-'b' → train, 'c'-'d' →
+    val, 'e'-'f' → test). Hash-based assignment is reproducible across
+    runs/engines and stable under corpus growth — a doc never changes
+    split when neighbors are added, unlike row_number()-mod splits.
+    Output is the per-(split, lang) stratification audit. One scan, one
+    tiny-key groupBy — trivially scale-safe."""
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first_hex < "c", F.lit("train"))
+        .when(first_hex < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = table(spark, sf_dir, "documents").select(
+        "lang", F.size(_tokens()).alias("n_tokens"), split.alias("split")
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_BENCH_MAX_ID = 20  # doc_id < 20 plays the held-out benchmark set
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id, list_distinct({_shingles_sql('t')}) AS s
+      FROM toks WHERE len(t) >= 5
+    ), bx AS (
+      SELECT doc_id, len(s) AS n_bench, unnest(s) AS shingle
+      FROM sh WHERE doc_id < {_BENCH_MAX_ID}
+    ), tx AS (
+      SELECT doc_id, unnest(s) AS shingle
+      FROM sh WHERE doc_id >= {_BENCH_MAX_ID}
+    )
+    SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+           COUNT(*) AS n_shared_shingles,
+           CAST(COUNT(*) AS DOUBLE) / MAX(b.n_bench) AS bench_overlap_frac
+    FROM tx t JOIN bx b ON t.shingle = b.shingle
+    GROUP BY t.doc_id, b.doc_id
+    """,
+    survey="§2.9 near-dedup (benchmark decontamination: train↔eval n-gram overlap via shingle equi-join)",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training docs sharing any 5-token
+    shingle with a held-out eval set (doc_id < 20), with the fraction of
+    the eval doc's shingles leaked. The exact-dup corpus guarantees
+    verbatim contamination (clones of benchmark docs 0/5/10/15 sit in
+    the training side at +100000).
+
+    Scale shape: candidates come from an equi-join on the shingle —
+    never train × eval all-pairs. The eval side is small and could be
+    broadcast; the shingle join also prunes to shingles the eval set
+    actually contains, so the shuffled train volume is bounded by
+    matching shingles, not corpus size."""
+    toks = _tokens()
+    sh = (
+        _exact_corpus(spark, sf_dir)
+        .filter(F.size(toks) >= 5)
+        .select("doc_id", F.array_distinct(_shingles(toks)).alias("s"))
+    )
+    bx = (
+        sh.filter(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(
+            F.col("doc_id").alias("bench_doc"),
+            F.size("s").alias("n_bench"),
+            F.explode("s").alias("shingle"),
+        )
+    )
+    tx = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID).select(
+        F.col("doc_id").alias("train_doc"), F.explode("s").alias("shingle")
+    )
+    return (
+        tx.join(F.broadcast(bx), "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            (F.count(F.lit(1)).cast("double") / F.max("n_bench")).alias("bench_overlap_frac"),
+        )
+    )
+
+
+@query(
+    "vocab_top_tokens",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), per_doc AS (
+      SELECT tok, doc_id, COUNT(*) AS cnt FROM tf GROUP BY tok, doc_id
+    )
+    SELECT tok,
+           CAST(SUM(cnt) AS BIGINT) AS freq,
+           COUNT(*) AS doc_freq
+    FROM per_doc GROUP BY tok
+    ORDER BY freq DESC, tok LIMIT 100
+    """,
+    survey="§2.9 text analysis (tokenizer vocab building: corpus-wide term + document frequency top-k)",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-100 tokens by corpus term frequency with
+    document frequency — the tokenizer-training / stopword-mining scan.
+
+    Two-level aggregation on purpose: groupBy(tok, doc_id) then
+    groupBy(tok) computes COUNT(DISTINCT doc_id) as a narrow second
+    shuffle instead of a countDistinct Expand over the exploded fact —
+    the same pre-aggregate trick the flagship query uses. Zipf-skewed
+    token keys are absorbed by map-side partial aggregation; the final
+    top-100 compiles to TakeOrderedAndProject."""
+    tf = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    per_doc = tf.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_doc.groupBy("tok")
+        .agg(F.sum("cnt").alias("freq"), F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(100)
+    )

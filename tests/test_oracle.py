@@ -1,6 +1,6 @@
 """Every registered query with an oracle must match DuckDB exactly
-(row count + column names + canonical values) at sf0.001 — the same
-contract the driver enforces at sf0.01."""
+(row count + column names + canonical values) at sf0.01 — the same
+scale factor and contract the driver enforces."""
 
 from __future__ import annotations
 
