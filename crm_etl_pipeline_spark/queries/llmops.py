@@ -812,6 +812,88 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_OFFSET} AS doc_id, lang, text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    gated AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM corpus
+      WHERE len(string_split(text, ' ')) >= 40
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.3
+    ), hashed AS (
+      SELECT doc_id, lang, n_tokens,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+      FROM gated
+    ), keep AS (
+      SELECT content_hash, MIN(doc_id) AS doc_id FROM hashed GROUP BY content_hash
+    ), survivors AS (
+      SELECT h.doc_id, h.lang, h.n_tokens FROM hashed h JOIN keep k ON h.doc_id = k.doc_id
+    ), assigned AS (
+      SELECT lang, n_tokens,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM survivors
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY split, lang
+    """,
+    survey="§2.9 end-to-end curation (quality gate → exact dedup → split assign, composed)",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed DAG: quality gates
+    (C4/Gopher-style) → exact content dedup (keep lowest doc_id) →
+    deterministic hash split → per-(split, lang) audit. This is the
+    query a training-data user actually runs; the per-stage operators
+    (doc_quality_score, exact_dedup_documents, train_split_stratified)
+    are its unit-tested pieces.
+
+    Scale shape: one scan through the gates (narrow), one groupBy on the
+    uniform content hash, one narrow self-join to recover survivor
+    attributes, one tiny-key final groupBy. The dedup join is
+    key-to-key on doc_id (no skew); everything before it is pipelined
+    into the scan stage.
+    """
+    toks = _tokens()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "lang", "text"
+        )
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    gated = corpus.filter((F.size(toks) >= 40) & (distinct_ratio >= 0.3)).select(
+        "doc_id", "lang", "text", F.size(toks).alias("n_tokens")
+    )
+    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    hashed = gated.select(
+        "doc_id", "lang", "n_tokens", F.sha2(normalized, 256).alias("content_hash")
+    )
+    keep = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    survivors = hashed.join(keep.select("doc_id"), "doc_id", "left_semi")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first_hex < "c", F.lit("train"))
+        .when(first_hex < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        survivors.select("lang", "n_tokens", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+@query(
     "vocab_top_tokens",
     oracle="""
     WITH tf AS (
