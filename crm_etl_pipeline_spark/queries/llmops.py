@@ -701,6 +701,96 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup cluster resolution: connected components over near-dup pairs
+
+_MIN_SHARED_BANDS = 2  # edge = pair agreeing in >= 2 of the 4 MinHash bands
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id, {_shingles_sql('t')} AS shingles
+      FROM toks WHERE len(t) >= 5
+    ), sigs AS (
+      SELECT doc_id,
+             {_minhash_cols_sql('shingles')}
+      FROM sh
+    ), bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_band_sig_sql(b)} AS band_sig FROM sigs" for b in range(_N_BANDS))}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {_MIN_SHARED_BANDS}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), verts AS (
+      SELECT DISTINCT src AS doc_id FROM edges
+    ), walk(doc_id, label) AS (
+      SELECT doc_id, doc_id AS label FROM verts
+      UNION
+      SELECT e.dst AS doc_id, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+    )
+    SELECT doc_id, MIN(label) AS component FROM walk GROUP BY doc_id
+    """,
+    survey="§2.9 near-dedup (cluster resolution: connected components via iterative min-label propagation)",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: near-dup candidate pairs (≥2 shared
+    MinHash bands) become an undirected graph; each doc gets the minimum
+    doc_id reachable from it as its component id — the keep-one-per-
+    cluster rule production dedup applies after pair generation.
+
+    Spark shape: iterative min-label propagation (the Pregel/GraphX
+    connected-components algorithm on plain DataFrames). Each round is
+    one equi-join edge⋈labels + a min-groupBy; rounds needed = graph
+    diameter (near-dup clusters are cliques or short chains, so 2-3).
+    The edge list is materialized once via localCheckpoint — the
+    signature pipeline never re-executes — and each round checkpoints
+    to keep lineage flat. The per-round convergence count is a scalar
+    driver action, the standard terminator for iterative algorithms
+    (not a data collect). The oracle is DuckDB's recursive CTE over the
+    same edges.
+    """
+    pairs = (
+        minhash_near_dup(spark, sf_dir)
+        .filter(F.col("n_shared_bands") >= _MIN_SHARED_BANDS)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(15):
+        neighbor = edges.join(
+            labels.select(F.col("doc_id").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionAll(neighbor).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # corpus curation: train/val/test split, benchmark decontamination, vocab
 
 
