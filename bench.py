@@ -36,6 +36,7 @@ HEADLINE = [
     "typed_field_decode",
     "scd2_versioned_store",
     "asof_join_latest_order",
+    "curation_pipeline",
 ]
 
 
