@@ -203,6 +203,56 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_builtin",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 1800000000 OR
+                       LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end_ext,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    survey="ST-windows (built-in session_window operator; merge-on-overlap semantics)",
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` operator —
+    the declarative twin of the lag+cumsum formulation above, and the
+    form that runs unchanged under Structured Streaming with a
+    watermark. Semantics differ at the exact-gap boundary: windows
+    ``[ts, ts+gap)`` merge on OVERLAP, so a gap of exactly 30 min
+    starts a new session (the oracle mirrors with ``>=``), and the
+    window end is ``last_event + gap``, not ``last_event``.
+
+    Scale: Spark plans this as a single shuffle on user_id followed by
+    an in-partition merge sort — same shape as the window variant but
+    without materializing per-row session ids.
+    """
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end_ext"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "props_json_extract",
     oracle="""
     SELECT event_id,
