@@ -18,7 +18,20 @@ point lookups on the bucket key.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_table_and_location(spark: SparkSession, name: str) -> None:
+    """Idempotent cleanup: the in-memory catalog forgets tables between
+    sessions but the warehouse directory persists, so a bare
+    saveAsTable would fail with LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file") and wh.path:
+        shutil.rmtree(f"{wh.path}/{name.lower()}", ignore_errors=True)
 
 
 def write_bucketed(
@@ -26,6 +39,7 @@ def write_bucketed(
 ) -> None:
     """Materialize ``df`` as a bucketed (and optionally sorted) table.
     Sorting within buckets upgrades SortMergeJoin to skip its sort."""
+    _drop_table_and_location(df.sparkSession, name)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)

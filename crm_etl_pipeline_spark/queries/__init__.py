@@ -2,6 +2,7 @@
 
 from crm_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
+    bucketing_q,
     catalog_q,
     decode_q,
     embeddings_q,
