@@ -1,7 +1,10 @@
 """LLM-training-data pipeline operators over the ``documents`` corpus
 (SURVEY §2.9 extensions): exact dedup, text statistics / quality
 scoring, language-ID heuristic, token counting, shingle fingerprinting,
-and MinHash-LSH near-dedup with banding.
+MinHash-LSH and 64-bit-SimHash near-dedup with banding,
+connected-components dedup cluster resolution, deterministic
+train/val/test splitting, benchmark decontamination, vocabulary top-k,
+and the composed end-to-end curation pipeline.
 
 The reference has no analog (it is a CRM ETL pipeline); these are the
 corpus-curation operators a 100 TB training-data pipeline needs, built
