@@ -38,7 +38,13 @@ _SCALE = 1e12  # fixed-point quantum for float reductions
 _DIM = 64
 
 _N_QUERIES = 8  # probe set: vec_id < 8
-_SIGN_BITS = 8  # LSH signature width → 256 buckets
+
+# LSH signature width → 2^bits buckets. Sized to the fixture corpus
+# (2 k vectors / 256 buckets ≈ 8 per bucket); at scale this MUST grow as
+# log2(N / target_bucket_size) — e.g. 24-26 bits at 10^9 vectors —
+# or the per-bucket pair/candidate work turns quadratic (the same
+# pigeonhole failure a short SimHash signature has; see llmops.py).
+_SIGN_BITS = 8
 
 
 def _fixed_dot(a: Column, b: Column) -> Column:
