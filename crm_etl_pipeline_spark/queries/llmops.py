@@ -32,7 +32,7 @@ with ``doc_id % 7 == 0`` re-appears with one appended token (near dup).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crm_etl_pipeline_spark.io import table
@@ -1021,4 +1021,42 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("freq"), F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.col("freq").desc(), "tok")
         .limit(100)
+    )
+
+
+@query(
+    "sample_stratified_hashrank",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, n_tokens, rk
+    FROM ranked WHERE rk <= 10
+    """,
+    survey="§2.9 text analysis (deterministic stratified sampling via hash-rank top-k per stratum)",
+)
+def sample_stratified_hashrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 10 docs per language, chosen by
+    md5(doc_id) rank — a reproducible uniform draw that is stable under
+    corpus growth within each stratum's hash order (unlike rand()-based
+    sampling, which no oracle can replay). The per-stratum top-k
+    compiles to WindowGroupLimit: each partition keeps its 10 smallest
+    hashes before the shuffle, so the exchanged volume is k·|strata|,
+    not the corpus."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.size(_tokens()).alias("n_tokens"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
     )

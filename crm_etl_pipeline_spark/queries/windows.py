@@ -299,3 +299,41 @@ def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "ntile_order_value_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n_orders,
+           MIN(price) AS lo,
+           MAX(price) AS hi
+    FROM t GROUP BY o_orderpriority, quartile
+    """,
+    survey="window family completeness (NTILE equi-depth bucketing per group)",
+)
+def ntile_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles of order value per priority class via NTILE
+    — the binning primitive behind histogram/decile reports. NTILE's
+    remainder rule (first buckets get the extra rows) is identical in
+    Spark and DuckDB; the (price, key) order makes bucket edges
+    deterministic. Partitioned by a low-cardinality key, so each
+    partition sorts locally after one shuffle — no global sort."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return t.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+    )
