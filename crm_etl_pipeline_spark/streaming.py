@@ -157,6 +157,39 @@ def windowed_counts_stream(spark: SparkSession, sf_dir: str, out_path: str) -> N
     q.awaitTermination()
 
 
+def session_windows_stream(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """The streaming twin of queries.events_q.session_window_builtin:
+    the SAME ``session_window`` expression under ``readStream`` with a
+    watermark, drained with availableNow and materialized. Proves the
+    batch query's claim that the declarative form runs unchanged as a
+    stream (tests/test_streaming.py asserts the final table equals the
+    batch result)."""
+    sessions = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end_ext"),
+            "n_events",
+        )
+    )
+
+    def write_final(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .foreachBatch(write_final)
+        .option("checkpointLocation", out_path + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def batch_equivalent_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch result the streaming pipeline must converge to (used
     by tests and the driver oracle)."""

@@ -53,3 +53,16 @@ def test_batch_dedup_last_write_wins(spark):
     deduped = streaming.dedup_last_write_wins(events)
     per_key = deduped.groupBy("user_id", "event_type").count()
     assert per_key.filter(F.col("count") > 1).count() == 0
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    """The declarative session_window query produces the identical
+    session table whether run as a batch DataFrame or as a watermarked
+    stream drained with availableNow."""
+    out = str(tmp_path / "sessions")
+    streaming.session_windows_stream(spark, SF_DIR, out)
+    streamed = spark.read.parquet(out)
+    from crm_etl_pipeline_spark.registry import load_all
+
+    batch = load_all()["session_window_builtin"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
