@@ -123,3 +123,23 @@ def test_dedup_components_invariants(spark):
     ]
     assert edges, "no strong candidate edges at this SF"
     assert all(comp[a] == comp[b] for a, b in edges)
+
+
+def test_contamination_finds_verbatim_clones(spark):
+    """Every benchmark doc with a verbatim training-side clone
+    (doc_id % 5 == 0 → clone at +OFFSET) must be flagged with 100% of
+    its shingles leaked."""
+    rows = _rows(spark, "contamination_ngram_overlap")
+    flagged = {(r.train_doc, r.bench_doc): r.bench_overlap_frac for r in rows}
+    from crm_etl_pipeline_spark.io import table
+
+    bench_clone_ids = [
+        r.doc_id
+        for r in table(spark, SF_DIR, "documents")
+        .filter("doc_id < 20 AND doc_id % 5 = 0")
+        .select("doc_id")
+        .collect()
+    ]
+    assert bench_clone_ids
+    for b in bench_clone_ids:
+        assert flagged.get((b + DUP_OFFSET, b)) == 1.0
