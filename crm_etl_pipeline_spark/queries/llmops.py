@@ -878,22 +878,28 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually contains, so the shuffled train volume is bounded by
     matching shingles, not corpus size."""
     toks = _tokens()
-    sh = (
-        _exact_corpus(spark, sf_dir)
-        .filter(F.size(toks) >= 5)
-        .select("doc_id", F.array_distinct(_shingles(toks)).alias("s"))
-    )
-    bx = (
-        sh.filter(F.col("doc_id") < _BENCH_MAX_ID)
-        .select(
-            F.col("doc_id").alias("bench_doc"),
-            F.size("s").alias("n_bench"),
-            F.explode("s").alias("shingle"),
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.filter(F.size(toks) >= 5).select(
+            "doc_id", F.array_distinct(_shingles(toks)).alias("s")
         )
+
+    # bench/train filters are pushed BELOW the shingle build: the bench
+    # side shingles only its ~20 docs (no recompute of the corpus
+    # pipeline under the broadcast), and the train side repartitions
+    # before the CPU-heavy map work — the fixture is one parquet file
+    # (1-2 input splits), which would otherwise serialize it
+    corpus = _exact_corpus(spark, sf_dir)
+    bx = _sh(corpus.filter(F.col("doc_id") < _BENCH_MAX_ID)).select(
+        F.col("doc_id").alias("bench_doc"),
+        F.size("s").alias("n_bench"),
+        F.explode("s").alias("shingle"),
     )
-    tx = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID).select(
-        F.col("doc_id").alias("train_doc"), F.explode("s").alias("shingle")
-    )
+    tx = _sh(
+        corpus.filter(F.col("doc_id") >= _BENCH_MAX_ID).repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    ).select(F.col("doc_id").alias("train_doc"), F.explode("s").alias("shingle"))
     return (
         tx.join(F.broadcast(bx), "shingle")
         .groupBy("train_doc", "bench_doc")
