@@ -230,3 +230,40 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("value", 0.99).alias("p99"),
         )
     )
+
+
+@query(
+    "grouping_sets_region_segment",
+    oracle="""
+    SELECT r_name, c_mktsegment,
+           CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+           COUNT(*) AS n_customers,
+           SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+    """,
+    survey="A-family (explicit GROUPING SETS — the general form of rollup/cube)",
+)
+def grouping_sets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as rollup or cube):
+    (region, segment) + each margin, with grouping_id disambiguating
+    NULL-as-aggregate from NULL-as-value. Plans as one Expand + one
+    shuffle — same cost model as rollup; the dims are broadcast."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupingSets(
+        [["r_name", "c_mktsegment"], ["r_name"], ["c_mktsegment"]],
+        "r_name",
+        "c_mktsegment",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_acctbal"),
+    )
