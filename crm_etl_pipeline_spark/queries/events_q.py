@@ -272,3 +272,39 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract(F.col("props"), r'"k": (-?\d+)', 1).cast("long").alias("k_value"),
         )
     )
+
+
+@query(
+    "props_from_json_typed",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    survey="T4,T6,T8 (schema-on-read JSON parse via from_json; typed struct access)",
+)
+def props_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured payload: ``from_json``
+    with an explicit schema (the idiomatic upgrade of the regex probe in
+    props_json_extract), then plain struct-field access and typed
+    aggregation. Unknown/missing keys surface as NULL, never as errors
+    — the same tolerance the reference's dict probing has. JSON parsing
+    is codegen'd JVM work; one single-scan groupBy on a 5-value key."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    props_schema = StructType([StructField("k", LongType())])
+    k = F.from_json(F.col("props"), props_schema)["k"]
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
