@@ -19,28 +19,36 @@ point lookups on the bucket key.
 from __future__ import annotations
 
 import shutil
-from urllib.parse import urlparse
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+# external-table root: bucketed data never lands in the session's
+# warehouse dir (the driver's own SparkSession may default that to the
+# repo cwd) and never in the repo
+_BUCKET_ROOT = f"{tempfile.gettempdir()}/crm_etl_bucketed"
 
 
 def _drop_table_and_location(spark: SparkSession, name: str) -> None:
     """Idempotent cleanup: the in-memory catalog forgets tables between
-    sessions but the warehouse directory persists, so a bare
-    saveAsTable would fail with LOCATION_ALREADY_EXISTS."""
+    sessions but the table location persists, so a bare saveAsTable
+    would fail with LOCATION_ALREADY_EXISTS."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    if wh.scheme in ("", "file") and wh.path:
-        shutil.rmtree(f"{wh.path}/{name.lower()}", ignore_errors=True)
+    shutil.rmtree(f"{_BUCKET_ROOT}/{name.lower()}", ignore_errors=True)
 
 
 def write_bucketed(
     df: DataFrame, name: str, key: str, n_buckets: int, sort: bool = True
 ) -> None:
-    """Materialize ``df`` as a bucketed (and optionally sorted) table.
-    Sorting within buckets upgrades SortMergeJoin to skip its sort."""
+    """Materialize ``df`` as a bucketed (and optionally sorted) EXTERNAL
+    table under ``_BUCKET_ROOT``. Sorting within buckets upgrades
+    SortMergeJoin to skip its sort."""
     _drop_table_and_location(df.sparkSession, name)
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .option("path", f"{_BUCKET_ROOT}/{name.lower()}")
+    )
     if sort:
         writer = writer.sortBy(key)
     writer.format("parquet").saveAsTable(name)
