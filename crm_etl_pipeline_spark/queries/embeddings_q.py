@@ -405,6 +405,117 @@ _ASSIGN_SQL = f"""
 """
 
 
+def _ivf_cells(spark: SparkSession, sf_dir: str, max_rank: int):
+    """Shared IVF assignment: (vec_id, cell, rnk) for the ``max_rank``
+    nearest centroids per vector. rnk=1 is the home cell (candidate
+    side); probes may take rnk<=nprobe for multi-cell search."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pdim", "x"))
+        .groupBy("label", (F.col("pdim") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x").cast("double") * F.lit(_SCALE)).cast("bigint"))
+                .cast("double")
+                / F.lit(_SCALE)
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cen"))
+        .select(
+            F.col("label").alias("cen_label"),
+            F.transform("cen", lambda s: s["c"]).alias("cvec"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding", "cvec", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.floor(p * F.lit(_SCALE)).cast("bigint"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2q", "cen_label")
+    return (
+        emb.join(F.broadcast(centroids))
+        .select("vec_id", "cen_label", d2.alias("d2q"))
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") <= max_rank)
+        .select("vec_id", F.col("cen_label").alias("cell"), "rnk")
+    )
+
+
+@query(
+    "ann_ivf_nprobe2",
+    oracle=f"""
+    WITH centroids AS ({_CENTROID_SQL}),
+    assign AS ({_ASSIGN_SQL}),
+    home AS (
+      SELECT vec_id, cell FROM assign WHERE rnk = 1
+    ), e AS (
+      SELECT em.vec_id, home.cell, em.embedding,
+             {_fixed_dot_sql('em.embedding', 'em.embedding')} AS n2
+      FROM embeddings em JOIN home ON em.vec_id = home.vec_id
+    ), probes AS (
+      SELECT a.vec_id AS query_id, em.embedding AS qe, a.cell,
+             {_fixed_dot_sql('em.embedding', 'em.embedding')} AS qn2
+      FROM assign a JOIN embeddings em ON a.vec_id = em.vec_id
+      WHERE a.rnk <= 2 AND a.vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS cand_id, embedding AS ce, cell, n2 AS cn2 FROM e
+    ), scored AS (
+      SELECT query_id, cand_id, c.cell AS cell, qn2, cn2,
+             {_fixed_dot_sql('qe', 'ce')} AS dotq
+      FROM probes JOIN c ON probes.cell = c.cell AND cand_id <> query_id
+    ), ranked AS (
+      SELECT query_id, cand_id, cell, {_COS_SQL} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dotq DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cell, rank, cosine FROM ranked WHERE rank <= 3
+    """,
+    survey="§2.9 similarity search (IVF multi-cell probing: nprobe=2 recall knob)",
+)
+def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — each probe searches its TWO nearest cells
+    (candidates stay in their home cell, so the two probed sets are
+    disjoint). This is the standard recall/cost knob: candidate volume
+    scales linearly with nprobe while the join stays an equi-join on the
+    cell id. Recall dominance over the 1-probe variant is asserted in
+    tests/test_llmops.py."""
+    cells = _ivf_cells(spark, sf_dir, max_rank=2)
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.join(cells.filter(F.col("rnk") == 1).select("vec_id", "cell"), "vec_id").select(
+        "vec_id", "cell", "embedding", _fixed_norm2(F.col("embedding")).alias("n2")
+    )
+    probes = (
+        cells.filter(F.col("vec_id") < _N_QUERIES)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "cell",
+            _fixed_norm2(F.col("embedding")).alias("qn2"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("cell").alias("c_cell"),
+        F.col("n2").alias("cn2"),
+    )
+    scored = probes.join(
+        c, (F.col("cell") == F.col("c_cell")) & (F.col("cand_id") != F.col("query_id"))
+    ).withColumn("dotq", _fixed_dot(F.col("qe"), F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.col("dotq").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", F.col("c_cell").alias("cell"), "rank", _cos_col().alias("cosine"))
+    )
+
+
 @query(
     "ann_ivf_probe",
     oracle=f"""
@@ -448,41 +559,9 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is measured against the exact baseline in tests.
     """
     emb = table(spark, sf_dir, "embeddings")
-    # codebook: per-label mean of each dimension (exact fixed-point means)
-    centroids = (
-        emb.select("label", F.posexplode("embedding").alias("pdim", "x"))
-        .groupBy("label", (F.col("pdim") + 1).alias("dim"))
-        .agg(
-            (
-                F.sum(F.floor(F.col("x").cast("double") * F.lit(_SCALE)).cast("bigint"))
-                .cast("double")
-                / F.lit(_SCALE)
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cen"))
-        .select(
-            F.col("label").alias("cen_label"),
-            F.transform("cen", lambda s: s["c"]).alias("cvec"),
-        )
-    )
-    # assignment: broadcast the codebook, exact fixed-point squared distance
-    d2 = F.aggregate(
-        F.zip_with(
-            "embedding", "cvec", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, p: acc + F.floor(p * F.lit(_SCALE)).cast("bigint"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2q", "cen_label")
-    cells = (
-        emb.join(F.broadcast(centroids))
-        .select("vec_id", "cen_label", d2.alias("d2q"))
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", F.col("cen_label").alias("cell"))
-    )
+    # codebook build + broadcast assignment shared with the nprobe=2
+    # variant (_ivf_cells); rnk=1 keeps only the home cell
+    cells = _ivf_cells(spark, sf_dir, max_rank=1).select("vec_id", "cell")
     e = emb.join(cells, "vec_id").select(
         "vec_id", "cell", "embedding", _fixed_norm2(F.col("embedding")).alias("n2")
     )

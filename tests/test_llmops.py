@@ -143,3 +143,19 @@ def test_contamination_finds_verbatim_clones(spark):
     assert bench_clone_ids
     for b in bench_clone_ids:
         assert flagged.get((b + DUP_OFFSET, b)) == 1.0
+
+
+def test_ivf_nprobe2_dominates_single_probe(spark):
+    """nprobe=2 searches a superset of the 1-probe candidate set, so
+    its best hit per query can never be worse than the 1-probe best."""
+    one = {}
+    for r in _rows(spark, "ann_ivf_probe"):
+        if r.rank == 1:
+            one[r.query_id] = r.cosine
+    two = {}
+    for r in _rows(spark, "ann_ivf_nprobe2"):
+        if r.rank == 1:
+            two[r.query_id] = r.cosine
+    assert set(one) <= set(two)
+    for qid, best1 in one.items():
+        assert two[qid] >= best1 - 1e-12
