@@ -190,6 +190,35 @@ def session_windows_stream(spark: SparkSession, sf_dir: str, out_path: str) -> N
     q.awaitTermination()
 
 
+def dedup_stream_within_watermark(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Cross-batch streaming dedup (ST6's true streaming form): the
+    event stream unioned with itself — every event arrives twice —
+    collapsed by ``dropDuplicatesWithinWatermark`` on the event key.
+    State for a key is held only until the watermark passes its event
+    time, so state size is bounded by the lateness window — the
+    property that makes streaming dedup viable at 100 TB/day (a plain
+    dropDuplicates would grow state forever). Both copies of an event
+    are identical, so the surviving row is deterministic regardless of
+    arrival order; tests assert the sink equals the batch distinct set."""
+    doubled = events_stream(spark, sf_dir)
+    deduped = (
+        doubled.union(doubled)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_path)
+
+    q = (
+        deduped.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", out_path + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def batch_equivalent_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch result the streaming pipeline must converge to (used
     by tests and the driver oracle)."""

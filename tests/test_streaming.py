@@ -66,3 +66,14 @@ def test_session_windows_stream_matches_batch(spark, tmp_path):
 
     batch = load_all()["session_window_builtin"].fn(spark, SF_DIR)
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Doubling the stream then dropDuplicatesWithinWatermark yields
+    exactly the original event set."""
+    out = str(tmp_path / "deduped")
+    streaming.dedup_stream_within_watermark(spark, SF_DIR, out)
+    got = spark.read.parquet(out)
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert got.count() == src.count()
+    assert got.select("event_id").distinct().count() == src.count()
