@@ -56,11 +56,11 @@ def main() -> None:
             reg[name].fn(spark, sf_dir).count()
     total = 0.0
     for name in names:
-        # min of two timed runs: the machine hosting the bench shares
-        # CPU, so a single sample can be 2-3x off; min is the standard
-        # noise-robust estimator for a deterministic workload
+        # min of three timed runs: the machine hosting the bench shares
+        # CPU, so a single sample can be 2-3x off (observed); min is the
+        # standard noise-robust estimator for a deterministic workload
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             reg[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
