@@ -337,3 +337,29 @@ def ntile_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),
     )
+
+
+@query(
+    "percent_rank_acctbal",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    survey="window family completeness (percent_rank / cume_dist relative standing)",
+)
+def percent_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each customer's balance within its segment:
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank_with_ties/n are
+    defined identically in Spark and DuckDB, and the unique c_custkey
+    tiebreak makes both bit-deterministic. Same one-shuffle-per-
+    partition-key cost model as every other window here."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
