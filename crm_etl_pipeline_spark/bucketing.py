@@ -18,6 +18,7 @@ point lookups on the bucket key.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -25,8 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 # external-table root: bucketed data never lands in the session's
 # warehouse dir (the driver's own SparkSession may default that to the
-# repo cwd) and never in the repo
-_BUCKET_ROOT = f"{tempfile.gettempdir()}/crm_etl_bucketed"
+# repo cwd) and never in the repo. PID-namespaced so a driver run and a
+# pytest run (or two parallel sessions) can't rmtree files the other is
+# mid-read — table names are constants, so the root must not be shared.
+_BUCKET_ROOT = f"{tempfile.gettempdir()}/crm_etl_bucketed_{os.getpid()}"
 
 
 def _drop_table_and_location(spark: SparkSession, name: str) -> None:

@@ -238,7 +238,7 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r_name, c_mktsegment,
            CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
            COUNT(*) AS n_customers,
-           SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -265,5 +265,5 @@ def grouping_sets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_acctbal"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
     )

@@ -25,8 +25,8 @@ _N_BUCKETS = 8
     oracle="""
     SELECT o_orderkey,
            COUNT(*) AS n_items,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
-           CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS o_totalprice
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderkey % 100 = 0
     GROUP BY o_orderkey
@@ -58,7 +58,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"),
-            F.max("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.max("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
         )
     )

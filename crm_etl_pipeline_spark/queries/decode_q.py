@@ -160,7 +160,7 @@ def build_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN '1997-03-15' END AS calc_date,
            CASE CAST(c_custkey % 4 AS INT) WHEN 2 THEN c_acctbal END AS calc_number,
            CASE CAST(c_custkey % 4 AS INT) WHEN 3 THEN c_name END AS calc_raw,
-           CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS money_amount,
+           CAST(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS money_amount,
            CAST(CASE WHEN c_custkey % 10 = 0 THEN 9 ELSE 8 END AS INT) AS n_fields,
            c_custkey % 10 = 0 AS is_quarantined
     FROM customer LEFT JOIN latest ON c_custkey = o_custkey
@@ -187,7 +187,7 @@ def typed_field_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode.decode_calculation_date(calc_vals).alias("calc_date"),
         decode.decode_calculation_number(calc_vals).alias("calc_number"),
         F.when(calc_kind == "string", decode.decode_calculation_raw(calc_vals)).alias("calc_raw"),
-        decode.decode_money(_values_of(f, 8)).alias("money_amount"),
+        decode.decode_money(_values_of(f, 8)).cast("double").alias("money_amount"),
         F.size("fields").alias("n_fields"),
         (F.size(F.filter(f, lambda fld: ~decode.is_known_type(fld["type"]))) > 0).alias(
             "is_quarantined"

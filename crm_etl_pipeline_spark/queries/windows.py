@@ -313,8 +313,8 @@ def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority, quartile,
            COUNT(*) AS n_orders,
-           MIN(price) AS lo,
-           MAX(price) AS hi
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(MAX(price) AS DOUBLE) AS hi
     FROM t GROUP BY o_orderpriority, quartile
     """,
     survey="window family completeness (NTILE equi-depth bucketing per group)",
@@ -334,8 +334,8 @@ def ntile_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.groupBy("o_orderpriority", "quartile").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.min("price").alias("lo"),
-        F.max("price").alias("hi"),
+        F.min("price").cast("double").alias("lo"),
+        F.max("price").cast("double").alias("hi"),
     )
 
 

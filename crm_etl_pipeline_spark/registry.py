@@ -48,7 +48,18 @@ def query(name: str, oracle: str | None = None, survey: str = "") -> Callable[[Q
 
 
 def load_all() -> dict[str, Query]:
-    """Import every query module (side effect: fills REGISTRY)."""
+    """Import every query module (side effect: fills REGISTRY).
+
+    The returned dict is ordered with ``queries.DRIVER_PRIORITY`` first:
+    the driver's correctness harness samples a bounded prefix of the
+    registry in iteration order, so queries that have not yet been
+    driver-verified (or changed this round) are listed before queries
+    already green in previous rounds. Pure reordering — every query is
+    always present exactly once.
+    """
     from crm_etl_pipeline_spark import queries  # noqa: F401  (imports submodules)
 
-    return REGISTRY
+    priority = [n for n in queries.DRIVER_PRIORITY if n in REGISTRY]
+    ordered = {n: REGISTRY[n] for n in priority}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    return ordered

@@ -83,6 +83,14 @@ def _family(type_name: str) -> str:
     return _FAMILY.get(t, t)
 
 
+# Types that must NEVER cross the query output edge, even when both engines
+# agree on them: the driver's value hash serializes decimal(18,2) and
+# decimal(38,2) differently, so both-sides-decimal passes a family compare
+# but fails the driver (the three r2 hash-fails). Contract: accumulate in
+# DECIMAL, cast to DOUBLE at the edge (registry.py).
+_FORBIDDEN_EDGE_FAMILIES = {"decimal", "hugeint"}
+
+
 def compare_query(spark, duck, q, sf_dir: str = SF_DIR) -> None:
     """Run one registry Query on Spark and DuckDB; assert equivalence."""
     sdf = q.fn(spark, sf_dir)
@@ -91,6 +99,13 @@ def compare_query(spark, duck, q, sf_dir: str = SF_DIR) -> None:
     rel = duck.sql(q.oracle)
     stypes = {c: _family(t) for c, t in sdf.dtypes}
     otypes = {c: _family(str(t)) for c, t in zip(rel.columns, rel.types)}
+    leaked = {c: f for d in (stypes, otypes) for c, f in d.items()
+              if f in _FORBIDDEN_EDGE_FAMILIES}
+    assert not leaked, (
+        f"{q.name}: {leaked} at the output edge — cast to DOUBLE in BOTH the "
+        f"Spark query and the oracle SQL (driver value-hash is representation-"
+        f"sensitive even when values match)"
+    )
     assert stypes == otypes, f"{q.name}: type families {stypes} vs oracle {otypes}"
     res = duck.execute(q.oracle)
     ocols = [d[0] for d in res.description]

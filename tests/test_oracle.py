@@ -60,6 +60,22 @@ def test_schema_evolution_mergeschema(spark, tmp_path):
     assert merged.filter(F.col("c_acctbal").isNull()).count() == n
 
 
+def test_driver_priority_window():
+    """DRIVER_PRIORITY names must all exist, be unique, and fit inside the
+    driver's 50-query correctness prefix of load_all() iteration order —
+    the mechanism that gets never-checked queries a driver row this round."""
+    from crm_etl_pipeline_spark import queries as qpkg
+
+    names = qpkg.DRIVER_PRIORITY
+    assert len(names) == len(set(names)), "duplicate names in DRIVER_PRIORITY"
+    reg = load_all()
+    missing = [n for n in names if n not in reg]
+    assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
+    first50 = list(reg)[:50]
+    outside = [n for n in names if n not in first50]
+    assert not outside, f"priority queries fell outside the 50-slot window: {outside}"
+
+
 def test_bad_sf_dir_raises_cleanly(spark):
     """A wrong data dir fails with AnalysisException (PATH_NOT_FOUND),
     not a hang or a silent empty result."""
