@@ -45,6 +45,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_scd2_state",
     "streaming_tumbling_counts",
     "streaming_dlq",
+    "streaming_requeue",
     "streaming_stateful_sessions",
     # transforms (r1-only)
     "html_strip_normalize",

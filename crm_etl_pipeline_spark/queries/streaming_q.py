@@ -44,11 +44,13 @@ def _workdir(tag: str, sf_dir: str) -> str:
 )
 def streaming_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the full streaming pipeline (readStream → filter →
-    foreachBatch merge/append/DLQ, availableNow) and return the current
-    view of the resulting store — which must equal the batch SCD2
-    replay, verified by the same window oracle."""
+    foreachBatch append-merge/completed/DLQ, availableNow) and return
+    the current view of the resulting version log — which must equal
+    the batch SCD2 replay, verified by the same window oracle. The log
+    is append-only (O(batch) per micro-batch, history files never
+    rewritten); version/is_current derive merge-on-read."""
     paths = streaming.run_pipeline(spark, sf_dir, workdir=_workdir("scd2", sf_dir))
-    store = scd.read_store(spark, paths["store"])
+    store = streaming.read_converged_store(spark, str(paths["store"]))
     return scd.current_view(store).select("item_id", "event_id", "ts", "value", "version")
 
 
@@ -86,6 +88,40 @@ def streaming_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     event whose derived failed_attempts crossed the threshold."""
     paths = streaming.run_pipeline(spark, sf_dir, workdir=_workdir("dlq", sf_dir))
     return spark.read.parquet(paths["dlq"]).select("event_id", "user_id", "failed_attempts")
+
+
+@query(
+    "streaming_requeue",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN CAST(FLOOR(value) AS INT) % 12 + 1 >= 10
+                THEN CAST(FLOOR(value) AS INT) % 12 + 1
+                ELSE 10 END AS failed_attempts,
+           CASE WHEN CAST(FLOOR(value) AS INT) % 12 + 1 >= 10
+                THEN 0
+                ELSE 10 - (CAST(FLOOR(value) AS INT) % 12 + 1) END AS n_retries
+    FROM events WHERE event_type = 'error'
+    """,
+    survey="L7,ST3 (retry requeue loop to convergence; PodioApiGateway.py:153-159)",
+)
+def streaming_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-least-once retry loop drained to convergence: failures
+    under the threshold re-enter the retry queue with the counter
+    incremented (never dropped) and are re-attempted by checkpointed
+    availableNow passes over the queue until every one dead-letters at
+    the threshold. Converged DLQ = EVERY error event, with
+    failed_attempts = max(first_attempts, 10) and n_retries counting
+    the requeue hops — the oracle states that closed form."""
+    paths = streaming.run_pipeline(
+        spark, sf_dir, workdir=_workdir("requeue", sf_dir), drain_retries=True
+    )
+    first = F.floor(F.col("value")).cast("int") % 12 + 1
+    return spark.read.parquet(str(paths["dlq"])).select(
+        "event_id",
+        "user_id",
+        "failed_attempts",
+        (F.col("failed_attempts") - first).alias("n_retries"),
+    )
 
 
 @query(

@@ -15,12 +15,20 @@ DLQ routing} on a 10 s processing-time trigger
 (`PodioApiGateway.py:195`) — or ``availableNow`` for bounded replay in
 tests and the driver.
 
-Scale notes: foreachBatch works at any batch size because the merge is
-one window over item_id (high cardinality); the store rewrite is the
-local-parquet stand-in for a MERGE-capable table format. The windowed
-aggregation path uses event-time + watermark, so late events older
-than the watermark are dropped deterministically instead of reordering
-history (the reference simply processes in arrival order — ST5).
+Scale notes: the store is an APPEND-ONLY version log — each micro-batch
+appends O(batch) rows and never touches files written by earlier
+batches (the r2 design rewrote the whole store per batch, which is
+O(store) per micro-batch and fatal at 100 TB; tests now assert
+historical files' (path, size, mtime) are untouched by later batches).
+``version``/``is_current`` are derived merge-on-read by one window over
+the item key — high cardinality, so the read-side shuffle scales — and
+the serving fast path (`current_view_merged`) unions only the compacted
+store's current=true partition with the log, so it never scans
+history. ``compact_store`` periodically folds the log into the
+partitioned materialized form. The windowed aggregation path uses
+event-time + watermark, so late events older than the watermark are
+dropped deterministically instead of reordering history (the reference
+simply processes in arrival order — ST5).
 """
 
 from __future__ import annotations
@@ -52,16 +60,44 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _merge_batch(store_path: str, updates: DataFrame) -> None:
-    """SCD2-merge one micro-batch into the parquet store. Within the
-    batch, last write wins per (item_id, ts, event_id) identity —
-    the batch analog of the reference's one-at-a-time FIFO (ST5/ST6).
-    localCheckpoint materializes the merged result before the overwrite
-    so we never overwrite files we are still lazily reading."""
-    spark = updates.sparkSession
-    store = scd.read_store(spark, store_path)
-    merged = scd.scd2_apply(store, updates).localCheckpoint(eager=True)
-    scd.write_store(merged, store_path)
+def _append_versions(log_path: str, updates: DataFrame) -> None:
+    """Append one micro-batch of new versions to the version log:
+    O(batch) work regardless of store size — the scale-safe replacement
+    for the r2 full-store rewrite. At-least-once redelivery appends
+    duplicate rows; ``scd2_apply``'s (item_id, ts, event_id) dedup at
+    read time collapses them, so the CONVERGED state is exactly-once
+    (the idempotent-merge property tests/test_streaming.py asserts)."""
+    updates.write.mode("append").parquet(log_path)
+
+
+def read_converged_store(spark: SparkSession, log_path: str) -> DataFrame:
+    """Merge-on-read: derive version/is_current over the full log with
+    one window on the item key. This is the verification/replay path
+    (needs exact version numbers over all history); serving reads use
+    ``current_view_merged`` which prunes history entirely."""
+    return scd.scd2_apply(None, spark.read.parquet(log_path))
+
+
+def current_view_merged(spark: SparkSession, base_path: str, log_path: str) -> DataFrame:
+    """Serving fast path: latest version per key from (compacted store's
+    current=true partition) ∪ (append log). The current row of any key
+    is in one of those two sets, so history files are never scanned —
+    at 100 TB this reads one generation + the delta, not every version
+    ever written. Version numbers are the within-union ordinal, NOT the
+    all-history version (use read_converged_store when those matter)."""
+    base_cur = scd.current_view(scd.read_store(spark, base_path))
+    log = spark.read.parquet(log_path)
+    return scd.current_view(scd.scd2_apply(base_cur, log))
+
+
+def compact_store(spark: SparkSession, log_path: str, base_path: str) -> None:
+    """Fold the version log into the partitioned materialized store
+    (the periodic maintenance job): one full-log window + one rewrite,
+    amortized over many appended batches instead of paid per batch.
+    After compaction the log can be truncated and serving resumes from
+    the is_current partition."""
+    merged = read_converged_store(spark, log_path).localCheckpoint(eager=True)
+    scd.write_store(merged, base_path)
 
 
 def run_pipeline(
@@ -69,10 +105,21 @@ def run_pipeline(
     sf_dir: str,
     workdir: str | None = None,
     trigger_available_now: bool = True,
-) -> dict[str, str]:
-    """The full event loop (ST1–ST4): bootstrap the store from the
-    customer base load, then stream events through foreachBatch doing
-    merge + completed-append + DLQ. Returns the output paths.
+    drain_retries: bool = False,
+) -> dict[str, object]:
+    """The full event loop (ST1–ST4): bootstrap the version log from
+    the customer base load, then stream events through foreachBatch
+    doing append-merge + completed-append + requeue/DLQ routing.
+    Returns the output paths; for an unbounded run the live
+    ``StreamingQuery`` is returned under ``"query"`` so the caller can
+    awaitTermination()/stop() it (it is NOT fire-and-forget).
+
+    Failure routing is the reference's at-least-once loop
+    (`PodioApiGateway.py:153-159`): a failure with
+    ``failed_attempts < 10`` re-enters the retry queue with the counter
+    incremented — never dropped — and dead-letters once the counter
+    reaches the threshold. With ``drain_retries`` the retry queue is
+    then drained to convergence (see ``drain_retry_queue``).
 
     With ``trigger_available_now`` the stream drains the backlog and
     stops (bounded replay); otherwise it runs on the reference's 10 s
@@ -81,13 +128,14 @@ def run_pipeline(
     from crm_etl_pipeline_spark.queries.scd_q import _base  # avoid import cycle
 
     workdir = workdir or tempfile.mkdtemp(prefix="crm_etl_stream_")
-    paths = {
+    paths: dict[str, object] = {
         "store": os.path.join(workdir, "store"),
         "completed": os.path.join(workdir, "completed"),
         "dlq": os.path.join(workdir, "dlq"),
+        "retry_queue": os.path.join(workdir, "retry_queue"),
         "checkpoint": os.path.join(workdir, "checkpoint"),
     }
-    scd.write_store(scd.scd2_apply(None, _base(spark, sf_dir)), paths["store"])
+    _append_versions(str(paths["store"]), _base(spark, sf_dir))
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
@@ -95,32 +143,95 @@ def run_pipeline(
             updates = batch.filter(F.col("event_type").isin(*PROCESS_TYPES)).select(
                 F.col("user_id").alias("item_id"), "event_id", "ts", "value"
             )
-            _merge_batch(paths["store"], updates)
+            _append_versions(str(paths["store"]), updates)
             scd.append_completed(
-                batch.filter(F.col("event_type").isin(*PROCESS_TYPES)), paths["completed"]
+                batch.filter(F.col("event_type").isin(*PROCESS_TYPES)),
+                str(paths["completed"]),
             )
             # failure branch: failed_attempts derived deterministically
-            # (same rule as retry_and_dead_letter); ≥10 → DLQ append
+            # (same rule as retry_and_dead_letter); ≥10 → DLQ append,
+            # <10 → retry queue with the incremented counter
             failures = batch.filter(F.col("event_type") == "error").withColumn(
                 "failed_attempts", F.floor(F.col("value")).cast("int") % 12 + 1
             )
             failures.filter(F.col("failed_attempts") >= DLQ_THRESHOLD).write.mode(
                 "append"
-            ).parquet(paths["dlq"])
+            ).parquet(str(paths["dlq"]))
+            failures.filter(F.col("failed_attempts") < DLQ_THRESHOLD).write.mode(
+                "append"
+            ).parquet(str(paths["retry_queue"]))
         finally:
             batch.unpersist()
 
     writer = (
         events_stream(spark, sf_dir)
         .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", paths["checkpoint"])
+        .option("checkpointLocation", str(paths["checkpoint"]))
     )
     if trigger_available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        if drain_retries:
+            paths["retry_passes"] = drain_retry_queue(spark, paths)
     else:
-        writer.trigger(processingTime="10 seconds").start()
+        paths["query"] = writer.trigger(processingTime="10 seconds").start()
     return paths
+
+
+def drain_retry_queue(spark: SparkSession, paths: dict[str, object]) -> int:
+    """Drain the retry queue to convergence (the reference's worker loop
+    `PodioApiGateway.py:111-159`, which pops requeued failures until
+    each either succeeds or dead-letters at the threshold).
+
+    Spark shape: the queue directory is itself a file-source STREAM
+    with a persistent checkpoint, so each availableNow pass processes
+    exactly the files appended since the previous pass (the checkpoint
+    is the at-least-once processed-set — no manual file bookkeeping).
+    A pass re-attempts each queued failure: still failing with
+    ``attempts+1 < threshold`` → re-append to the queue (picked up by
+    the NEXT pass); at the threshold → DLQ. Attempts increase
+    monotonically per pass, so convergence takes ≤ DLQ_THRESHOLD
+    passes; we stop at the first pass that appends nothing new.
+    Returns the number of passes run. In this deterministic replay an
+    'error' event always fails again (the fixture has no success-on-
+    retry signal), matching the derived-attempts model used everywhere.
+    """
+    queue_dir = str(paths["retry_queue"])
+    retry_ckpt = str(paths["checkpoint"]) + "_retry"
+    if not os.path.isdir(queue_dir):
+        return 0  # no sub-threshold failures ever queued
+    schema = spark.read.parquet(queue_dir).schema
+
+    def retry_batch(batch: DataFrame, batch_id: int) -> None:
+        bumped = batch.withColumn("failed_attempts", F.col("failed_attempts") + 1)
+        bumped = bumped.persist()
+        try:
+            bumped.filter(F.col("failed_attempts") >= DLQ_THRESHOLD).write.mode(
+                "append"
+            ).parquet(str(paths["dlq"]))
+            bumped.filter(F.col("failed_attempts") < DLQ_THRESHOLD).write.mode(
+                "append"
+            ).parquet(queue_dir)
+        finally:
+            bumped.unpersist()
+
+    passes = 0
+    while passes < DLQ_THRESHOLD + 1:
+        before = {f for f in os.listdir(queue_dir) if f.endswith(".parquet")}
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(queue_dir)
+            .writeStream.foreachBatch(retry_batch)
+            .option("checkpointLocation", retry_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        passes += 1
+        after = {f for f in os.listdir(queue_dir) if f.endswith(".parquet")}
+        if after == before:
+            break  # nothing requeued: every failure has dead-lettered
+    return passes
 
 
 def windowed_counts_stream(spark: SparkSession, sf_dir: str, out_path: str) -> None:

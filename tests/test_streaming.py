@@ -17,9 +17,108 @@ _COLS = ["item_id", "event_id", "ts", "value", "version", "is_current"]
 
 def test_streaming_converges_to_batch_state(spark, tmp_path):
     paths = streaming.run_pipeline(spark, SF_DIR, workdir=str(tmp_path))
-    streamed = scd.read_store(spark, paths["store"]).select(*_COLS)
+    streamed = streaming.read_converged_store(spark, str(paths["store"])).select(*_COLS)
     batch = streaming.batch_equivalent_state(spark, SF_DIR).select(*_COLS)
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def _snapshot(root):
+    """(path, size, mtime_ns) of every DATA file under root — the
+    _SUCCESS marker and checksum sidecars are commit metadata, rewritten
+    by design on every append."""
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_store_is_append_only(spark, tmp_path):
+    """A new micro-batch must never rewrite files earlier batches wrote:
+    the O(store)-per-batch full rewrite is exactly what kills the
+    pipeline at 100 TB. After the streamed run, appending another batch
+    leaves every existing (path, size, mtime) untouched."""
+    paths = streaming.run_pipeline(spark, SF_DIR, workdir=str(tmp_path))
+    store = str(paths["store"])
+    before = _snapshot(store)
+    assert before, "store log should have files after the run"
+    extra = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .limit(5)
+        .select(
+            F.col("user_id").alias("item_id"),
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "value",
+        )
+    )
+    streaming._append_versions(store, extra)
+    after = _snapshot(store)
+    changed = {p: v for p, v in before.items() if after.get(p) != v}
+    assert not changed, f"historical files rewritten: {sorted(changed)[:3]}"
+    assert len(after) > len(before)  # the batch added new files
+
+
+def test_requeue_drains_to_convergence(spark, tmp_path):
+    """Reference at-least-once loop (PodioApiGateway.py:153-159): every
+    sub-threshold failure requeues with attempts+1 until it
+    dead-letters at the threshold — nothing is dropped. Converged DLQ
+    holds EVERY error event exactly once with attempts=max(first,10)."""
+    paths = streaming.run_pipeline(
+        spark, SF_DIR, workdir=str(tmp_path), drain_retries=True
+    )
+    errors = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            (F.floor(F.col("value")).cast("int") % 12 + 1).alias("first_attempts"),
+        )
+    )
+    dlq = spark.read.parquet(str(paths["dlq"])).select("event_id", "failed_attempts")
+    got = {r["event_id"]: r["failed_attempts"] for r in dlq.collect()}
+    want = {
+        r["event_id"]: max(r["first_attempts"], streaming.DLQ_THRESHOLD)
+        for r in errors.collect()
+    }
+    assert dlq.count() == len(got), "duplicate DLQ rows for one event"
+    assert got == want
+    assert 0 < paths["retry_passes"] <= streaming.DLQ_THRESHOLD + 1
+
+
+def test_compacted_current_view_fast_path(spark, tmp_path):
+    """compact_store folds the log into the partitioned store; the
+    serving read (current=true partition ∪ fresh log) returns the same
+    current rows as the full-history merge, without scanning history."""
+    paths = streaming.run_pipeline(spark, SF_DIR, workdir=str(tmp_path))
+    log, base = str(paths["store"]), str(tmp_path / "compacted")
+    streaming.compact_store(spark, log, base)
+    fresh_log = str(tmp_path / "fresh_log")
+    extra = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type").isin(*streaming.PROCESS_TYPES))
+        .limit(7)
+        .select(
+            F.col("user_id").alias("item_id"),
+            "event_id",
+            (F.timestamp_micros(F.expr("ts div 1000")) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            (F.col("value") + 1).alias("value"),
+        )
+    )
+    streaming._append_versions(fresh_log, extra)
+    fast = streaming.current_view_merged(spark, base, fresh_log).select(
+        "item_id", "event_id", "ts", "value"
+    )
+    full = scd.current_view(
+        scd.scd2_apply(streaming.read_converged_store(spark, log), extra)
+    ).select("item_id", "event_id", "ts", "value")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, full.collect()))
 
 
 def test_completed_queue_and_dlq(spark, tmp_path):
