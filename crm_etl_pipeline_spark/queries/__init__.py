@@ -70,6 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     # llmops tail that fell outside r2's 50-slot window
     "curation_pipeline",
+    "lsh_bucket_profile",
     "vocab_top_tokens",
     "sample_stratified_hashrank",
 ]

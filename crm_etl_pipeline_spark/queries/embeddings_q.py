@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crm_etl_pipeline_spark import lsh
 from crm_etl_pipeline_spark.io import table
 from crm_etl_pipeline_spark.registry import query
 
@@ -346,21 +347,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "vd", "n2"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
-    pair_array = F.flatten(
-        F.transform(
-            F.col("m"),
-            lambda x, i: F.transform(
-                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
-                lambda y: F.struct(
-                    x["vec_id"].alias("vec_a"),
-                    y["vec_id"].alias("vec_b"),
-                    x["vd"].alias("va"),
-                    y["vd"].alias("vb"),
-                    x["n2"].alias("n2a"),
-                    y["n2"].alias("n2b"),
-                ),
-            ),
-        )
+    pair_array = lsh.capped_pair_array(
+        F.col("m"),
+        lambda x, y: F.struct(
+            x["vec_id"].alias("vec_a"),
+            y["vec_id"].alias("vec_b"),
+            x["vd"].alias("va"),
+            y["vd"].alias("vb"),
+            x["n2"].alias("n2a"),
+            y["n2"].alias("n2b"),
+        ),
     )
     p = buckets.select("bucket", F.explode(pair_array).alias("p"))
     cosine = F.col("dotq").cast("double") / (

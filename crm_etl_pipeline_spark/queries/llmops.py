@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crm_etl_pipeline_spark import lsh
 from crm_etl_pipeline_spark.io import table
 from crm_etl_pipeline_spark.registry import query
 
@@ -428,25 +429,35 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each doc is shuffled once per band (4×), candidates
     come from bucket joins — never an all-pairs product. Band signatures
     are md5 of the row minhashes, so bucket keys are uniform except for
-    true near-dup clusters; a pathological hot cluster is exactly what
-    AQE skew-join splitting handles at runtime.
+    true near-dup clusters; a hot bucket (mass boilerplate) is bounded
+    by lsh.capped_pair_array — exact pairwise up to the cap, O(n) star
+    connectivity above it — and surfaced by lsh_bucket_profile.
+    """
+    buckets = _minhash_buckets(spark, sf_dir)
+    pair_array = lsh.capped_pair_array(
+        F.col("ids"), lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_id, band_sig) — the shared LSH banding pipeline.
+
+    Plan shape, tuned from measurement (11.5 s → ~1.5 s at sf0.1):
+    1. repartition by doc_id: the fixture is ONE parquet file, so the
+       CPU-bound shingle+md5 map work would otherwise run on 1-2
+       cores; at 100 TB the scan has thousands of splits and this
+       exchange also pre-locates the groupBy, so it stays one shuffle.
+    2. explode shingles, compute the 12 seeded mins as grouped aggs:
+       each md5 evaluates exactly once (the array-fold formulation is
+       12× the work because CollapseProject inlines the
+       shingle-construction expression into every minhash column).
     """
     toks = _tokens()
-    # Plan shape, tuned from measurement (11.5 s → ~1.5 s at sf0.1):
-    # 1. repartition by doc_id: the fixture is ONE parquet file, so the
-    #    CPU-bound shingle+md5 map work would otherwise run on 1-2
-    #    cores; at 100 TB the scan has thousands of splits and this
-    #    exchange also pre-locates the groupBy, so it stays one shuffle.
-    # 2. explode shingles, compute the 12 seeded mins as grouped aggs:
-    #    each md5 evaluates exactly once (the array-fold formulation is
-    #    12× the work because CollapseProject inlines the
-    #    shingle-construction expression into every minhash column).
-    # 3. pair generation per band bucket via sorted collect_list +
-    #    nested transform — NO self-join, so the signature subtree is
-    #    computed once, not twice (a broadcast/merge self-join cannot
-    #    reuse the exchange across sides). LSH theory keeps buckets
-    #    O(near-dup cluster size); a pathological hot bucket (mass
-    #    boilerplate) should be capped/salted upstream by exact dedup.
     exploded = (
         _near_corpus(spark, sf_dir)
         .filter(F.size(toks) >= 5)
@@ -459,7 +470,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_N_HASHES)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -470,25 +481,65 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_sig")
-    buckets = (
-        bands.groupBy("band_id", "band_sig")
+
+
+def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band buckets with ≥2 members: pair generation happens per bucket
+    via sorted collect_list + nested transform — NO self-join, so the
+    signature subtree is computed once, not twice (a broadcast/merge
+    self-join cannot reuse the exchange across sides)."""
+    return (
+        _minhash_bands(spark, sf_dir)
+        .groupBy("band_id", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    # all in-bucket ordered pairs: for ids[i], partners are ids[i+1:]
-    pair_array = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+
+
+@query(
+    "lsh_bucket_profile",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id, {_shingles_sql('t')} AS shingles
+      FROM toks WHERE len(t) >= 5
+    ), sigs AS (
+      SELECT doc_id,
+             {_minhash_cols_sql('shingles')}
+      FROM sh
+    ), bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_band_sig_sql(b)} AS band_sig FROM sigs" for b in range(_N_BANDS))}
+    ), sizes AS (
+      SELECT band_id, band_sig, COUNT(*) AS n FROM bands GROUP BY band_id, band_sig
     )
-    return (
-        buckets.select(F.explode(pair_array).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    SELECT band_id,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN n > {lsh.BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+    FROM sizes GROUP BY band_id
+    """,
+    survey="§2.9 near-dedup observability (bucket-size distribution + over-cap count — no silent caps)",
+)
+def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps surface for the LSH family: per band, how many
+    buckets exist, how many are multi-member (pair-producing), the
+    widest bucket, and how many exceeded lsh.BUCKET_CAP (and therefore
+    degraded to star connectivity in minhash_near_dup). At corpus scale
+    this is the dashboard metric that tells you boilerplate is flooding
+    a band before it costs a job."""
+    sizes = (
+        _minhash_bands(spark, sf_dir)
+        .groupBy("band_id", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sizes.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_multi"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(F.col("n") > lsh.BUCKET_CAP, 1).otherwise(0)).alias("n_over_cap"),
     )
 
 
@@ -671,21 +722,16 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "hi", "lo"))).alias("members"))
         .filter(F.size("members") >= 2)
     )
-    pair_array = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["hi"].alias("hi_a"),
-                    y["hi"].alias("hi_b"),
-                    x["lo"].alias("lo_a"),
-                    y["lo"].alias("lo_b"),
-                ),
-            ),
-        )
+    pair_array = lsh.capped_pair_array(
+        F.col("members"),
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["hi"].alias("hi_a"),
+            y["hi"].alias("hi_b"),
+            x["lo"].alias("lo_a"),
+            y["lo"].alias("lo_b"),
+        ),
     )
     hamming = (
         F.bit_count(F.col("p.hi_a").bitwiseXOR(F.col("p.hi_b")))

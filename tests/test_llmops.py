@@ -159,3 +159,40 @@ def test_ivf_nprobe2_dominates_single_probe(spark):
     assert set(one) <= set(two)
     for qid, best1 in one.items():
         assert two[qid] >= best1 - 1e-12
+
+
+def test_capped_pair_array_bounds_hot_buckets(spark):
+    """A pathological hot bucket (mass boilerplate: one band signature
+    holding thousands of members) must not explode quadratically:
+    buckets over lsh.BUCKET_CAP emit O(n) star pairs anchored at the
+    minimum member — every member stays connected to the cluster (what
+    dedup_components needs) — while buckets at/under the cap keep the
+    exact full pairwise set."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark import lsh
+
+    wide_n = lsh.BUCKET_CAP + 744  # 1000 members with default cap 256
+    small_n = 5
+    df = spark.createDataFrame(
+        [("hot", list(range(wide_n))), ("ok", list(range(small_n)))],
+        "band_sig string, ids array<int>",
+    ).select("band_sig", F.sort_array("ids").alias("ids"))
+    pairs = df.select(
+        "band_sig",
+        F.explode(
+            lsh.capped_pair_array(
+                F.col("ids"), lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+            )
+        ).alias("p"),
+        lsh.is_capped(F.col("ids")).alias("capped"),
+    )
+    hot = pairs.filter("band_sig = 'hot'")
+    assert hot.count() == wide_n - 1  # star: linear, not n*(n-1)/2
+    assert hot.filter("p.a != 0").count() == 0  # anchored at the min member
+    assert hot.filter("NOT capped").count() == 0
+    # connectivity: every non-anchor member appears exactly once as p.b
+    assert hot.select("p.b").distinct().count() == wide_n - 1
+    ok = pairs.filter("band_sig = 'ok'")
+    assert ok.count() == small_n * (small_n - 1) // 2  # exact pairwise kept
+    assert ok.filter("capped").count() == 0
