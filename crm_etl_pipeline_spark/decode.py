@@ -109,6 +109,26 @@ def decode_money(values: Column) -> Column:
     return F.try_element_at(values, F.lit(1))["value"].try_cast("decimal(18,2)")
 
 
+#: explicit formats tried after Spark's ISO-default parser — the common
+#: human formats the reference's ``dateutil.parse`` accepts
+#: (`PodioApiWrapper.py:77`) that the default parser does not. Coverage
+#: is deliberately a fixed allowlist, not dateutil's fuzzy heuristics:
+#: ambiguous forms (``97-06-05``, day-first vs month-first) stay
+#: unparsed rather than silently guessed. Remaining divergence from
+#: dateutil is characterized in tests/test_decode_properties.py.
+EXTRA_DATE_FORMATS = ("MM/dd/yyyy", "yyyy/MM/dd", "MMM d, yyyy", "d MMM yyyy")
+
+
+def parse_date_multi(col: Column) -> Column:
+    """Timestamp from a messy string: Spark's ISO default, then each
+    explicit format. All branches are codegen'd try_to_timestamp — a
+    coalesce chain, no Python — and null when nothing matches (ANSI-safe)."""
+    return F.coalesce(
+        F.try_to_timestamp(col),
+        *[F.try_to_timestamp(col, F.lit(f)) for f in EXTRA_DATE_FORMATS],
+    )
+
+
 def calculation_kind(values: Column) -> Column:
     """The polymorphic dispatch of `PodioApiWrapper.py:72-88`:
     date-range if 'start' present, else parseable-date, else numeric,
@@ -116,7 +136,7 @@ def calculation_kind(values: Column) -> Column:
     first = F.try_element_at(values, F.lit(1))
     return (
         F.when(first["start"].isNotNull(), F.lit("date_range"))
-        .when(F.try_to_timestamp(first["value"]).isNotNull(), F.lit("date"))
+        .when(parse_date_multi(first["value"]).isNotNull(), F.lit("date"))
         .when(first["value"].try_cast("double").isNotNull(), F.lit("number"))
         .otherwise(F.lit("string"))
     )
@@ -130,8 +150,8 @@ def decode_calculation_date(values: Column) -> Column:
         first["start"].isNotNull(),
         F.concat_ws(",", F.transform(values, lambda v: v["start"])),
     ).when(
-        F.try_to_timestamp(first["value"]).isNotNull(),
-        F.date_format(F.try_to_timestamp(first["value"]), "yyyy-MM-dd"),
+        parse_date_multi(first["value"]).isNotNull(),
+        F.date_format(parse_date_multi(first["value"]), "yyyy-MM-dd"),
     )
 
 
