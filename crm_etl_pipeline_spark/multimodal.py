@@ -15,13 +15,17 @@ Spark-first design:
 - frame/window sampling is pure column algebra (sequence + explode),
   no Python.
 
-STUB NOTICE: this container has no image/audio codecs (no PIL, no
-libav), so ``decode_features``' pixel-decode branch raises
-NotImplementedError if a real codec is requested and otherwise uses a
-clearly-marked deterministic fake (arithmetic on payload bytes). The
-Spark-side plumbing — schema, Arrow batching, UDF signature, partition
-behavior — is real and tested; swapping the fake for PIL is a
-one-function change.
+Codec status: WAV (RIFF/PCM) and BMP are decoded FOR REAL —
+``fabricate_media`` emits genuine RIFF/BMP byte streams and
+``decode_media`` parses the actual container headers (chunk walk /
+fixed-offset header), with a closed-form DuckDB oracle proving
+decode(fabricate(x)) recovers the parameters
+(queries/multimodal_q.py:multimodal_real_decode). Formats that need
+external codecs (mp4 — no libav in this container) remain stubbed:
+``decode_features``' real_codec branch raises NotImplementedError and
+the fake branch is clearly marked. The Spark-side plumbing — schema,
+Arrow batching, UDF signature, partition behavior — is identical for
+real and stubbed formats.
 """
 
 from __future__ import annotations
@@ -115,6 +119,157 @@ def decode_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
             )
 
     return flat.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real codecs: WAV (RIFF/PCM) + BMP — pure-Python container parsing, no
+# external libraries. Fabrication parameters are closed-form in doc_id so a
+# SQL oracle can verify that decoding the real bytes recovers them.
+
+WAV_RATE = 8000
+WAV_BITS = 16
+BMP_BPP = 24
+
+#: decode output schema (wav rows: width/height null; bmp rows:
+#: sample_rate/n_samples null)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+    ]
+)
+
+_FAB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """A complete, valid RIFF/WAVE PCM file. Parameters are closed-form
+    in doc_id (the oracle recomputes them): channels = 1 + (doc_id % 4)/2
+    (mono/stereo both exercised on even ids), n_samples =
+    100 + doc_id % 500, rate 8000 Hz, 16-bit."""
+    import struct
+
+    n_ch = 1 + (doc_id % 4) // 2
+    n_samples = 100 + doc_id % 500
+    block_align = n_ch * WAV_BITS // 8
+    data_size = n_samples * block_align
+    samples = bytearray()
+    for i in range(n_samples * n_ch):
+        samples += struct.pack("<h", (doc_id * 31 + i * 7) % 65536 - 32768)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_ch, WAV_RATE, WAV_RATE * block_align, block_align, WAV_BITS
+        )
+        + b"data"
+        + struct.pack("<I", data_size)
+        + bytes(samples)
+    )
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """A complete, valid 24-bit BMP (BITMAPINFOHEADER). width =
+    16 + doc_id % 32, height = 16 + (7 * doc_id) % 32."""
+    import struct
+
+    w = 16 + doc_id % 32
+    h = 16 + (7 * doc_id) % 32
+    stride = (3 * w + 3) // 4 * 4  # rows pad to 4 bytes
+    img_size = stride * h
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, BMP_BPP, 0, img_size, 2835, 2835, 0, 0)
+    )
+    pixels = bytes((doc_id + i) % 256 for i in range(img_size))
+    return header + pixels
+
+
+def fabricate_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL media bytes per doc: even doc_ids get a PCM WAV,
+    odd get a 24-bit BMP. mapInPandas because binary packing is not
+    column algebra — this is the fixture generator, not the hot path."""
+    flat = docs.select("doc_id")
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mime": ["audio/wav" if i % 2 == 0 else "image/bmp" for i in ids],
+                    "payload": [
+                        _wav_bytes(int(i)) if i % 2 == 0 else _bmp_bytes(int(i)) for i in ids
+                    ],
+                }
+            )
+
+    return flat.mapInPandas(build, _FAB_SCHEMA)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode of the binary payloads: walks RIFF chunks for WAV
+    (never assumes the canonical 44-byte layout), reads the
+    BITMAPINFOHEADER for BMP. Arrow-batched mapInPandas — the payload
+    crosses to Python per batch; header parsing is O(1) per item.
+    Parity anchor: the reference treats attachments as opaque passthrough
+    (`PodioApiWrapper.py` has no media decode) — this is the §2.9
+    multimodal extension."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def parse_wav(b: bytes):
+            assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a RIFF/WAVE stream"
+            pos, n_ch, rate, bits, data_size = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+                if cid == b"fmt ":
+                    _, n_ch, rate, _, block, bits = struct.unpack_from("<HHIIHH", b, pos + 8)
+                elif cid == b"data":
+                    data_size = size
+                pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+            n_samples = data_size // (n_ch * bits // 8)
+            return n_ch, rate, bits, n_samples
+
+        def parse_bmp(b: bytes):
+            assert b[:2] == b"BM", "not a BMP stream"
+            w, h = struct.unpack_from("<ii", b, 18)
+            bpp = struct.unpack_from("<H", b, 28)[0]
+            return w, abs(h), bpp
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                b = bytes(payload)
+                if mime == "audio/wav":
+                    n_ch, rate, bits, n_samples = parse_wav(b)
+                    rows.append((doc_id, mime, len(b), None, None, n_ch, rate, n_samples, bits))
+                else:
+                    w, h, bpp = parse_bmp(b)
+                    rows.append((doc_id, mime, len(b), w, h, 3, None, None, bpp))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media.mapInPandas(extract, MEDIA_SCHEMA)
 
 
 def frame_offsets(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:

@@ -28,6 +28,7 @@ DRIVER_PRIORITY: list[str] = [
     "bucketed_join_colocated",
     "grouping_sets_region_segment",
     "ntile_order_value_quartiles",
+    "approx_value_percentiles",
     # flagship + relational family (r1-only or never checked)
     "flagship_segment_revenue",
     "pricing_summary",
@@ -68,6 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_manifest",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_real_decode",
     # llmops tail that fell outside r2's 50-slot window
     "curation_pipeline",
     "lsh_bucket_profile",

@@ -233,6 +233,31 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_value_percentiles",
+    oracle=None,  # GK sketch vs DuckDB t-digest: algorithms differ by design;
+    # rows-only here, the rank-error bound is asserted in
+    # tests/test_llmops.py::test_approx_percentiles_within_rank_error
+    survey="A-family at scale (approx_percentile / GK sketch — the 100 TB percentile path)",
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sibling of value_percentiles: Greenwald-Khanna
+    approximate percentiles (percentile_approx). Exact percentiles need
+    the full group sorted on one executor; the GK summary is a bounded-
+    size mergeable sketch (map-side partials, one shuffle of sketches,
+    rank error ≤ n/accuracy) — the same reason KMV stands in for exact
+    distinct. accuracy=10000 → ±0.01% rank error, a few KB per group."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        )
+    )
+
+
+@query(
     "grouping_sets_region_segment",
     oracle="""
     SELECT r_name, c_mktsegment,

@@ -69,6 +69,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/bmp' END AS mime,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 44 + (100 + doc_id % 500) * (1 + (doc_id % 4) // 2) * 2
+                ELSE 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4) * (16 + (7 * doc_id) % 32)
+                END AS INT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + doc_id % 32 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + (7 * doc_id) % 32 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2 ELSE 3 END AS INT)
+             AS n_channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 500 END AS INT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INT) AS bit_depth
+    FROM documents
+    """,
+    survey="§2.9 multimodal (REAL WAV/BMP container decode over fabricated real bytes)",
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(fabricate(doc_id)) recovers the fabrication parameters:
+    genuine RIFF/WAVE and BMP byte streams are built per doc, then the
+    decoder parses the actual container headers (RIFF chunk walk /
+    BITMAPINFOHEADER) inside Arrow-batched mapInPandas. The oracle
+    recomputes the parameters closed-form from doc_id — any header-
+    layout bug in fabricator OR parser breaks the match. mp4 remains
+    honestly stubbed (needs libav); this proves the real-codec path
+    end-to-end for formats pure Python can parse."""
+    media = multimodal.fabricate_media(table(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,

@@ -196,3 +196,31 @@ def test_capped_pair_array_bounds_hot_buckets(spark):
     ok = pairs.filter("band_sig = 'ok'")
     assert ok.count() == small_n * (small_n - 1) // 2  # exact pairwise kept
     assert ok.filter("capped").count() == 0
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """approx_value_percentiles has no SQL oracle (GK sketch vs DuckDB
+    t-digest differ by design), so the correctness contract is the GK
+    guarantee itself: the returned value's rank is within n/accuracy of
+    the target rank, and it is an actual member of the group."""
+    from crm_etl_pipeline_spark.io import table
+    from crm_etl_pipeline_spark.registry import load_all
+
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in load_all()["approx_value_percentiles"].fn(spark, SF_DIR).collect()
+    }
+    groups = (
+        table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .toPandas()
+        .groupby("event_type")["value"]
+    )
+    for etype, vals in groups:
+        ordered = sorted(vals)
+        n = len(ordered)
+        for p, got in zip((0.5, 0.9, 0.99), approx[etype]):
+            assert got in vals.values  # GK returns a real element
+            rank = ordered.index(got)
+            target = p * (n - 1)
+            assert abs(rank - target) <= max(1.0, n / 10000.0), (etype, p, rank, target)
