@@ -75,4 +75,9 @@ DRIVER_PRIORITY: list[str] = [
     "lsh_bucket_profile",
     "vocab_top_tokens",
     "sample_stratified_hashrank",
+    # near-dedup family: code changed this round (capped pair generation)
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "dedup_components",
 ]

@@ -1112,3 +1112,172 @@ def sample_stratified_hashrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition / term-weighting / sequence packing — the remaining curation
+# stages of a pretraining-data pipeline
+
+
+@query(
+    "doc_repetition_ratio",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text, ' ')) - 1),
+                            i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+               AS g3
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), stats AS (
+      SELECT doc_id,
+             len(g3) AS n_grams,
+             len(list_distinct(g3)) AS n_distinct
+      FROM grams
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_gram_frac,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_grams > 0.2 AS is_repetitive
+    FROM stats
+    """,
+    survey="§2.9 text quality (Gopher-style within-doc 3-gram repetition filter)",
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: the fraction of duplicate 3-grams —
+    the Gopher/RefinedWeb rule that catches boilerplate loops and
+    template spam that per-token stats miss. Pure column algebra (one
+    scan, no explode-shuffle: the distinct count happens inside the
+    array expression per row), flagged at the published 0.2 threshold.
+    Ratios derive from exact integer counts, one IEEE division each —
+    bit-identical across engines."""
+    toks = _tokens()
+    g3 = _shingles(toks, 3)
+    stats = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.size(g3).alias("n_grams"),
+            F.size(F.array_distinct(g3)).alias("n_distinct"),
+        )
+    )
+    frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return stats.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        frac.alias("dup_gram_frac"),
+        (frac > 0.2).alias("is_repetitive"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, tok, tf.tf, df.df,
+             tf.tf * (CAST(n_docs AS DOUBLE) / df.df) AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf.tf * (CAST(n_docs AS DOUBLE) / df.df) DESC,
+                                         tok) AS rk
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, score, rk FROM scored WHERE rk <= 3
+    """,
+    survey="§2.9 text analysis (tf-idf term weighting, top-3 characteristic terms per doc)",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf with LINEAR
+    idf (tf · N/df): two exact integer aggregates and exactly two IEEE
+    double ops (one divide, one multiply) per score, so ranking is
+    bit-identical across engines — log-idf would hinge on each engine's
+    libm ln() last-ulp behavior, which no oracle can promise. Ordering
+    ties break on the token.
+
+    Scale shape: tf is one explode+groupBy on (doc, token); df
+    re-aggregates tf's narrow output (never the exploded fact); N is a
+    broadcast scalar; the per-doc top-3 compiles to WindowGroupLimit so
+    each partition prunes to 3 rows before the final shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # corpus-size scalar attached via a constant-key broadcast EQUI-join
+    # (a crossJoin would plan as BroadcastNestedLoopJoin and trip the
+    # registry-wide cartesian lint)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("_k", F.lit(1))
+    score = F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        tf.join(df, "tok")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), "_k")
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score", "rk")
+    )
+
+
+@query(
+    "pack_training_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), laid AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM sized
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+           CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+           cum - n_tokens - ((cum - n_tokens) // 2048) * 2048 AS start_offset
+    FROM laid
+    """,
+    survey="§2.9 training prep (concat-and-chunk sequence packing into 2048-token windows)",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing — the standard pretraining batch prep:
+    documents are laid end-to-end in a deterministic hash order (stable
+    shuffle, reproducible across runs) and cut into fixed 2048-token
+    sequences; each doc reports the sequence span it lands in and its
+    offset within the first one. Integer math only.
+
+    Scale note: the running sum is a single global window here (fine
+    for a verification query); the production form computes per-
+    partition subtotals, broadcasts the partition-prefix offsets, and
+    adds them map-side — same results, no single-partition window."""
+    sized = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.orderBy("h", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    laid = sized.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "start", F.col("cum") - F.col("n_tokens")
+    )
+    # `div` is exact integer division — floor(double/2048) would round
+    # through a double and drift for large cumulative counts
+    return laid.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("start div 2048").alias("start_seq"),
+        F.expr("(cum - 1) div 2048").alias("end_seq"),
+        F.expr("start - (start div 2048) * 2048").alias("start_offset"),
+    )
