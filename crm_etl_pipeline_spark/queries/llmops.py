@@ -1234,17 +1234,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_training_sequences",
     oracle="""
     WITH sized AS (
-      SELECT doc_id,
+      SELECT doc_id, lang,
              len(string_split(text, ' ')) AS n_tokens,
              md5(CAST(doc_id AS VARCHAR)) AS h
       FROM documents
     ), laid AS (
-      SELECT doc_id, n_tokens,
-             CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM sized
     )
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, lang, n_tokens,
            CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
            CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
            cum - n_tokens - ((cum - n_tokens) // 2048) * 2048 AS start_offset
@@ -1254,21 +1254,27 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing — the standard pretraining batch prep:
-    documents are laid end-to-end in a deterministic hash order (stable
-    shuffle, reproducible across runs) and cut into fixed 2048-token
-    sequences; each doc reports the sequence span it lands in and its
-    offset within the first one. Integer math only.
+    within each language shard, documents are laid end-to-end in a
+    deterministic hash order (reproducible across runs) and cut into
+    fixed 2048-token sequences; each doc reports the (lang, sequence)
+    span it lands in and its offset within the first one.
 
-    Scale note: the running sum is a single global window here (fine
-    for a verification query); the production form computes per-
-    partition subtotals, broadcasts the partition-prefix offsets, and
-    adds them map-side — same results, no single-partition window."""
+    Packing is per-stratum BY DESIGN: pretraining corpora pack inside
+    language/domain shards, and the stratified window keeps the running
+    sum partition-parallel — a corpus-global ordering would need a
+    single-partition window (or a two-phase partition-prefix sum) that
+    this engine deliberately avoids in query paths. Integer math only."""
     sized = table(spark, sf_dir, "documents").select(
         "doc_id",
+        "lang",
         F.size(_tokens()).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = Window.orderBy("h", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     laid = sized.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
         "start", F.col("cum") - F.col("n_tokens")
     )
@@ -1276,6 +1282,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through a double and drift for large cumulative counts
     return laid.select(
         "doc_id",
+        "lang",
         "n_tokens",
         F.expr("start div 2048").alias("start_seq"),
         F.expr("(cum - 1) div 2048").alias("end_seq"),
