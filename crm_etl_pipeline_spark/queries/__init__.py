@@ -18,18 +18,37 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 )
 
 # Queries the driver's bounded correctness prefix should check FIRST this
-# round: everything with no driver row yet (r2 checked only the first 50
-# registration slots) plus the queries changed this round. registry.load_all
-# reorders REGISTRY to put these at the front; the rest follow in module
-# order. Keep this list ≤ ~50 names.
+# round: everything with no driver row yet plus the queries changed this
+# round. registry.load_all reorders REGISTRY to put these at the front; the
+# rest follow in module order. Keep this list ≤ ~50 names.
 DRIVER_PRIORITY: list[str] = [
-    # changed this round (decimal→double edge casts) — need fresh driver rows
+    # no driver row in any round (registered after the r3 window was set)
+    "doc_repetition_ratio",
+    "tfidf_top_terms",
+    "pack_training_sequences",
+    # reformulated this round: self-checking rank-error booleans with a
+    # real TRUE oracle (was rows-only)
+    "approx_value_percentiles",
+    # changed this round: BUCKET_CAP modeled in the oracles + from_capped
+    # edge keep-rule in dedup_components
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "dedup_components",
+    "lsh_bucket_profile",
+    # changed this round: first_attempts clamp (negative-value safety)
+    "streaming_requeue",
+    # changed this round: real PNG decode replaces fake_image_dims
+    "multimodal_features",
+    "multimodal_real_decode",
+    "multimodal_manifest",
+    "multimodal_frame_sample",
+    # r3-fixed decimal set — keep in the window for re-confirmation
     "typed_field_decode",
     "bucketed_join_colocated",
     "grouping_sets_region_segment",
     "ntile_order_value_quartiles",
-    "approx_value_percentiles",
-    # flagship + relational family (r1-only or never checked)
+    # flagship + relational family
     "flagship_segment_revenue",
     "pricing_summary",
     "point_lookup",
@@ -38,7 +57,7 @@ DRIVER_PRIORITY: list[str] = [
     "exists_returned_lineitems",
     "correlated_min_cost_supplier",
     "disjunctive_filter_scan",
-    # scd / streaming (never driver-checked)
+    # scd / streaming
     "scd2_versioned_store",
     "scd2_current_view",
     "scd2_soft_delete",
@@ -46,16 +65,15 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_scd2_state",
     "streaming_tumbling_counts",
     "streaming_dlq",
-    "streaming_requeue",
     "streaming_stateful_sessions",
-    # transforms (r1-only)
+    # transforms
     "html_strip_normalize",
     "array_csv_roundtrip",
     "date_parse_reformat",
     "safe_numeric_cast",
     "money_decimal_cast",
     "system_column_enrichment",
-    # windows (r1-only or never checked)
+    # windows
     "latest_order_per_customer",
     "running_revenue",
     "topk_per_group",
@@ -65,19 +83,6 @@ DRIVER_PRIORITY: list[str] = [
     "sliding_1h_user_value",
     "salted_user_event_totals",
     "percent_rank_acctbal",
-    # multimodal (never driver-checked)
-    "multimodal_manifest",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_real_decode",
-    # llmops tail that fell outside r2's 50-slot window
+    # llmops composition
     "curation_pipeline",
-    "lsh_bucket_profile",
-    "vocab_top_tokens",
-    "sample_stratified_hashrank",
-    # near-dedup family: code changed this round (capped pair generation)
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "embedding_near_dup",
-    "dedup_components",
 ]

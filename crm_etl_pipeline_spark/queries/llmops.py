@@ -1213,15 +1213,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # corpus-size scalar attached via a constant-key broadcast EQUI-join
-    # (a crossJoin would plan as BroadcastNestedLoopJoin and trip the
-    # registry-wide cartesian lint)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("_k", F.lit(1))
+    # corpus-size scalar attached via a broadcast EQUI-join. The key must
+    # be NON-FOLDABLE: a lit(1) key on both sides gets constant-folded by
+    # Catalyst, which drops the equi-condition and degrades the join to
+    # BroadcastNestedLoopJoin. least(col, 1) is provably 1 on both sides
+    # (tf ≥ 1 by construction, n_docs ≥ 1 on any non-empty corpus) but
+    # depends on a column, so the plan stays a BroadcastHashJoin with a
+    # 1-row build side.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        "n_docs", F.least(F.col("n_docs"), F.lit(1)).cast("int").alias("_k")
+    )
     score = F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
     return (
         tf.join(df, "tok")
-        .withColumn("_k", F.lit(1))
+        .withColumn("_k", F.least(F.col("tf"), F.lit(1)).cast("int"))
         .join(F.broadcast(n_docs), "_k")
         .withColumn("score", score)
         .withColumn("rk", F.row_number().over(w))
