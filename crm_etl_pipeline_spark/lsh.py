@@ -5,25 +5,36 @@ embedding sign buckets) generates candidate pairs INSIDE hash buckets —
 never all-pairs. LSH theory keeps buckets near the true-cluster size,
 but real corpora have pathological hot buckets (mass boilerplate: empty
 pages, license headers, templated spam) where one band signature can
-hold millions of members. Unbounded, that is (a) a single collect_list
-row holding the whole cluster — executor OOM — and (b) O(n²) pair
-explosion downstream.
+hold millions of members. Unbounded, that is an O(n²) pair explosion
+downstream of every hot bucket.
 
-``capped_pair_array`` bounds both failure modes WITHOUT silently
-dropping buckets: buckets at or under the cap emit the full pairwise
-set (exact candidate semantics); buckets over the cap degrade to STAR
-pairs — every member paired with the bucket's first (minimum) member.
-Star emission is O(n) in bucket size, keeps every member attached to
-the cluster (connected-component resolution still collapses it — the
-downstream consumer, ``dedup_components``, only needs connectivity),
-and loses only the redundant intra-cluster edges. A bucket that wide is
-by definition a mass-duplicate cluster, so pairwise scores inside it
-carry no extra information.
+``capped_pair_array`` bounds the pair output WITHOUT silently dropping
+buckets: buckets at or under the cap emit the full pairwise set (exact
+candidate semantics); buckets over the cap degrade to STAR pairs —
+every member paired with the bucket's first (minimum) member, the
+anchor. Star emission is O(n) in bucket size. NOTE the cap bounds the
+PAIR explosion only: the collect_list membership array is still O(n)
+per bucket row (a 10⁶-member bucket builds a 10⁶-element array — tens
+of MB, survivable where n² pairs are not; slice() the membership first
+if even that is a concern).
+
+Cap/downstream-filter contract, stated precisely: star pairs keep every
+member attached to the anchor IN THE PAIR OUTPUT, but downstream
+per-pair filters can still drop them — a star pair from a single
+over-cap band has n_shared_bands = 1, and similarity thresholds
+(hamming, cosine) score the member against the ANCHOR only. Consumers
+therefore either (a) bypass count thresholds for capped-bucket pairs —
+``minhash_near_dup`` emits a ``from_capped`` flag and
+``dedup_components`` keeps flagged edges regardless of its ≥2-band
+rule — or (b) accept a documented recall trade at the cap boundary
+(simhash/embedding, where the threshold is a genuine similarity test).
 
 The cap is surfaced, not silent: ``lsh_bucket_profile`` (queries/
 llmops.py) reports the bucket-size distribution and over-cap count per
-band as a first-class oracle-checked query, and the pair arrays carry
-an ``is_capped`` flag per bucket so callers can count degraded buckets.
+band as a first-class oracle-checked query, the pair arrays carry an
+``is_capped`` flag per bucket, and every consumer's DuckDB oracle
+models the cap (over-cap buckets contribute only anchor-rooted star
+pairs), so Spark and oracle agree at any bucket size.
 """
 
 from __future__ import annotations

@@ -304,11 +304,16 @@ _PERT_DIM = 10  # outside the 8 sign-bucket dims → clone lands in the same buc
              {" + ".join(f"CASE WHEN vd[{b + 1}] >= 0 THEN {1 << b} ELSE 0 END" for b in range(_SIGN_BITS))} AS bucket,
              {_fixed_dot_sql('vd', 'vd')} AS n2
       FROM corpus
+    ), sizes AS (
+      SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS anchor FROM e GROUP BY bucket
     ), scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
              CAST({_fixed_dot_sql('a.vd', 'b.vd')} AS DOUBLE)
                / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cosine
-      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM e a
+      JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN sizes s ON s.bucket = a.bucket
+      WHERE s.n <= {lsh.BUCKET_CAP} OR a.vec_id = s.anchor
     )
     SELECT vec_a, vec_b, bucket, cosine FROM scored WHERE cosine >= {_NEAR_THRESHOLD}
     """,
@@ -322,7 +327,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: same no-self-join bucket pattern as the text LSH —
     vectors shuffle once to their bucket, pairs generate inside the
-    bucket, never across the full corpus.
+    bucket, never across the full corpus. The oracle models the bucket
+    cap identically (over-cap buckets contribute only anchor-rooted star
+    pairs); the cosine threshold applies to star pairs too, so over-cap
+    members far from the bucket anchor trade some recall — documented,
+    bounded, surfaced by the bucket profile.
     """
     base = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vd")

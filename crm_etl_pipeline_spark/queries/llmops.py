@@ -413,11 +413,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh
     ), bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_band_sig_sql(b)} AS band_sig FROM sigs" for b in range(_N_BANDS))}
+    ), sizes AS (
+      SELECT band_id, band_sig, COUNT(*) AS n, MIN(doc_id) AS anchor
+      FROM bands GROUP BY band_id, band_sig
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           COUNT(*) AS n_shared_bands
-    FROM bands a JOIN bands b
+           COUNT(*) AS n_shared_bands,
+           bool_or(s.n > {lsh.BUCKET_CAP}) AS from_capped
+    FROM bands a
+    JOIN bands b
       ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    JOIN sizes s
+      ON s.band_id = a.band_id AND s.band_sig = a.band_sig
+    WHERE s.n <= {lsh.BUCKET_CAP} OR a.doc_id = s.anchor
     GROUP BY a.doc_id, b.doc_id
     """,
     survey="§2.9 near-dedup (MinHash + LSH banding; candidate pairs via band-bucket join)",
@@ -431,16 +439,28 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are md5 of the row minhashes, so bucket keys are uniform except for
     true near-dup clusters; a hot bucket (mass boilerplate) is bounded
     by lsh.capped_pair_array — exact pairwise up to the cap, O(n) star
-    connectivity above it — and surfaced by lsh_bucket_profile.
+    connectivity above it — and surfaced by lsh_bucket_profile. The
+    oracle models the cap identically (over-cap buckets contribute only
+    anchor-rooted star pairs), so Spark and oracle agree at ANY bucket
+    size, not just while the fixture stays under the cap.
+
+    ``from_capped`` marks pairs where ≥1 contributing bucket degraded
+    to star pairs; dedup_components keeps those edges regardless of its
+    shared-band threshold so over-cap clusters stay connected.
     """
     buckets = _minhash_buckets(spark, sf_dir)
     pair_array = lsh.capped_pair_array(
         F.col("ids"), lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
     )
     return (
-        buckets.select(F.explode(pair_array).alias("p"))
+        buckets.select(
+            F.explode(pair_array).alias("p"), lsh.is_capped(F.col("ids")).alias("capped")
+        )
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.bool_or("capped").alias("from_capped"),
+        )
     )
 
 
@@ -649,12 +669,19 @@ def _simhash_sig_sql(half: str) -> str:
       FROM scores
     ), bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, hi, lo, {b} AS band_id, {_BAND_SQL[b]} AS bkey FROM sigs" for b in range(_SIM_BANDS))}
+    ), sizes AS (
+      SELECT band_id, bkey, COUNT(*) AS n, MIN(doc_id) AS anchor
+      FROM bands GROUP BY band_id, bkey
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming,
            COUNT(*) AS n_shared_bands
-    FROM bands a JOIN bands b
+    FROM bands a
+    JOIN bands b
       ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    JOIN sizes s
+      ON s.band_id = a.band_id AND s.bkey = a.bkey
+    WHERE s.n <= {lsh.BUCKET_CAP} OR a.doc_id = s.anchor
     GROUP BY a.doc_id, b.doc_id, bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
     HAVING bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
     """,
@@ -671,7 +698,15 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sums (map-side combined) → band-bucket pair generation
     with 65 536-value keys — bucket size tracks real near-dup clusters,
     never the pigeonholed N/16 of a short signature. Same no-self-join
-    collect_list pattern as minhash_near_dup.
+    collect_list pattern as minhash_near_dup; the oracle models the
+    bucket cap identically (over-cap buckets contribute only
+    anchor-rooted star pairs).
+
+    Cap/threshold interaction, stated honestly: the hamming ≤ 3 filter
+    applies to star pairs too, so a member of an over-cap bucket whose
+    signature is far from the bucket ANCHOR (but near some other member)
+    loses that edge — a bounded recall trade at the cap boundary, by
+    design; lsh_bucket_profile surfaces how often it can happen.
     """
     toks = _tokens()
     exploded = (
@@ -770,12 +805,19 @@ _MIN_SHARED_BANDS = 2  # edge = pair agreeing in >= 2 of the 4 MinHash bands
       FROM sh
     ), bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_band_sig_sql(b)} AS band_sig FROM sigs" for b in range(_N_BANDS))}
+    ), sizes AS (
+      SELECT band_id, band_sig, COUNT(*) AS n, MIN(doc_id) AS anchor
+      FROM bands GROUP BY band_id, band_sig
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN bands b
         ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      JOIN sizes s
+        ON s.band_id = a.band_id AND s.band_sig = a.band_sig
+      WHERE s.n <= {lsh.BUCKET_CAP} OR a.doc_id = s.anchor
       GROUP BY a.doc_id, b.doc_id
-      HAVING COUNT(*) >= {_MIN_SHARED_BANDS}
+      HAVING COUNT(*) >= {_MIN_SHARED_BANDS} OR bool_or(s.n > {lsh.BUCKET_CAP})
     ), edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
@@ -793,9 +835,16 @@ _MIN_SHARED_BANDS = 2  # edge = pair agreeing in >= 2 of the 4 MinHash bands
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster resolution: near-dup candidate pairs (≥2 shared
-    MinHash bands) become an undirected graph; each doc gets the minimum
-    doc_id reachable from it as its component id — the keep-one-per-
-    cluster rule production dedup applies after pair generation.
+    MinHash bands, OR any pair from a capped bucket) become an
+    undirected graph; each doc gets the minimum doc_id reachable from it
+    as its component id — the keep-one-per-cluster rule production dedup
+    applies after pair generation.
+
+    The ``from_capped`` keep-rule matters at scale: a star pair emitted
+    by ONE over-cap bucket has n_shared_bands = 1 and would fail the
+    ≥2-band threshold, silently disconnecting members of exactly the
+    mass-duplicate clusters the cap exists for. Capped-bucket edges
+    bypass the threshold so those clusters stay whole.
 
     Spark shape: iterative min-label propagation (the Pregel/GraphX
     connected-components algorithm on plain DataFrames). Each round is
@@ -810,7 +859,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = (
         minhash_near_dup(spark, sf_dir)
-        .filter(F.col("n_shared_bands") >= _MIN_SHARED_BANDS)
+        .filter((F.col("n_shared_bands") >= _MIN_SHARED_BANDS) | F.col("from_capped"))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

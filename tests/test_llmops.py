@@ -198,6 +198,84 @@ def test_capped_pair_array_bounds_hot_buckets(spark):
     assert ok.filter("capped").count() == 0
 
 
+def test_capped_pair_oracle_model_equivalence(spark):
+    """The DuckDB oracles model capped_pair_array as: bucket size ≤ cap →
+    full pairwise; over cap → anchor-rooted star pairs (WHERE n <= cap OR
+    a.id = anchor, with a.id < b.id). Verify the Spark pipeline and the
+    SQL model produce IDENTICAL (pair, n_shared_bands, from_capped) rows
+    on synthetic buckets straddling a tiny cap — so Spark and oracle
+    cannot silently diverge when a real bucket exceeds lsh.BUCKET_CAP."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark import lsh
+
+    cap = 4
+    rows = (
+        [(d, 0, "A") for d in range(6)]  # over-cap bucket → star pairs
+        + [(10 + d, 0, "B") for d in range(4)]  # at-cap bucket → full pairwise
+        + [(d, 1, "C") for d in (0, 1)]  # band-1 overlap: (0,1) gets 2 bands
+    )
+    bands = spark.createDataFrame(rows, "doc_id int, band_id int, band_sig string")
+    buckets = (
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair = lsh.capped_pair_array(
+        F.col("ids"), lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")), cap=cap
+    )
+    got = (
+        buckets.select(
+            F.explode(pair).alias("p"), lsh.is_capped(F.col("ids"), cap=cap).alias("capped")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.bool_or("capped").alias("from_capped"),
+        )
+    )
+    got_rows = sorted((r.doc_a, r.doc_b, r.n_shared_bands, r.from_capped) for r in got.collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bands(doc_id INT, band_id INT, band_sig VARCHAR)")
+    con.executemany("INSERT INTO bands VALUES (?, ?, ?)", rows)
+    oracle = con.execute(
+        f"""
+        WITH sizes AS (
+          SELECT band_id, band_sig, COUNT(*) AS n, MIN(doc_id) AS anchor
+          FROM bands GROUP BY band_id, band_sig
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared_bands, bool_or(s.n > {cap}) AS from_capped
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        JOIN sizes s ON s.band_id = a.band_id AND s.band_sig = a.band_sig
+        WHERE s.n <= {cap} OR a.doc_id = s.anchor
+        GROUP BY a.doc_id, b.doc_id
+        ORDER BY doc_a, doc_b
+        """
+    ).fetchall()
+    assert got_rows == [tuple(r) for r in oracle]
+    # (0,1): star pair from the capped band-0 bucket PLUS an exact pair
+    # from band-1 → 2 shared bands, flagged from_capped — exactly the edge
+    # dedup_components' keep-rule exists for
+    assert (0, 1, 2, True) in got_rows
+
+
+def test_fixture_buckets_under_cap(spark):
+    """At the driver's sf0.01 every MinHash band bucket stays under
+    lsh.BUCKET_CAP, so the oracle comparisons exercise the exact
+    full-pairwise path (the capped path is covered by the synthetic
+    equivalence test above — the oracles model both)."""
+    from crm_etl_pipeline_spark import lsh
+
+    prof = REGISTRY["lsh_bucket_profile"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert prof
+    assert all(r.n_over_cap == 0 and r.max_bucket <= lsh.BUCKET_CAP for r in prof)
+
+
 def test_approx_percentiles_within_rank_error(spark):
     """approx_value_percentiles has no SQL oracle (GK sketch vs DuckDB
     t-digest differ by design), so the correctness contract is the GK
