@@ -232,28 +232,80 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "approx_value_percentiles",
-    oracle=None,  # GK sketch vs DuckDB t-digest: algorithms differ by design;
-    # rows-only here, the rank-error bound is asserted in
-    # tests/test_llmops.py::test_approx_percentiles_within_rank_error
-    survey="A-family at scale (approx_percentile / GK sketch — the 100 TB percentile path)",
-)
-def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB sibling of value_percentiles: Greenwald-Khanna
-    approximate percentiles (percentile_approx). Exact percentiles need
-    the full group sorted on one executor; the GK summary is a bounded-
-    size mergeable sketch (map-side partials, one shuffle of sketches,
-    rank error ≤ n/accuracy) — the same reason KMV stands in for exact
-    distinct. accuracy=10000 → ±0.01% rank error, a few KB per group."""
+_GK_ACCURACY = 10000
+
+
+def gk_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Greenwald-Khanna percentile sketch values per event type.
+
+    Not driver-registered on its own: GK values cannot equal DuckDB's
+    t-digest values (different algorithms by design), so the registered
+    query below checks the GK RANK-ERROR GUARANTEE instead — a property
+    both engines can agree on exactly."""
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.9, 10000).alias("p90"),
-            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+            F.percentile_approx("value", 0.5, _GK_ACCURACY).alias("p50"),
+            F.percentile_approx("value", 0.9, _GK_ACCURACY).alias("p90"),
+            F.percentile_approx("value", 0.99, _GK_ACCURACY).alias("p99"),
         )
+    )
+
+
+@query(
+    "approx_value_percentiles",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) / {_GK_ACCURACY} AS max_rank_err,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+    survey="A-family at scale (approx_percentile / GK sketch — the 100 TB percentile path)",
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sibling of value_percentiles, SELF-CHECKING: compute
+    the Greenwald-Khanna sketch (percentile_approx — bounded mergeable
+    summary, map-side partials, one shuffle of sketches), then verify
+    the GK contract in-engine: each returned value's rank interval
+    [#{v < p} + 1, #{v ≤ p}] must intersect q·n ± (n/accuracy + 1) —
+    the +1 absorbs the floor/ceil target-rank convention. The oracle is
+    the all-TRUE twin, so the driver records a REAL hash match for the
+    sketch path instead of a rows-only row. Exact percentiles need the
+    full group sorted on one executor; the GK summary is the standard
+    100 TB answer (accuracy=10000 → ±0.01% rank error, KBs per group).
+
+    Scale shape: one broadcast of the per-group sketch values back onto
+    the events scan, one count-aggregate pass — both trivially
+    partition-parallel."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    sk = gk_percentile_sketch(spark, sf_dir)
+    j = ev.join(F.broadcast(sk), "event_type")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in ("p50", "p90", "p99"):
+        aggs.append(
+            F.sum(F.when(F.col("value") < F.col(p), 1).otherwise(0)).alias(f"lt_{p}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("value") <= F.col(p), 1).otherwise(0)).alias(f"le_{p}")
+        )
+    agg = j.groupBy("event_type").agg(*aggs)
+
+    def ok(q: float, p: str) -> F.Column:
+        target = F.lit(q) * F.col("n").cast("double")
+        slack = F.col("n").cast("double") / F.lit(float(_GK_ACCURACY)) + F.lit(1.0)
+        return ((F.col(f"lt_{p}") + 1).cast("double") <= target + slack) & (
+            F.col(f"le_{p}").cast("double") >= target - slack
+        )
+
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / _GK_ACCURACY).alias("max_rank_err"),
+        ok(0.5, "p50").alias("p50_ok"),
+        ok(0.9, "p90").alias("p90_ok"),
+        ok(0.99, "p99").alias("p99_ok"),
     )
 
 
