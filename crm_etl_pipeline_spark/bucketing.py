@@ -18,6 +18,8 @@ point lookups on the bucket key.
 
 from __future__ import annotations
 
+import atexit
+import glob
 import os
 import shutil
 import tempfile
@@ -29,7 +31,31 @@ from pyspark.sql import DataFrame, SparkSession
 # repo cwd) and never in the repo. PID-namespaced so a driver run and a
 # pytest run (or two parallel sessions) can't rmtree files the other is
 # mid-read — table names are constants, so the root must not be shared.
+# The per-PID root is removed at process exit, and roots left by dead
+# PIDs (crashed runs never reach atexit) are swept at import, so
+# repeated runs don't accumulate bucketed table data in /tmp.
 _BUCKET_ROOT = f"{tempfile.gettempdir()}/crm_etl_bucketed_{os.getpid()}"
+
+atexit.register(shutil.rmtree, _BUCKET_ROOT, ignore_errors=True)
+
+
+def _sweep_stale_roots() -> None:
+    for p in glob.glob(f"{tempfile.gettempdir()}/crm_etl_bucketed_*"):
+        try:
+            pid = int(p.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # liveness probe only
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave its root alone
+
+
+_sweep_stale_roots()
 
 
 def _drop_table_and_location(spark: SparkSession, name: str) -> None:

@@ -154,12 +154,15 @@ def run_pipeline(
             failures = batch.filter(F.col("event_type") == "error").withColumn(
                 "failed_attempts", F.floor(F.col("value")).cast("int") % 12 + 1
             )
-            failures.filter(F.col("failed_attempts") >= DLQ_THRESHOLD).write.mode(
-                "append"
-            ).parquet(str(paths["dlq"]))
-            failures.filter(F.col("failed_attempts") < DLQ_THRESHOLD).write.mode(
-                "append"
-            ).parquet(str(paths["retry_queue"]))
+            dead = failures.filter(F.col("failed_attempts") >= DLQ_THRESHOLD)
+            queued = failures.filter(F.col("failed_attempts") < DLQ_THRESHOLD)
+            # skip empty appends: an empty write still creates an empty
+            # part file, and in the retry queue that file would feed the
+            # drain loop a perpetual "new input" signal (see retry_batch)
+            if not dead.isEmpty():
+                dead.write.mode("append").parquet(str(paths["dlq"]))
+            if not queued.isEmpty():
+                queued.write.mode("append").parquet(str(paths["retry_queue"]))
         finally:
             batch.unpersist()
 
@@ -189,12 +192,20 @@ def drain_retry_queue(spark: SparkSession, paths: dict[str, object]) -> int:
     is the at-least-once processed-set — no manual file bookkeeping).
     A pass re-attempts each queued failure: still failing with
     ``attempts+1 < threshold`` → re-append to the queue (picked up by
-    the NEXT pass); at the threshold → DLQ. Attempts increase
-    monotonically per pass, so convergence takes ≤ DLQ_THRESHOLD
-    passes; we stop at the first pass that appends nothing new.
-    Returns the number of passes run. In this deterministic replay an
-    'error' event always fails again (the fixture has no success-on-
-    retry signal), matching the derived-attempts model used everywhere.
+    the NEXT pass); at the threshold → DLQ. The loop terminator is the
+    FIXPOINT check (a pass that appends nothing new), not a bound
+    derived from the threshold: derived first attempts are
+    ``floor(value) % 12 + 1``, which both engines sign-preserve, so a
+    negative event value yields first_attempts ≤ 0 and needs MORE than
+    DLQ_THRESHOLD passes — a threshold-derived cap would exit early and
+    silently under-fill the DLQ. Attempts still increase monotonically
+    by 1 per pass, so the fixpoint arrives in at most
+    ``DLQ_THRESHOLD - min(first_attempts)`` passes; the hard cap only
+    guards against a requeue bug looping forever, and overrunning it
+    raises rather than returning partial state. Returns the number of
+    passes run. In this deterministic replay an 'error' event always
+    fails again (the fixture has no success-on-retry signal), matching
+    the derived-attempts model used everywhere.
     """
     queue_dir = str(paths["retry_queue"])
     retry_ckpt = str(paths["checkpoint"]) + "_retry"
@@ -206,17 +217,26 @@ def drain_retry_queue(spark: SparkSession, paths: dict[str, object]) -> int:
         bumped = batch.withColumn("failed_attempts", F.col("failed_attempts") + 1)
         bumped = bumped.persist()
         try:
-            bumped.filter(F.col("failed_attempts") >= DLQ_THRESHOLD).write.mode(
-                "append"
-            ).parquet(str(paths["dlq"]))
-            bumped.filter(F.col("failed_attempts") < DLQ_THRESHOLD).write.mode(
-                "append"
-            ).parquet(queue_dir)
+            dead = bumped.filter(F.col("failed_attempts") >= DLQ_THRESHOLD)
+            requeued = bumped.filter(F.col("failed_attempts") < DLQ_THRESHOLD)
+            if not dead.isEmpty():
+                dead.write.mode("append").parquet(str(paths["dlq"]))
+            # skip-empty is LOAD-BEARING, not cosmetic: an empty append
+            # still writes one empty part file, which the next pass's
+            # stream picks up as new input, which appends another empty
+            # file — the directory never stops changing and the fixpoint
+            # terminator below never fires
+            if not requeued.isEmpty():
+                requeued.write.mode("append").parquet(queue_dir)
         finally:
             bumped.unpersist()
 
     passes = 0
-    while passes < DLQ_THRESHOLD + 1:
+    # floor(value) % 12 + 1 ∈ [-10, 12] (sign-preserving %), so the
+    # farthest-from-threshold failure converges in ≤ 2·DLQ_THRESHOLD
+    # passes; anything past that is a requeue bug, not slow convergence
+    max_passes = 2 * DLQ_THRESHOLD + 2
+    while True:
         before = {f for f in os.listdir(queue_dir) if f.endswith(".parquet")}
         q = (
             spark.readStream.schema(schema)
@@ -230,7 +250,12 @@ def drain_retry_queue(spark: SparkSession, paths: dict[str, object]) -> int:
         passes += 1
         after = {f for f in os.listdir(queue_dir) if f.endswith(".parquet")}
         if after == before:
-            break  # nothing requeued: every failure has dead-lettered
+            break  # fixpoint: nothing requeued, every failure dead-lettered
+        if passes >= max_passes:
+            raise RuntimeError(
+                f"retry queue failed to converge after {passes} passes — "
+                "requeue loop is appending without bumping attempts"
+            )
     return passes
 
 

@@ -92,6 +92,29 @@ def test_requeue_drains_to_convergence(spark, tmp_path):
     assert 0 < paths["retry_passes"] <= streaming.DLQ_THRESHOLD + 1
 
 
+def test_drain_converges_with_negative_first_attempts(spark, tmp_path):
+    """floor(value) % 12 + 1 is sign-preserving in both engines, so a
+    negative event value yields first_attempts ≤ 0. The drain loop must
+    run to FIXPOINT (more than DLQ_THRESHOLD+1 passes here — the old
+    threshold-derived bound would exit early and silently under-fill the
+    DLQ) and dead-letter every failure at exactly the threshold."""
+    queue = tmp_path / "retry_queue"
+    rows = [("e1", -5), ("e2", 1), ("e3", -10)]
+    spark.createDataFrame(rows, "event_id string, failed_attempts int").write.mode(
+        "append"
+    ).parquet(str(queue))
+    paths = {
+        "retry_queue": str(queue),
+        "dlq": str(tmp_path / "dlq"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    passes = streaming.drain_retry_queue(spark, paths)
+    assert passes > streaming.DLQ_THRESHOLD + 1
+    dlq = spark.read.parquet(paths["dlq"])
+    got = {(r.event_id, r.failed_attempts) for r in dlq.collect()}
+    assert got == {("e1", 10), ("e2", 10), ("e3", 10)}
+
+
 def test_compacted_current_view_fast_path(spark, tmp_path):
     """compact_store folds the log into the partitioned store; the
     serving read (current=true partition ∪ fresh log) returns the same
