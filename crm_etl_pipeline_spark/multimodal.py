@@ -15,17 +15,18 @@ Spark-first design:
 - frame/window sampling is pure column algebra (sequence + explode),
   no Python.
 
-Codec status: WAV (RIFF/PCM) and BMP are decoded FOR REAL —
-``fabricate_media`` emits genuine RIFF/BMP byte streams and
-``decode_media`` parses the actual container headers (chunk walk /
-fixed-offset header), with a closed-form DuckDB oracle proving
-decode(fabricate(x)) recovers the parameters
-(queries/multimodal_q.py:multimodal_real_decode). Formats that need
-external codecs (mp4 — no libav in this container) remain stubbed:
-``decode_features``' real_codec branch raises NotImplementedError and
-the fake branch is clearly marked. The Spark-side plumbing — schema,
-Arrow batching, UDF signature, partition behavior — is identical for
-real and stubbed formats.
+Codec status: WAV (RIFF/PCM), BMP, and PNG are decoded FOR REAL —
+``fabricate_media`` emits genuine RIFF/BMP/PNG byte streams (PNG IDAT
+is a true zlib stream built with the stdlib) and ``decode_media``
+parses the actual containers (RIFF chunk walk, BITMAPINFOHEADER, PNG
+chunk walk with CRC verification + full zlib inflate + scanline
+check), with a closed-form DuckDB oracle proving decode(fabricate(x))
+recovers the parameters
+(queries/multimodal_q.py:multimodal_real_decode). The one remaining
+stub is mp4 (needs libav, absent in this container): ``decode_media``
+raises NotImplementedError for it, clearly marked. The Spark-side
+plumbing — schema, Arrow batching, UDF signature, partition behavior —
+is identical for real and stubbed formats.
 """
 
 from __future__ import annotations
@@ -78,57 +79,28 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def fake_image_dims(n_bytes: int) -> tuple[int, int, int]:
-    """Deterministic FAKE decode (see stub notice): pretend dimensions
-    derived from payload size. Replace with PIL.Image.open for real
-    pixels."""
-    return n_bytes % 640 + 16, n_bytes % 480 + 16, n_bytes % 3 + 1
-
-
-def decode_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
-
-    ``mapInPandas``: each pandas batch carries the payload bytes;
-    per-batch vectorized work replaces per-row Python. The fake decode
-    keeps the full batch shape of a real one.
-    """
-    if real_codec:
-        raise NotImplementedError(
-            "no image/audio codecs in this environment (PIL/libav absent); "
-            "wire the real decoder here when available"
-        )
-
-    flat = media.select(
-        "doc_id", F.col("meta.mime").alias("mime"), F.col("payload")
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction: the REAL container decode
+    (``decode_media``) projected to the training-pipeline feature
+    columns. Audio rows report channel count with null dimensions;
+    image rows report width/height/channels. Input must carry
+    ``(doc_id, mime, payload)`` real media bytes (``fabricate_media``
+    output shape); an mp4 row raises the documented codec stub."""
+    return decode_media(media).select(
+        "doc_id", "mime", "n_bytes", "width", "height", "n_channels"
     )
-
-    def extract(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "mime": pdf["mime"],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "width": (n_bytes % 640 + 16).astype("int32"),
-                    "height": (n_bytes % 480 + 16).astype("int32"),
-                    "n_channels": (n_bytes % 3 + 1).astype("int32"),
-                }
-            )
-
-    return flat.mapInPandas(extract, FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
-# real codecs: WAV (RIFF/PCM) + BMP — pure-Python container parsing, no
-# external libraries. Fabrication parameters are closed-form in doc_id so a
-# SQL oracle can verify that decoding the real bytes recovers them.
+# real codecs: WAV (RIFF/PCM) + BMP + PNG — pure-Python container parsing
+# (stdlib zlib for PNG), no external libraries. Fabrication parameters are
+# closed-form in doc_id so a SQL oracle can verify that decoding the real
+# bytes recovers them.
 
 WAV_RATE = 8000
 WAV_BITS = 16
 BMP_BPP = 24
+PNG_BIT_DEPTH = 8  # 8-bit RGB (color type 2) → 3 channels
 
 #: decode output schema (wav rows: width/height null; bmp rows:
 #: sample_rate/n_samples null)
@@ -200,11 +172,52 @@ def _bmp_bytes(doc_id: int) -> bytes:
     return header + pixels
 
 
+def _png_bytes(doc_id: int) -> bytes:
+    """A complete, valid PNG: signature, IHDR (8-bit RGB, color type 2),
+    one IDAT holding a genuine zlib stream of the filter-prefixed
+    scanlines, IEND — every chunk carries its real CRC32. width =
+    16 + doc_id % 32, height = 16 + (11 * doc_id) % 32.
+
+    The zlib stream uses level=0 (stored blocks) so the compressed size
+    is closed-form for the oracle: raw scanlines L = h·(1 + 3w) bytes
+    fit one stored block (L ≤ 6674 < 65535), giving a stream of
+    2 (zlib hdr) + 5 (block hdr) + L + 4 (adler32) bytes and a file of
+    exactly 68 + L bytes. The stream is still a real DEFLATE stream the
+    decoder must inflate — stored blocks are a first-class block type,
+    not a shortcut."""
+    import struct
+    import zlib
+
+    w = 16 + doc_id % 32
+    h = 16 + (11 * doc_id) % 32
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)  # per-scanline filter byte: 0 = None
+        base = doc_id + r * 3 * w
+        raw += bytes((base + i) % 256 for i in range(3 * w))
+    comp = zlib.compressobj(level=0)
+    idat = comp.compress(bytes(raw)) + comp.flush()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, PNG_BIT_DEPTH, 2, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def fabricate_media(docs: DataFrame) -> DataFrame:
-    """Fabricate REAL media bytes per doc: even doc_ids get a PCM WAV,
-    odd get a 24-bit BMP. mapInPandas because binary packing is not
-    column algebra — this is the fixture generator, not the hot path."""
+    """Fabricate REAL media bytes per doc by doc_id % 3: 0 → PCM WAV,
+    1 → 24-bit BMP, 2 → 8-bit RGB PNG. mapInPandas because binary
+    packing is not column algebra — this is the fixture generator, not
+    the hot path."""
     flat = docs.select("doc_id")
+    builders = {0: _wav_bytes, 1: _bmp_bytes, 2: _png_bytes}
+    mimes = {0: "audio/wav", 1: "image/bmp", 2: "image/png"}
 
     def build(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -214,10 +227,8 @@ def fabricate_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "mime": ["audio/wav" if i % 2 == 0 else "image/bmp" for i in ids],
-                    "payload": [
-                        _wav_bytes(int(i)) if i % 2 == 0 else _bmp_bytes(int(i)) for i in ids
-                    ],
+                    "mime": [mimes[int(i) % 3] for i in ids],
+                    "payload": [builders[int(i) % 3](int(i)) for i in ids],
                 }
             )
 
@@ -227,14 +238,20 @@ def fabricate_media(docs: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame) -> DataFrame:
     """REAL decode of the binary payloads: walks RIFF chunks for WAV
     (never assumes the canonical 44-byte layout), reads the
-    BITMAPINFOHEADER for BMP. Arrow-batched mapInPandas — the payload
-    crosses to Python per batch; header parsing is O(1) per item.
+    BITMAPINFOHEADER for BMP, and for PNG walks the chunk stream
+    verifying each CRC32, inflates the IDAT zlib stream, and checks the
+    decompressed scanlines (filter bytes + exact stride·height size) —
+    a genuine decode, not a header peek. mp4 raises the documented
+    NotImplementedError stub (no libav in this container).
+    Arrow-batched mapInPandas — the payload crosses to Python per
+    batch; parsing is O(payload) per item.
     Parity anchor: the reference treats attachments as opaque passthrough
     (`PodioApiWrapper.py` has no media decode) — this is the §2.9
     multimodal extension."""
 
     def extract(batches: Iterator) -> Iterator:
         import struct
+        import zlib
 
         import pandas as pd
 
@@ -257,6 +274,30 @@ def decode_media(media: DataFrame) -> DataFrame:
             bpp = struct.unpack_from("<H", b, 28)[0]
             return w, abs(h), bpp
 
+        def parse_png(b: bytes):
+            assert b[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG stream"
+            pos, dims, idat = 8, None, bytearray()
+            while pos + 12 <= len(b):
+                size = struct.unpack_from(">I", b, pos)[0]
+                ctype = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + size]
+                crc = struct.unpack_from(">I", b, pos + 8 + size)[0]
+                assert crc == zlib.crc32(ctype + data) & 0xFFFFFFFF, "PNG chunk CRC mismatch"
+                if ctype == b"IHDR":
+                    dims = struct.unpack_from(">IIBB", data, 0)  # w, h, depth, color
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + size
+            w, h, depth, color_type = dims
+            n_ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+            raw = zlib.decompress(bytes(idat))  # real inflate, adler32-checked
+            stride = 1 + w * n_ch * depth // 8
+            assert len(raw) == stride * h, "decompressed scanline size mismatch"
+            assert all(raw[r * stride] <= 4 for r in range(h)), "invalid PNG filter byte"
+            return w, h, n_ch, depth
+
         for pdf in batches:
             rows = []
             for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
@@ -264,9 +305,17 @@ def decode_media(media: DataFrame) -> DataFrame:
                 if mime == "audio/wav":
                     n_ch, rate, bits, n_samples = parse_wav(b)
                     rows.append((doc_id, mime, len(b), None, None, n_ch, rate, n_samples, bits))
-                else:
+                elif mime == "image/bmp":
                     w, h, bpp = parse_bmp(b)
                     rows.append((doc_id, mime, len(b), w, h, 3, None, None, bpp))
+                elif mime == "image/png":
+                    w, h, n_ch, depth = parse_png(b)
+                    rows.append((doc_id, mime, len(b), w, h, n_ch, None, None, depth))
+                else:
+                    raise NotImplementedError(
+                        f"no codec for {mime} in this environment "
+                        "(mp4 needs libav); wire the real decoder here when available"
+                    )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return media.mapInPandas(extract, MEDIA_SCHEMA)

@@ -37,17 +37,35 @@ def test_integrity_gate(spark):
 
 
 def test_feature_batch_shape(spark):
-    feats = multimodal.decode_features(_media(spark))
-    assert feats.schema == multimodal.FEATURE_SCHEMA
+    """decode_features projects the real decode to the feature schema:
+    audio rows carry channels with null dims, image rows carry real
+    width/height from their container headers."""
+    docs = table(spark, SF_DIR, "documents")
+    feats = multimodal.decode_features(multimodal.fabricate_media(docs))
+    assert [(f.name, f.dataType) for f in feats.schema.fields] == [
+        (f.name, f.dataType) for f in multimodal.FEATURE_SCHEMA.fields
+    ]
     rows = feats.collect()
     assert rows
     for r in rows:
-        assert (r.width, r.height, r.n_channels) == multimodal.fake_image_dims(r.n_bytes)
+        if r.mime == "audio/wav":
+            assert r.width is None and r.height is None
+            assert r.n_channels == 1 + (r.doc_id % 4) // 2
+        else:
+            assert r.n_channels == 3
+            assert r.width == 16 + r.doc_id % 32
 
 
-def test_real_codec_is_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_features(_media(spark), real_codec=True)
+def test_mp4_codec_is_stubbed(spark):
+    """mp4 is the one remaining honest stub: decoding a video/mp4 row
+    must raise the documented NotImplementedError (surfaced through the
+    mapInPandas executor as a PythonException wrapping it)."""
+    row = spark.createDataFrame(
+        [(1, "video/mp4", bytearray(b"\x00\x00\x00\x18ftypmp42"))],
+        "doc_id long, mime string, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        multimodal.decode_media(row).collect()
 
 
 def test_frame_offsets_cover_payload(spark):
@@ -77,6 +95,30 @@ def test_fabricated_wav_opens_with_stdlib():
             assert w.getframerate() == multimodal.WAV_RATE
             assert w.getsampwidth() == multimodal.WAV_BITS // 8
             assert w.getnframes() == 100 + doc_id % 500
+
+
+def test_fabricated_png_is_valid():
+    """PNG sanity independent of our parser: signature, IHDR dims at
+    their fixed offsets, closed-form file length (68 + scanline bytes —
+    the stored-block zlib framing the oracle relies on), and the IDAT
+    stream inflates to exactly the filter-prefixed scanlines."""
+    import struct
+    import zlib
+
+    from crm_etl_pipeline_spark import multimodal
+
+    for doc_id in (2, 5, 8, 32, 101, 497):
+        b = multimodal._png_bytes(doc_id)
+        w, h = 16 + doc_id % 32, 16 + (11 * doc_id) % 32
+        scan = h * (1 + 3 * w)
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        assert struct.unpack_from(">II", b, 16) == (w, h)  # IHDR data @16
+        assert len(b) == 68 + scan
+        idat_len = struct.unpack_from(">I", b, 33)[0]  # IDAT follows IHDR @33
+        assert b[37:41] == b"IDAT" and idat_len == scan + 11
+        raw = zlib.decompress(b[41 : 41 + idat_len])
+        assert len(raw) == scan and raw[0] == 0
+        assert raw[1] == doc_id % 256  # first pixel byte is closed-form too
 
 
 def test_fabricated_bmp_header_is_valid():
