@@ -850,18 +850,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components algorithm on plain DataFrames). Each round is
     one equi-join edge⋈labels + a min-groupBy; rounds needed = graph
     diameter (near-dup clusters are cliques or short chains, so 2-3).
-    The edge list is materialized once via localCheckpoint — the
-    signature pipeline never re-executes — and each round checkpoints
-    to keep lineage flat. The per-round convergence count is a scalar
-    driver action, the standard terminator for iterative algorithms
-    (not a data collect). The oracle is DuckDB's recursive CTE over the
-    same edges.
+    The edge list is materialized once — the signature pipeline never
+    re-executes — and each round checkpoints to keep lineage flat, via
+    reliable_checkpoint: localCheckpoint at local[*], promoted to
+    fault-tolerant checkpoint() when checkpointing.CHECKPOINT_DIR_CONF
+    is set on a real cluster. The per-round convergence count is a
+    scalar driver action, the standard terminator for iterative
+    algorithms (not a data collect). The oracle is DuckDB's recursive
+    CTE over the same edges.
     """
-    pairs = (
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
+    pairs = reliable_checkpoint(
         minhash_near_dup(spark, sf_dir)
         .filter((F.col("n_shared_bands") >= _MIN_SHARED_BANDS) | F.col("from_capped"))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
     )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -873,9 +876,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         neighbor = edges.join(
             labels.select(F.col("doc_id").alias("src"), "label"), "src"
         ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
+        new_labels = reliable_checkpoint(
             labels.unionAll(neighbor).groupBy("doc_id").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -95,8 +95,13 @@ def compact_store(spark: SparkSession, log_path: str, base_path: str) -> None:
     (the periodic maintenance job): one full-log window + one rewrite,
     amortized over many appended batches instead of paid per batch.
     After compaction the log can be truncated and serving resumes from
-    the is_current partition."""
-    merged = read_converged_store(spark, log_path).localCheckpoint(eager=True)
+    the is_current partition. The fold is checkpointed before the
+    overwrite (reliable_checkpoint: local at local[*], fault-tolerant
+    checkpoint() when CHECKPOINT_DIR_CONF is set) so the write never
+    re-reads the path it is replacing mid-overwrite."""
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
+    merged = reliable_checkpoint(read_converged_store(spark, log_path))
     scd.write_store(merged, base_path)
 
 

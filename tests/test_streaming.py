@@ -144,6 +144,72 @@ def test_compacted_current_view_fast_path(spark, tmp_path):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, full.collect()))
 
 
+def test_compaction_roundtrip_after_log_truncation(spark, tmp_path):
+    """The 100 TB serving-path claim, asserted end-to-end: after
+    compact_store folds the log into the partitioned base, the log can
+    be DELETED and serving (base current=true partition ∪ fresh log)
+    still equals the full-history merge — and the base read
+    partition-prunes to the current=true files (plan-asserted), so
+    history is never scanned on the serving path."""
+    import re
+    import shutil
+
+    paths = streaming.run_pipeline(spark, SF_DIR, workdir=str(tmp_path))
+    log, base = str(paths["store"]), str(tmp_path / "compacted")
+    extra = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type").isin(*streaming.PROCESS_TYPES))
+        .limit(7)
+        .select(
+            F.col("user_id").alias("item_id"),
+            "event_id",
+            (F.timestamp_micros(F.expr("ts div 1000")) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            (F.col("value") + 1).alias("value"),
+        )
+    )
+    cols = ["item_id", "event_id", "ts", "value"]
+    # materialize the expected full-history state BEFORE truncating
+    expected = sorted(
+        map(
+            tuple,
+            scd.current_view(
+                scd.scd2_apply(streaming.read_converged_store(spark, log), extra)
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    streaming.compact_store(spark, log, base)
+    shutil.rmtree(log)  # log truncation — serving must not need it
+    fresh_log = str(tmp_path / "fresh_log")
+    streaming._append_versions(fresh_log, extra)
+    fast = streaming.current_view_merged(spark, base, fresh_log).select(*cols)
+    assert sorted(map(tuple, fast.collect())) == expected
+    # the serving base read prunes to the current=true partition
+    cv = scd.current_view(scd.read_store(spark, base))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = cv._jdf.queryExecution().explainString(mode)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cast(is_current" in pf.group(1), plan
+
+
+def test_reliable_checkpoint_flag(spark, tmp_path):
+    """Without the conf, reliable_checkpoint is localCheckpoint (no
+    files); with CHECKPOINT_DIR_CONF set it writes real checkpoint
+    files under the configured dir — the cluster-safe form."""
+    from crm_etl_pipeline_spark import checkpointing
+
+    assert checkpointing.reliable_checkpoint(spark.range(10)).count() == 10
+    ckpt = tmp_path / "reliable_ckpt"
+    spark.conf.set(checkpointing.CHECKPOINT_DIR_CONF, str(ckpt))
+    try:
+        assert checkpointing.reliable_checkpoint(spark.range(7)).count() == 7
+        files = [p for p in ckpt.rglob("*") if p.is_file()]
+        assert files, "no reliable checkpoint files written"
+    finally:
+        spark.conf.unset(checkpointing.CHECKPOINT_DIR_CONF)
+
+
 def test_completed_queue_and_dlq(spark, tmp_path):
     paths = streaming.run_pipeline(spark, SF_DIR, workdir=str(tmp_path))
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
