@@ -92,6 +92,27 @@ def test_requeue_drains_to_convergence(spark, tmp_path):
     assert 0 < paths["retry_passes"] <= streaming.DLQ_THRESHOLD + 1
 
 
+def test_unbounded_mode_processes_and_stops(spark, tmp_path):
+    """Unbounded mode (the reference's 10 s poll loop): run_pipeline
+    returns a live StreamingQuery handle; the backlog processes, the
+    converged state matches the batch equivalent, and stop() shuts the
+    query down cleanly."""
+    paths = streaming.run_pipeline(
+        spark, SF_DIR, workdir=str(tmp_path), trigger_available_now=False
+    )
+    q = paths["query"]
+    try:
+        q.processAllAvailable()  # drive the backlog deterministically
+        assert q.isActive
+        streamed = streaming.read_converged_store(spark, str(paths["store"]))
+        batch = streaming.batch_equivalent_state(spark, SF_DIR)
+        assert streamed.count() == batch.count()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert not q.isActive
+
+
 def test_drain_converges_with_negative_first_attempts(spark, tmp_path):
     """floor(value) % 12 + 1 is sign-preserving in both engines, so a
     negative event value yields first_attempts ≤ 0. The drain loop must
