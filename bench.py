@@ -48,19 +48,21 @@ def main() -> None:
     reg = load_all()
     names = [n for n in HEADLINE if n in reg]
     timings: dict[str, float] = {}
-    # warm-up ×2: JVM JIT + parquet footer cache (one pass is not enough
+    # warm-up ×3: JVM JIT + parquet footer cache (one pass is not enough
     # for the codegen-heavy queries — C2 compilation of the generated
-    # aggregate methods lands on the second execution)
-    for _ in range(2):
+    # aggregate methods lands on the second/third execution)
+    for _ in range(3):
         for name in names:
             reg[name].fn(spark, sf_dir).count()
     total = 0.0
     for name in names:
-        # min of three timed runs: the machine hosting the bench shares
-        # CPU, so a single sample can be 2-3x off (observed); min is the
-        # standard noise-robust estimator for a deterministic workload
+        # min of five timed runs: the machine hosting the bench shares
+        # CPU, so a single sample can be 2-3x off (observed; r3 recorded
+        # +14-27% drift on untouched sub-second queries with min-of-3);
+        # min is the standard noise-robust estimator for a deterministic
+        # workload
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             reg[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
