@@ -39,7 +39,17 @@ _BUCKET_ROOT = f"{tempfile.gettempdir()}/crm_etl_bucketed_{os.getpid()}"
 atexit.register(shutil.rmtree, _BUCKET_ROOT, ignore_errors=True)
 
 
+# age gate for the sweep: a root whose owning pid number is now an
+# unrelated long-lived process (pid reuse) would look "alive" to the
+# kill(0) probe forever; no legitimate run keeps a bucket root around
+# this long, so age alone is sufficient cause to reclaim.
+_STALE_ROOT_AGE_S = 6 * 3600
+
+
 def _sweep_stale_roots() -> None:
+    import time
+
+    now = time.time()
     for p in glob.glob(f"{tempfile.gettempdir()}/crm_etl_bucketed_*"):
         try:
             pid = int(p.rsplit("_", 1)[-1])
@@ -47,6 +57,12 @@ def _sweep_stale_roots() -> None:
             continue
         if pid == os.getpid():
             continue
+        try:
+            if now - os.path.getmtime(p) > _STALE_ROOT_AGE_S:
+                shutil.rmtree(p, ignore_errors=True)  # pid-reuse-proof reclaim
+                continue
+        except OSError:
+            continue  # raced with another sweeper
         try:
             os.kill(pid, 0)  # liveness probe only
         except ProcessLookupError:

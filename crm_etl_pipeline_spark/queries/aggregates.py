@@ -260,7 +260,9 @@ def gk_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            CAST(COUNT(*) AS DOUBLE) / {_GK_ACCURACY} AS max_rank_err,
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-    FROM events GROUP BY event_type
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type
     """,
     survey="A-family at scale (approx_percentile / GK sketch — the 100 TB percentile path)",
 )
@@ -278,8 +280,17 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one broadcast of the per-group sketch values back onto
     the events scan, one count-aggregate pass — both trivially
-    partition-parallel."""
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    partition-parallel.
+
+    NULL symmetry: percentile_approx ranks only non-null values, so the
+    rank counts (and n) filter NULL values — and NULL event_type groups
+    would survive a GROUP BY but not the inner equi-join — so both are
+    filtered identically here and in the oracle's WHERE clause."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+    )
     sk = gk_percentile_sketch(spark, sf_dir)
     j = ev.join(F.broadcast(sk), "event_type")
     aggs = [F.count(F.lit(1)).alias("n")]

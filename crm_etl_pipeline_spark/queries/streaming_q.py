@@ -87,7 +87,9 @@ def streaming_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter queue contents after the bounded run: every error
     event whose derived failed_attempts crossed the threshold."""
     paths = streaming.run_pipeline(spark, sf_dir, workdir=_workdir("dlq", sf_dir))
-    return spark.read.parquet(paths["dlq"]).select("event_id", "user_id", "failed_attempts")
+    return streaming.read_dlq(spark, paths, sf_dir).select(
+        "event_id", "user_id", "failed_attempts"
+    )
 
 
 @query(
@@ -116,7 +118,7 @@ def streaming_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, workdir=_workdir("requeue", sf_dir), drain_retries=True
     )
     first = F.floor(F.col("value")).cast("int") % 12 + 1
-    return spark.read.parquet(str(paths["dlq"])).select(
+    return streaming.read_dlq(spark, paths, sf_dir).select(
         "event_id",
         "user_id",
         "failed_attempts",

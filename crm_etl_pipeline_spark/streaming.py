@@ -163,10 +163,16 @@ def run_pipeline(
             queued = failures.filter(F.col("failed_attempts") < DLQ_THRESHOLD)
             # skip empty appends: an empty write still creates an empty
             # part file, and in the retry queue that file would feed the
-            # drain loop a perpetual "new input" signal (see retry_batch)
-            if not dead.isEmpty():
+            # drain loop a perpetual "new input" signal (see retry_batch).
+            # Both branch counts come from ONE aggregate job over the
+            # persisted batch (two isEmpty probes would each be a job).
+            stats = failures.agg(
+                F.count(F.when(F.col("failed_attempts") >= DLQ_THRESHOLD, 1)).alias("n_dead"),
+                F.count(F.when(F.col("failed_attempts") < DLQ_THRESHOLD, 1)).alias("n_queued"),
+            ).first()
+            if stats["n_dead"]:
                 dead.write.mode("append").parquet(str(paths["dlq"]))
-            if not queued.isEmpty():
+            if stats["n_queued"]:
                 queued.write.mode("append").parquet(str(paths["retry_queue"]))
         finally:
             batch.unpersist()
@@ -184,6 +190,25 @@ def run_pipeline(
     else:
         paths["query"] = writer.trigger(processingTime="10 seconds").start()
     return paths
+
+
+def read_dlq(spark: SparkSession, paths: dict[str, object], sf_dir: str) -> DataFrame:
+    """DLQ contents after a bounded run. Empty appends are skipped (see
+    process_batch), so a fixture/scale where no error event crosses
+    DLQ_THRESHOLD never creates the dlq directory at all — absence means
+    EMPTY, not error. Return a zero-row frame with the run's DLQ schema
+    (events columns + failed_attempts) instead of letting the parquet
+    reader raise AnalysisException on the missing path."""
+    from crm_etl_pipeline_spark.io import table
+
+    dlq = str(paths["dlq"])
+    if os.path.isdir(dlq):
+        return spark.read.parquet(dlq)
+    return (
+        table(spark, sf_dir, "events")
+        .limit(0)
+        .withColumn("failed_attempts", F.lit(0).cast("int"))
+    )
 
 
 def drain_retry_queue(spark: SparkSession, paths: dict[str, object]) -> int:
@@ -224,14 +249,19 @@ def drain_retry_queue(spark: SparkSession, paths: dict[str, object]) -> int:
         try:
             dead = bumped.filter(F.col("failed_attempts") >= DLQ_THRESHOLD)
             requeued = bumped.filter(F.col("failed_attempts") < DLQ_THRESHOLD)
-            if not dead.isEmpty():
-                dead.write.mode("append").parquet(str(paths["dlq"]))
             # skip-empty is LOAD-BEARING, not cosmetic: an empty append
             # still writes one empty part file, which the next pass's
             # stream picks up as new input, which appends another empty
             # file — the directory never stops changing and the fixpoint
-            # terminator below never fires
-            if not requeued.isEmpty():
+            # terminator below never fires. One aggregate job supplies
+            # both branch counts (vs a per-branch isEmpty job).
+            stats = bumped.agg(
+                F.count(F.when(F.col("failed_attempts") >= DLQ_THRESHOLD, 1)).alias("n_dead"),
+                F.count(F.when(F.col("failed_attempts") < DLQ_THRESHOLD, 1)).alias("n_queued"),
+            ).first()
+            if stats["n_dead"]:
+                dead.write.mode("append").parquet(str(paths["dlq"]))
+            if stats["n_queued"]:
                 requeued.write.mode("append").parquet(queue_dir)
         finally:
             bumped.unpersist()

@@ -66,3 +66,25 @@ def test_bucket_key_aggregation_has_no_exchange(spark, bucketed_tables):
     )
     plan = _plan_of(agg)
     assert "Exchange" not in plan, f"bucket-key groupBy still shuffles:\n{plan}"
+
+
+def test_sweep_reclaims_old_roots_despite_live_pid(tmp_path, monkeypatch):
+    """PID reuse can make a dead run's root look 'alive' to the kill(0)
+    probe forever; the age gate reclaims any root older than the
+    threshold regardless of pid liveness."""
+    import os
+    import tempfile
+
+    from crm_etl_pipeline_spark import bucketing
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    # pid 1 is always alive, so only the age gate can reclaim this root
+    old = tmp_path / "crm_etl_bucketed_1"
+    old.mkdir()
+    stale = 2 * bucketing._STALE_ROOT_AGE_S
+    os.utime(old, (os.path.getmtime(old) - stale,) * 2)
+    fresh = tmp_path / f"crm_etl_bucketed_{os.getppid()}"  # alive + fresh
+    fresh.mkdir()
+    bucketing._sweep_stale_roots()
+    assert not old.exists(), "age-gated sweep should reclaim the old root"
+    assert fresh.exists(), "fresh roots of live pids must be left alone"

@@ -286,3 +286,13 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     src = spark.read.parquet(f"{SF_DIR}/events.parquet")
     assert got.count() == src.count()
     assert got.select("event_id").distinct().count() == src.count()
+
+
+def test_read_dlq_missing_path_returns_empty(spark, tmp_path):
+    """A run where no error event crosses the threshold never creates
+    the dlq dir (empty appends are skipped); the reader must treat the
+    missing path as an empty DLQ with the correct schema, not raise."""
+    paths = {"dlq": str(tmp_path / "never_created_dlq")}
+    df = streaming.read_dlq(spark, paths, SF_DIR)
+    assert df.count() == 0
+    assert "failed_attempts" in df.columns and "event_id" in df.columns
