@@ -15,18 +15,20 @@ Spark-first design:
 - frame/window sampling is pure column algebra (sequence + explode),
   no Python.
 
-Codec status: WAV (RIFF/PCM), BMP, and PNG are decoded FOR REAL —
-``fabricate_media`` emits genuine RIFF/BMP/PNG byte streams (PNG IDAT
-is a true zlib stream built with the stdlib) and ``decode_media``
-parses the actual containers (RIFF chunk walk, BITMAPINFOHEADER, PNG
-chunk walk with CRC verification + full zlib inflate + scanline
-check), with a closed-form DuckDB oracle proving decode(fabricate(x))
-recovers the parameters
-(queries/multimodal_q.py:multimodal_real_decode). The one remaining
-stub is mp4 (needs libav, absent in this container): ``decode_media``
-raises NotImplementedError for it, clearly marked. The Spark-side
-plumbing — schema, Arrow batching, UDF signature, partition behavior —
-is identical for real and stubbed formats.
+Codec status: WAV (RIFF/PCM), BMP, PNG, and MP4 are all decoded FOR
+REAL — ``fabricate_media`` emits genuine RIFF/BMP/PNG/ISO-BMFF byte
+streams (PNG IDAT is a true zlib stream built with the stdlib; the MP4
+is a complete ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/mdat box tree) and
+``decode_media`` parses the actual containers (RIFF chunk walk,
+BITMAPINFOHEADER, PNG chunk walk with CRC verification + full zlib
+inflate + scanline check, ISO-BMFF box walk handling 32/64-bit and
+to-end box sizes), with a closed-form DuckDB oracle proving
+decode(fabricate(x)) recovers the parameters
+(queries/multimodal_q.py:multimodal_real_decode). No codec stubs
+remain; SAMPLE decoding of mp4 tracks (entropy-coded video frames)
+is out of scope — container metadata is what the manifest/feature
+pipeline consumes. The Spark-side plumbing — schema, Arrow batching,
+UDF signature, partition behavior — is identical for every format.
 """
 
 from __future__ import annotations
@@ -83,24 +85,26 @@ def decode_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction: the REAL container decode
     (``decode_media``) projected to the training-pipeline feature
     columns. Audio rows report channel count with null dimensions;
-    image rows report width/height/channels. Input must carry
-    ``(doc_id, mime, payload)`` real media bytes (``fabricate_media``
-    output shape); an mp4 row raises the documented codec stub."""
+    image rows report width/height/channels; video rows report the
+    container's track dimensions with null channel count. Input must
+    carry ``(doc_id, mime, payload)`` real media bytes
+    (``fabricate_media`` output shape)."""
     return decode_media(media).select(
         "doc_id", "mime", "n_bytes", "width", "height", "n_channels"
     )
 
 
 # ---------------------------------------------------------------------------
-# real codecs: WAV (RIFF/PCM) + BMP + PNG — pure-Python container parsing
-# (stdlib zlib for PNG), no external libraries. Fabrication parameters are
-# closed-form in doc_id so a SQL oracle can verify that decoding the real
-# bytes recovers them.
+# real codecs: WAV (RIFF/PCM) + BMP + PNG + MP4 (ISO-BMFF) — pure-Python
+# container parsing (stdlib zlib for PNG), no external libraries.
+# Fabrication parameters are closed-form in doc_id so a SQL oracle can
+# verify that decoding the real bytes recovers them.
 
 WAV_RATE = 8000
 WAV_BITS = 16
 BMP_BPP = 24
 PNG_BIT_DEPTH = 8  # 8-bit RGB (color type 2) → 3 channels
+MP4_TIMESCALE = 90000  # movie timescale (ticks/s), the video convention
 
 #: decode output schema (wav rows: width/height null; bmp rows:
 #: sample_rate/n_samples null)
@@ -129,12 +133,13 @@ _FAB_SCHEMA = StructType(
 
 def _wav_bytes(doc_id: int) -> bytes:
     """A complete, valid RIFF/WAVE PCM file. Parameters are closed-form
-    in doc_id (the oracle recomputes them): channels = 1 + (doc_id % 4)/2
-    (mono/stereo both exercised on even ids), n_samples =
-    100 + doc_id % 500, rate 8000 Hz, 16-bit."""
+    in doc_id (the oracle recomputes them): channels =
+    1 + (doc_id // 4) % 2 (alternates mono/stereo across the wav rows
+    of the %4 mime rotation, where every wav doc_id ≡ 0 mod 4),
+    n_samples = 100 + doc_id % 500, rate 8000 Hz, 16-bit."""
     import struct
 
-    n_ch = 1 + (doc_id % 4) // 2
+    n_ch = 1 + (doc_id // 4) % 2
     n_samples = 100 + doc_id % 500
     block_align = n_ch * WAV_BITS // 8
     data_size = n_samples * block_align
@@ -210,14 +215,70 @@ def _png_bytes(doc_id: int) -> bytes:
     return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def _mp4_bytes(doc_id: int) -> bytes:
+    """A complete, valid ISO-BMFF (MP4) file: ftyp('isom') +
+    moov(mvhd + trak(tkhd + mdia(mdhd))) + mdat. Every box carries its
+    real big-endian size; tkhd width/height are genuine 16.16 fixed
+    point. Parameters are closed-form in doc_id: width =
+    16 + doc_id % 32, height = 16 + (13·doc_id) % 32, duration =
+    1000 + doc_id % 9000 ticks at the 90 kHz movie timescale, mdat
+    payload 64 + doc_id % 128 bytes. All header boxes are fixed-size
+    (ftyp 24, moov 256), so the file is exactly 352 + doc_id % 128
+    bytes — the closed form the oracle checks."""
+    import struct
+
+    w = 16 + doc_id % 32
+    h = 16 + (13 * doc_id) % 32
+    duration = 1000 + doc_id % 9000
+    n_data = 64 + doc_id % 128
+    matrix = struct.pack(
+        ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )  # unity transform
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    # mvhd v0: ver/flags, creation, modification, timescale, duration,
+    # rate 1.0, volume 1.0, 10 reserved bytes, matrix, 24 pre_defined,
+    # next_track_ID — 100-byte payload
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, MP4_TIMESCALE, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    # tkhd v0 (flags=3: enabled+in-movie): track 1, 16.16 dimensions —
+    # 84-byte payload
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">IIIIII", 3, 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    # mdhd v0: media timescale/duration + language 'und' — 24-byte payload
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">IIIII", 0, 0, 0, MP4_TIMESCALE, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdat = box(b"mdat", bytes((doc_id + i) % 256 for i in range(n_data)))
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + box(b"mdia", mdhd))) + mdat
+
+
 def fabricate_media(docs: DataFrame) -> DataFrame:
-    """Fabricate REAL media bytes per doc by doc_id % 3: 0 → PCM WAV,
-    1 → 24-bit BMP, 2 → 8-bit RGB PNG. mapInPandas because binary
-    packing is not column algebra — this is the fixture generator, not
-    the hot path."""
+    """Fabricate REAL media bytes per doc by doc_id % 4: 0 → PCM WAV,
+    1 → 24-bit BMP, 2 → 8-bit RGB PNG, 3 → ISO-BMFF MP4. mapInPandas
+    because binary packing is not column algebra — this is the fixture
+    generator, not the hot path."""
     flat = docs.select("doc_id")
-    builders = {0: _wav_bytes, 1: _bmp_bytes, 2: _png_bytes}
-    mimes = {0: "audio/wav", 1: "image/bmp", 2: "image/png"}
+    builders = {0: _wav_bytes, 1: _bmp_bytes, 2: _png_bytes, 3: _mp4_bytes}
+    mimes = {0: "audio/wav", 1: "image/bmp", 2: "image/png", 3: "video/mp4"}
 
     def build(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -227,8 +288,8 @@ def fabricate_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "mime": [mimes[int(i) % 3] for i in ids],
-                    "payload": [builders[int(i) % 3](int(i)) for i in ids],
+                    "mime": [mimes[int(i) % 4] for i in ids],
+                    "payload": [builders[int(i) % 4](int(i)) for i in ids],
                 }
             )
 
@@ -238,13 +299,16 @@ def fabricate_media(docs: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame) -> DataFrame:
     """REAL decode of the binary payloads: walks RIFF chunks for WAV
     (never assumes the canonical 44-byte layout), reads the
-    BITMAPINFOHEADER for BMP, and for PNG walks the chunk stream
-    verifying each CRC32, inflates the IDAT zlib stream, and checks the
-    decompressed scanlines (filter bytes + exact stride·height size) —
-    a genuine decode, not a header peek. mp4 raises the documented
-    NotImplementedError stub (no libav in this container).
-    Arrow-batched mapInPandas — the payload crosses to Python per
-    batch; parsing is O(payload) per item.
+    BITMAPINFOHEADER for BMP, for PNG walks the chunk stream verifying
+    each CRC32, inflates the IDAT zlib stream, and checks the
+    decompressed scanlines (filter bytes + exact stride·height size),
+    and for MP4 walks the ISO-BMFF box tree (32-bit, 64-bit `largesize`
+    and size-0 to-end boxes all handled) pulling timescale/duration
+    from mvhd and 16.16 track dimensions from tkhd — genuine decodes,
+    not header peeks. Arrow-batched mapInPandas — the payload crosses
+    to Python per batch; parsing is O(payload) per item.
+    MP4 rows map (sample_rate, n_samples) to the container's natural
+    rate/count pair: movie timescale in ticks/s and duration in ticks.
     Parity anchor: the reference treats attachments as opaque passthrough
     (`PodioApiWrapper.py` has no media decode) — this is the §2.9
     multimodal extension."""
@@ -298,6 +362,47 @@ def decode_media(media: DataFrame) -> DataFrame:
             assert all(raw[r * stride] <= 4 for r in range(h)), "invalid PNG filter byte"
             return w, h, n_ch, depth
 
+        def mp4_boxes(b: bytes, start: int, end: int):
+            """Yield (type, payload_start, box_end) for each ISO-BMFF
+            box in [start, end): 32-bit sizes, 64-bit `largesize`
+            (size == 1), and to-end (size == 0) are all spec forms."""
+            pos = start
+            while pos + 8 <= end:
+                size = struct.unpack_from(">I", b, pos)[0]
+                btype = b[pos + 4 : pos + 8]
+                hdr = 8
+                if size == 1:
+                    size = struct.unpack_from(">Q", b, pos + 8)[0]
+                    hdr = 16
+                elif size == 0:
+                    size = end - pos
+                assert size >= hdr and pos + size <= end, "corrupt mp4 box size"
+                yield btype, pos + hdr, pos + size
+                pos += size
+
+        def parse_mp4(b: bytes):
+            assert len(b) >= 12 and b[4:8] == b"ftyp", "not an ISO-BMFF stream"
+            timescale = duration = w = h = None
+            for btype, s, e in mp4_boxes(b, 0, len(b)):
+                if btype != b"moov":
+                    continue
+                for ctype, cs, ce in mp4_boxes(b, s, e):
+                    if ctype == b"mvhd":
+                        if b[cs] == 1:  # version 1: 64-bit times
+                            timescale = struct.unpack_from(">I", b, cs + 20)[0]
+                            duration = struct.unpack_from(">Q", b, cs + 24)[0]
+                        else:
+                            timescale, duration = struct.unpack_from(">II", b, cs + 12)
+                    elif ctype == b"trak":
+                        for t2, s2, _ in mp4_boxes(b, cs, ce):
+                            if t2 == b"tkhd":
+                                # width/height trail the fixed v0/v1 header
+                                off = s2 + (88 if b[s2] == 1 else 76)
+                                wfix, hfix = struct.unpack_from(">II", b, off)
+                                w, h = wfix >> 16, hfix >> 16
+            assert timescale is not None and w is not None, "mp4 missing mvhd/tkhd"
+            return w, h, timescale, duration
+
         for pdf in batches:
             rows = []
             for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
@@ -311,11 +416,11 @@ def decode_media(media: DataFrame) -> DataFrame:
                 elif mime == "image/png":
                     w, h, n_ch, depth = parse_png(b)
                     rows.append((doc_id, mime, len(b), w, h, n_ch, None, None, depth))
+                elif mime == "video/mp4":
+                    w, h, rate, dur = parse_mp4(b)
+                    rows.append((doc_id, mime, len(b), w, h, None, rate, dur, None))
                 else:
-                    raise NotImplementedError(
-                        f"no codec for {mime} in this environment "
-                        "(mp4 needs libav); wire the real decoder here when available"
-                    )
+                    raise ValueError(f"no codec for {mime!r}")
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return media.mapInPandas(extract, MEDIA_SCHEMA)

@@ -1,6 +1,6 @@
 """Driver-visible multimodal queries (SURVEY §2.9): binary payload
-manifest, Arrow-batched REAL feature extraction (WAV/BMP/PNG container
-decode), and frame sampling. Fabrication parameters are closed-form in
+manifest, Arrow-batched REAL feature extraction (WAV/BMP/PNG/MP4
+container decode), and frame sampling. Fabrication parameters are closed-form in
 doc_id, so even the mapInPandas decode stage is fully oracle-checked —
 the oracle recomputes every feature from doc_id without ever seeing
 the binary path; a bug in fabricator or parser breaks the match.
@@ -52,20 +52,24 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     oracle="""
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'audio/wav'
-                WHEN 1 THEN 'image/bmp' ELSE 'image/png' END AS mime,
-           CAST(CASE CAST(doc_id % 3 AS INT)
-                WHEN 0 THEN 44 + (100 + doc_id % 500) * (1 + (doc_id % 4) // 2) * 2
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'audio/wav'
+                WHEN 1 THEN 'image/bmp' WHEN 2 THEN 'image/png'
+                ELSE 'video/mp4' END AS mime,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 44 + (100 + doc_id % 500) * (1 + (doc_id // 4) % 2) * 2
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
-                ELSE 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
+                WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
+                ELSE 352 + doc_id % 128
                 END AS INT) AS n_bytes,
-           CAST(CASE WHEN doc_id % 3 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
-           CAST(CASE CAST(doc_id % 3 AS INT)
+           CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
+           CAST(CASE CAST(doc_id % 4 AS INT)
                 WHEN 1 THEN 16 + (7 * doc_id) % 32
-                WHEN 2 THEN 16 + (11 * doc_id) % 32 END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + (doc_id % 4) // 2 ELSE 3 END AS INT)
-             AS n_channels
+                WHEN 2 THEN 16 + (11 * doc_id) % 32
+                WHEN 3 THEN 16 + (13 * doc_id) % 32 END AS INT) AS height,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 1 + (doc_id // 4) % 2
+                WHEN 1 THEN 3 WHEN 2 THEN 3 END AS INT) AS n_channels
     FROM documents
     """,
     survey="§2.9 multimodal (Arrow-batched mapInPandas feature extraction over REAL decode)",
@@ -74,10 +78,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction through the real mapInPandas plumbing (Arrow
     batches of binary payloads into pandas): the REAL container decode
     projected to feature columns — audio rows carry channel count with
-    null dimensions, image rows carry width/height/channels. The oracle
-    recomputes every feature closed-form from doc_id, so a bug in
-    fabricator or parser breaks the match (the r3 fake-decode branch is
-    retired; mp4 remains the one documented stub)."""
+    null dimensions, image rows carry width/height/channels, video rows
+    carry track dimensions with null channels. The oracle recomputes
+    every feature closed-form from doc_id, so a bug in fabricator or
+    parser breaks the match (all four containers decode for real)."""
     docs = table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.fabricate_media(docs))
 
@@ -86,40 +90,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_real_decode",
     oracle="""
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'audio/wav'
-                WHEN 1 THEN 'image/bmp' ELSE 'image/png' END AS mime,
-           CAST(CASE CAST(doc_id % 3 AS INT)
-                WHEN 0 THEN 44 + (100 + doc_id % 500) * (1 + (doc_id % 4) // 2) * 2
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'audio/wav'
+                WHEN 1 THEN 'image/bmp' WHEN 2 THEN 'image/png'
+                ELSE 'video/mp4' END AS mime,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 44 + (100 + doc_id % 500) * (1 + (doc_id // 4) % 2) * 2
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
-                ELSE 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
+                WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
+                ELSE 352 + doc_id % 128
                 END AS INT) AS n_bytes,
-           CAST(CASE WHEN doc_id % 3 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
-           CAST(CASE CAST(doc_id % 3 AS INT)
+           CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
+           CAST(CASE CAST(doc_id % 4 AS INT)
                 WHEN 1 THEN 16 + (7 * doc_id) % 32
-                WHEN 2 THEN 16 + (11 * doc_id) % 32 END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + (doc_id % 4) // 2 ELSE 3 END AS INT)
-             AS n_channels,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 END AS INT) AS sample_rate,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 100 + doc_id % 500 END AS INT) AS n_samples,
-           CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 8 END
-                AS INT) AS bit_depth
+                WHEN 2 THEN 16 + (11 * doc_id) % 32
+                WHEN 3 THEN 16 + (13 * doc_id) % 32 END AS INT) AS height,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 1 + (doc_id // 4) % 2
+                WHEN 1 THEN 3 WHEN 2 THEN 3 END AS INT) AS n_channels,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 8000 WHEN 3 THEN 90000 END AS INT) AS sample_rate,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 100 + doc_id % 500
+                WHEN 3 THEN 1000 + doc_id % 9000 END AS INT) AS n_samples,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 8 END AS INT) AS bit_depth
     FROM documents
     """,
-    survey="§2.9 multimodal (REAL WAV/BMP/PNG container decode over fabricated real bytes)",
+    survey="§2.9 multimodal (REAL WAV/BMP/PNG/MP4 container decode over fabricated real bytes)",
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode(fabricate(doc_id)) recovers the fabrication parameters:
-    genuine RIFF/WAVE, BMP, and PNG byte streams are built per doc, then
-    the decoder parses the actual containers (RIFF chunk walk,
-    BITMAPINFOHEADER, PNG chunk walk + CRC verify + zlib inflate +
-    scanline check) inside Arrow-batched mapInPandas. The oracle
+    genuine RIFF/WAVE, BMP, PNG, and ISO-BMFF byte streams are built
+    per doc, then the decoder parses the actual containers (RIFF chunk
+    walk, BITMAPINFOHEADER, PNG chunk walk + CRC verify + zlib inflate
+    + scanline check, MP4 box-tree walk → mvhd timescale/duration +
+    tkhd 16.16 dims) inside Arrow-batched mapInPandas. The oracle
     recomputes the parameters closed-form from doc_id — any layout bug
     in fabricator OR parser breaks the match (the PNG file size is
-    closed-form because the IDAT zlib stream uses stored blocks; see
-    multimodal._png_bytes). mp4 remains honestly stubbed (needs libav);
-    this proves the real-codec path end-to-end for formats pure Python
-    can parse."""
+    closed-form because the IDAT zlib stream uses stored blocks, the
+    MP4's because every header box is fixed-size; see
+    multimodal._png_bytes/_mp4_bytes). No codec stubs remain."""
     media = multimodal.fabricate_media(table(spark, sf_dir, "documents"))
     return multimodal.decode_media(media)
 

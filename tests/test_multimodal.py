@@ -1,6 +1,6 @@
 """Multimodal plumbing tests: Arrow batch shape through mapInPandas,
-binary round trip, integrity gate, and the NotImplementedError stub
-for real codecs (absent in this container).
+binary round trip, integrity gate, and independent validation of all
+four fabricated container formats (WAV/BMP/PNG/MP4).
 """
 
 from __future__ import annotations
@@ -47,25 +47,76 @@ def test_feature_batch_shape(spark):
     ]
     rows = feats.collect()
     assert rows
+    seen = set()
     for r in rows:
+        seen.add(r.mime)
         if r.mime == "audio/wav":
             assert r.width is None and r.height is None
-            assert r.n_channels == 1 + (r.doc_id % 4) // 2
+            assert r.n_channels == 1 + (r.doc_id // 4) % 2
+        elif r.mime == "video/mp4":
+            assert r.n_channels is None
+            assert r.width == 16 + r.doc_id % 32
+            assert r.height == 16 + (13 * r.doc_id) % 32
         else:
             assert r.n_channels == 3
             assert r.width == 16 + r.doc_id % 32
+    assert seen == {"audio/wav", "image/bmp", "image/png", "video/mp4"}
 
 
-def test_mp4_codec_is_stubbed(spark):
-    """mp4 is the one remaining honest stub: decoding a video/mp4 row
-    must raise the documented NotImplementedError (surfaced through the
-    mapInPandas executor as a PythonException wrapping it)."""
+def test_unknown_mime_raises(spark):
+    """An unregistered mime must fail loudly, not pass through."""
     row = spark.createDataFrame(
-        [(1, "video/mp4", bytearray(b"\x00\x00\x00\x18ftypmp42"))],
+        [(1, "application/pdf", bytearray(b"%PDF-1.4"))],
         "doc_id long, mime string, payload binary",
     )
-    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+    with pytest.raises(Exception, match="no codec"):
         multimodal.decode_media(row).collect()
+
+
+def test_fabricated_mp4_is_valid():
+    """MP4 sanity independent of our parser: box magics and closed-form
+    fields at their FIXED offsets for the fabricated layout (ftyp 24 +
+    moov hdr 8 → mvhd payload @40, trak→tkhd payload @156), plus the
+    closed-form total length the oracle relies on."""
+    import struct
+
+    from crm_etl_pipeline_spark import multimodal
+
+    for doc_id in (3, 7, 11, 127, 351, 499):
+        b = multimodal._mp4_bytes(doc_id)
+        assert len(b) == 352 + doc_id % 128
+        assert b[4:8] == b"ftyp" and b[8:12] == b"isom"
+        assert b[28:32] == b"moov" and b[36:40] == b"mvhd"
+        ts, dur = struct.unpack_from(">II", b, 52)
+        assert ts == multimodal.MP4_TIMESCALE
+        assert dur == 1000 + doc_id % 9000
+        wfix, hfix = struct.unpack_from(">II", b, 232)  # tkhd dims (16.16)
+        assert wfix == (16 + doc_id % 32) << 16
+        assert hfix == (16 + (13 * doc_id) % 32) << 16
+        mdat_size = struct.unpack_from(">I", b, 280)[0]
+        assert b[284:288] == b"mdat" and mdat_size == 8 + 64 + doc_id % 128
+
+
+def test_mp4_64bit_largesize_and_to_end_boxes(spark):
+    """The box walk must handle the spec's other two size forms: a
+    64-bit `largesize` (size == 1) and a to-end box (size == 0) — both
+    legal on real files even though the fabricator emits 32-bit sizes."""
+    import struct
+
+    from crm_etl_pipeline_spark import multimodal
+
+    b = multimodal._mp4_bytes(10)
+    moov = b[24:280]
+    # rewrite moov as a largesize box and make mdat run to end-of-file
+    moov64 = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov[8:])) + moov[8:]
+    mdat0 = struct.pack(">I", 0) + b"mdat" + b[288:]
+    rewritten = b[:24] + moov64 + mdat0
+    row = spark.createDataFrame(
+        [(10, "video/mp4", bytearray(rewritten))],
+        "doc_id long, mime string, payload binary",
+    )
+    out = multimodal.decode_media(row).collect()[0]
+    assert out.width == 16 + 10 % 32 and out.sample_rate == multimodal.MP4_TIMESCALE
 
 
 def test_frame_offsets_cover_payload(spark):
@@ -89,9 +140,9 @@ def test_fabricated_wav_opens_with_stdlib():
 
     from crm_etl_pipeline_spark import multimodal
 
-    for doc_id in (0, 2, 4, 6, 100, 498):
+    for doc_id in (0, 4, 8, 12, 100, 496):
         with wave.open(io.BytesIO(multimodal._wav_bytes(doc_id))) as w:
-            assert w.getnchannels() == 1 + (doc_id % 4) // 2
+            assert w.getnchannels() == 1 + (doc_id // 4) % 2
             assert w.getframerate() == multimodal.WAV_RATE
             assert w.getsampwidth() == multimodal.WAV_BITS // 8
             assert w.getnframes() == 100 + doc_id % 500
