@@ -12,11 +12,12 @@ downstream of every hot bucket.
 buckets: buckets at or under the cap emit the full pairwise set (exact
 candidate semantics); buckets over the cap degrade to STAR pairs —
 every member paired with the bucket's first (minimum) member, the
-anchor. Star emission is O(n) in bucket size. NOTE the cap bounds the
-PAIR explosion only: the collect_list membership array is still O(n)
-per bucket row (a 10⁶-member bucket builds a 10⁶-element array — tens
-of MB, survivable where n² pairs are not; slice() the membership first
-if even that is a concern).
+anchor. Star emission is O(n) in bucket size, and
+``bounded_sorted_members`` bounds the membership ARRAY itself: members
+are ranked within the bucket before collection and only the first
+``MEMBER_CAP`` are collected, so a 10⁶-member boilerplate bucket
+builds a 16 384-element array row, never a 10⁶-element one (the true
+size survives as ``n_members``).
 
 Cap/downstream-filter contract, stated precisely: star pairs keep every
 member attached to the anchor IN THE PAIR OUTPUT, but downstream
@@ -48,6 +49,13 @@ from pyspark.sql import functions as F
 #: pairs. 256 members = 32 640 pairs — comfortably inside one task —
 #: while a true hot bucket (10^6 boilerplate docs) stays linear.
 BUCKET_CAP = 256
+
+#: max members ever COLLECTED per bucket (64× BUCKET_CAP): the bound on
+#: the membership array row itself. Members ranked past this prefix
+#: lose their in-bucket candidate edges — a recall trade that begins
+#: 64× past where star degradation already applies, and that every
+#: consumer's oracle models with the same rank rule.
+MEMBER_CAP = 64 * BUCKET_CAP
 
 
 def capped_pair_array(
@@ -81,5 +89,49 @@ def capped_pair_array(
 
 
 def is_capped(members: Column, cap: int = BUCKET_CAP) -> Column:
-    """Per-bucket flag: true when this bucket degraded to star pairs."""
+    """Per-bucket flag: true when this bucket degraded to star pairs.
+    Valid on ``bounded_sorted_members`` output too: the collected size
+    is min(n, MEMBER_CAP), and min(n, MEMBER_CAP) > cap ⟺ n > cap
+    because MEMBER_CAP > cap."""
     return F.size(members) > F.lit(cap)
+
+
+def bounded_sorted_members(
+    df,
+    bucket_cols: list[str],
+    member: Column,
+    order: Column,
+    member_cap: int = MEMBER_CAP,
+    alias: str = "members",
+):
+    """Per-bucket sorted membership arrays with the ARRAY ITSELF bounded.
+
+    Members are ranked within their bucket by ``order`` ascending (the
+    star anchor is rank 1) BEFORE collection, and only the first
+    ``member_cap`` are collected — so neither the aggregation buffer nor
+    the materialized row is ever O(bucket): a pathological 10⁶-member
+    bucket builds a ``member_cap``-element array. The TRUE bucket size
+    survives as ``n_members``. The rank window and the collect groupBy
+    hash-partition on the same bucket key, so Spark reuses one Exchange
+    — the bound costs a partition sort, not an extra shuffle. Buckets
+    need ≥2 members to emit pairs; smaller ones are dropped here.
+
+    ``order`` must be unique within a bucket (doc_id/vec_id) so the
+    prefix is deterministic and matches the oracle's ROW_NUMBER rule.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols).orderBy(order)
+    ranked = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols)))
+    )
+    return (
+        ranked.filter(F.col("_rk") <= F.lit(member_cap))
+        .groupBy(*bucket_cols)
+        .agg(
+            F.sort_array(F.collect_list(member)).alias(alias),
+            F.first("n_members").alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -306,14 +306,17 @@ _PERT_DIM = 10  # outside the 8 sign-bucket dims → clone lands in the same buc
       FROM corpus
     ), sizes AS (
       SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS anchor FROM e GROUP BY bucket
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk FROM e
     ), scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
              CAST({_fixed_dot_sql('a.vd', 'b.vd')} AS DOUBLE)
                / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cosine
-      FROM e a
-      JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM ranked a
+      JOIN ranked b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       JOIN sizes s ON s.bucket = a.bucket
-      WHERE s.n <= {lsh.BUCKET_CAP} OR a.vec_id = s.anchor
+      WHERE (s.n <= {lsh.BUCKET_CAP} OR a.vec_id = s.anchor)
+        AND a.rk <= {lsh.MEMBER_CAP} AND b.rk <= {lsh.MEMBER_CAP}
     )
     SELECT vec_a, vec_b, bucket, cosine FROM scored WHERE cosine >= {_NEAR_THRESHOLD}
     """,
@@ -351,10 +354,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sign_bucket(F.col("vd")).alias("bucket"),
         _fixed_dot(F.col("vd"), F.col("vd")).alias("n2"),
     )
-    buckets = (
-        e.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "vd", "n2"))).alias("m"))
-        .filter(F.size("m") >= 2)
+    buckets = lsh.bounded_sorted_members(
+        e,
+        ["bucket"],
+        member=F.struct("vec_id", "vd", "n2"),
+        order=F.col("vec_id"),
+        alias="m",
     )
     pair_array = lsh.capped_pair_array(
         F.col("m"),

@@ -416,16 +416,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sizes AS (
       SELECT band_id, band_sig, COUNT(*) AS n, MIN(doc_id) AS anchor
       FROM bands GROUP BY band_id, band_sig
+    ), ranked AS (
+      SELECT doc_id, band_id, band_sig,
+             ROW_NUMBER() OVER (PARTITION BY band_id, band_sig ORDER BY doc_id) AS rk
+      FROM bands
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(*) AS n_shared_bands,
            bool_or(s.n > {lsh.BUCKET_CAP}) AS from_capped
-    FROM bands a
-    JOIN bands b
+    FROM ranked a
+    JOIN ranked b
       ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     JOIN sizes s
       ON s.band_id = a.band_id AND s.band_sig = a.band_sig
-    WHERE s.n <= {lsh.BUCKET_CAP} OR a.doc_id = s.anchor
+    WHERE (s.n <= {lsh.BUCKET_CAP} OR a.doc_id = s.anchor)
+      AND a.rk <= {lsh.MEMBER_CAP} AND b.rk <= {lsh.MEMBER_CAP}
     GROUP BY a.doc_id, b.doc_id
     """,
     survey="§2.9 near-dedup (MinHash + LSH banding; candidate pairs via band-bucket join)",
@@ -505,14 +510,17 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band buckets with ≥2 members: pair generation happens per bucket
-    via sorted collect_list + nested transform — NO self-join, so the
-    signature subtree is computed once, not twice (a broadcast/merge
-    self-join cannot reuse the exchange across sides)."""
-    return (
-        _minhash_bands(spark, sf_dir)
-        .groupBy("band_id", "band_sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    via bounded sorted membership + nested transform — NO self-join, so
+    the signature subtree is computed once, not twice (a broadcast/merge
+    self-join cannot reuse the exchange across sides). The membership
+    array is rank-bounded at lsh.MEMBER_CAP before collection, so even
+    a pathological boilerplate band never builds an O(bucket) row."""
+    return lsh.bounded_sorted_members(
+        _minhash_bands(spark, sf_dir),
+        ["band_id", "band_sig"],
+        member=F.col("doc_id"),
+        order=F.col("doc_id"),
+        alias="ids",
     )
 
 
@@ -672,16 +680,21 @@ def _simhash_sig_sql(half: str) -> str:
     ), sizes AS (
       SELECT band_id, bkey, COUNT(*) AS n, MIN(doc_id) AS anchor
       FROM bands GROUP BY band_id, bkey
+    ), ranked AS (
+      SELECT doc_id, hi, lo, band_id, bkey,
+             ROW_NUMBER() OVER (PARTITION BY band_id, bkey ORDER BY doc_id) AS rk
+      FROM bands
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming,
            COUNT(*) AS n_shared_bands
-    FROM bands a
-    JOIN bands b
+    FROM ranked a
+    JOIN ranked b
       ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     JOIN sizes s
       ON s.band_id = a.band_id AND s.bkey = a.bkey
-    WHERE s.n <= {lsh.BUCKET_CAP} OR a.doc_id = s.anchor
+    WHERE (s.n <= {lsh.BUCKET_CAP} OR a.doc_id = s.anchor)
+      AND a.rk <= {lsh.MEMBER_CAP} AND b.rk <= {lsh.MEMBER_CAP}
     GROUP BY a.doc_id, b.doc_id, bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
     HAVING bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
     """,
@@ -752,10 +765,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "hi", "lo", "band.band_id", "band.bkey")
-    buckets = (
-        bands.groupBy("band_id", "bkey")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "hi", "lo"))).alias("members"))
-        .filter(F.size("members") >= 2)
+    buckets = lsh.bounded_sorted_members(
+        bands,
+        ["band_id", "bkey"],
+        member=F.struct("doc_id", "hi", "lo"),
+        order=F.col("doc_id"),
+        alias="members",
     )
     pair_array = lsh.capped_pair_array(
         F.col("members"),
@@ -808,14 +823,19 @@ _MIN_SHARED_BANDS = 2  # edge = pair agreeing in >= 2 of the 4 MinHash bands
     ), sizes AS (
       SELECT band_id, band_sig, COUNT(*) AS n, MIN(doc_id) AS anchor
       FROM bands GROUP BY band_id, band_sig
+    ), ranked AS (
+      SELECT doc_id, band_id, band_sig,
+             ROW_NUMBER() OVER (PARTITION BY band_id, band_sig ORDER BY doc_id) AS rk
+      FROM bands
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b
+      FROM ranked a
+      JOIN ranked b
         ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
       JOIN sizes s
         ON s.band_id = a.band_id AND s.band_sig = a.band_sig
-      WHERE s.n <= {lsh.BUCKET_CAP} OR a.doc_id = s.anchor
+      WHERE (s.n <= {lsh.BUCKET_CAP} OR a.doc_id = s.anchor)
+        AND a.rk <= {lsh.MEMBER_CAP} AND b.rk <= {lsh.MEMBER_CAP}
       GROUP BY a.doc_id, b.doc_id
       HAVING COUNT(*) >= {_MIN_SHARED_BANDS} OR bool_or(s.n > {lsh.BUCKET_CAP})
     ), edges AS (

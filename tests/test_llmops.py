@@ -308,3 +308,27 @@ def test_approx_percentiles_within_rank_error(spark):
             rank = ordered.index(got)
             target = p * (n - 1)
             assert abs(rank - target) <= max(1.0, n / 10000.0), (etype, p, rank, target)
+
+
+def test_bounded_sorted_members_caps_the_array(spark):
+    """The membership array itself is bounded: a bucket wider than
+    member_cap collects only the rank prefix (smallest members), while
+    n_members reports the true size and sub-cap buckets are unaffected."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark import lsh
+
+    rows = [("hot", i) for i in range(20)] + [("cold", i) for i in (3, 1)]
+    df = spark.createDataFrame(rows, "bucket string, doc_id long")
+    out = {
+        r["bucket"]: r
+        for r in lsh.bounded_sorted_members(
+            df, ["bucket"], member=F.col("doc_id"), order=F.col("doc_id"),
+            member_cap=8, alias="ids",
+        ).collect()
+    }
+    assert out["hot"]["n_members"] == 20
+    assert out["hot"]["ids"] == list(range(8))  # rank prefix, sorted
+    assert out["cold"]["ids"] == [1, 3] and out["cold"]["n_members"] == 2
+    # the flag contract holds on the bounded array: min(n, member_cap) > cap
+    assert len(out["hot"]["ids"]) > 4 and len(out["cold"]["ids"]) <= 4
