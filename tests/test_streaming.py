@@ -296,3 +296,47 @@ def test_read_dlq_missing_path_returns_empty(spark, tmp_path):
     df = streaming.read_dlq(spark, paths, SF_DIR)
     assert df.count() == 0
     assert "failed_attempts" in df.columns and "event_id" in df.columns
+
+
+def test_compaction_racing_append_loses_nothing(spark, tmp_path):
+    """Compaction racing a micro-batch append: versions appended to the
+    log AFTER compact_store snapshotted it must survive, and serving
+    over (compacted base ∪ un-truncated log) must not double-serve a
+    key even while the log still holds rows the base already folded.
+    Then the protocol-correct truncation — delete ONLY the files the
+    fold read, never the racing appends — must leave serving unchanged."""
+    import os
+
+    paths = streaming.run_pipeline(spark, SF_DIR, workdir=str(tmp_path))
+    log, base = str(paths["store"]), str(tmp_path / "compacted")
+    pre_files = [p for p in _snapshot(log)]
+    streaming.compact_store(spark, log, base)
+    # the racing micro-batch: lands between the fold's read and truncation
+    racing = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type").isin(*streaming.PROCESS_TYPES))
+        .limit(9)
+        .select(
+            F.col("user_id").alias("item_id"),
+            "event_id",
+            (F.timestamp_micros(F.expr("ts div 1000")) + F.expr("INTERVAL 20 DAYS")).alias("ts"),
+            (F.col("value") + 2).alias("value"),
+        )
+    )
+    streaming._append_versions(log, racing)
+    cols = ["item_id", "event_id", "ts", "value"]
+    expected = sorted(
+        map(tuple, scd.current_view(streaming.read_converged_store(spark, log)).select(*cols).collect())
+    )
+    fast = streaming.current_view_merged(spark, base, log).select(*cols)
+    got = sorted(map(tuple, fast.collect()))
+    assert got == expected  # nothing lost, nothing served twice
+    n_keys = len({r[0] for r in got})
+    assert len(got) == n_keys, "a key is double-served"
+    # protocol truncation: drop only what the fold read
+    for p in pre_files:
+        os.remove(p)
+    got2 = sorted(
+        map(tuple, streaming.current_view_merged(spark, base, log).select(*cols).collect())
+    )
+    assert got2 == expected
