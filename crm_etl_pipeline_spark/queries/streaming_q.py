@@ -127,6 +127,43 @@ def streaming_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dlq_replay",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(2 AS BIGINT) AS generations,
+           GREATEST(CAST(FLOOR(value) AS INT) % 12 + 1, {streaming.DLQ_THRESHOLD})
+               AS final_attempts,
+           CAST({streaming.DLQ_THRESHOLD} AS INT) AS replay_attempts
+    FROM events WHERE event_type = 'error'
+    """,
+    survey="ST4,L7 stretch (DLQ replay re-drive; PodioApiGateway.py:157-159 'email admin')",
+)
+def streaming_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The human re-drive loop behind the reference's "email admin"
+    stub, as an operator: after the converged run, every dead-lettered
+    event is re-enqueued with attempts reset to 0 and the retry queue
+    drained back to fixpoint. Deterministic replay has no
+    success-on-retry signal, so each event dead-letters a second time
+    at exactly DLQ_THRESHOLD; the DLQ being an append log, the
+    converged closed form per error event is 2 generations, original
+    max(first_attempts, 10), replay exactly 10 — which the oracle
+    states over the raw events table."""
+    paths = streaming.run_pipeline(
+        spark, sf_dir, workdir=_workdir("replay", sf_dir), drain_retries=True
+    )
+    streaming.replay_dlq(spark, paths)
+    return (
+        streaming.read_dlq(spark, paths, sf_dir)
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("generations"),
+            F.max("failed_attempts").alias("final_attempts"),
+            F.min("failed_attempts").alias("replay_attempts"),
+        )
+    )
+
+
+@query(
     "streaming_stateful_sessions",
     oracle="""
     WITH flagged AS (

@@ -294,6 +294,44 @@ def drain_retry_queue(spark: SparkSession, paths: dict[str, object]) -> int:
     return passes
 
 
+def replay_dlq(spark: SparkSession, paths: dict[str, object], reset_to: int = 0) -> int:
+    """Re-drive dead-lettered events — the operator form of the
+    reference's "email admin" stub (`PodioApiGateway.py:157-159`), where
+    a human inspects the dead letter and re-submits it. Every DLQ entry
+    is re-enqueued onto the retry queue with its attempts counter reset
+    to ``reset_to`` (default 0 — a full fresh re-drive), then the queue
+    is drained back to fixpoint by the same checkpointed availableNow
+    loop as the original run (``drain_retry_queue`` — the checkpoint
+    makes the drain pick up exactly the replayed files, no manual file
+    bookkeeping).
+
+    The DLQ is a LOG, not a set: the original generation's entries stay
+    put, and because this deterministic replay has no success-on-retry
+    signal (an 'error' event always fails again, the model used
+    everywhere), each replayed event dead-letters a second time at
+    exactly ``DLQ_THRESHOLD`` — counting from ``reset_to`` in +1 steps
+    it crosses the threshold precisely at it. Converged closed form per
+    error event: 2 DLQ generations, max(first_attempts, threshold) from
+    the original run, threshold exactly from the replay — the oracle
+    ``streaming_dlq_replay`` states. Returns drain passes run (0 when
+    the DLQ is empty/absent).
+
+    Scale shape: one O(DLQ) read + append per replay, then the drain's
+    O(queue) passes — never touches the store or completed log, and the
+    pass count is bounded by ``DLQ_THRESHOLD - reset_to + 1``.
+    """
+    dlq_dir = str(paths["dlq"])
+    if not os.path.isdir(dlq_dir):
+        return 0  # nothing ever dead-lettered — replay is a no-op
+    queue_dir = str(paths["retry_queue"])
+    os.makedirs(queue_dir, exist_ok=True)
+    replayed = spark.read.parquet(dlq_dir).withColumn(
+        "failed_attempts", F.lit(reset_to).cast("int")
+    )
+    replayed.write.mode("append").parquet(queue_dir)
+    return drain_retry_queue(spark, paths)
+
+
 def windowed_counts_stream(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     """Event-time tumbling window with watermark (the idiomatic upgrade
     of ST5): 1-day windows, 1-hour lateness bound. Runs availableNow in

@@ -340,3 +340,39 @@ def test_compaction_racing_append_loses_nothing(spark, tmp_path):
         map(tuple, streaming.current_view_merged(spark, base, log).select(*cols).collect())
     )
     assert got2 == expected
+
+
+def test_replay_dlq_redrive_converges(spark, tmp_path):
+    """DLQ replay (the reference's 'email admin' re-drive,
+    PodioApiGateway.py:157-159): every dead-lettered event re-enters the
+    retry queue with attempts reset to 0 and dead-letters a second time
+    at exactly DLQ_THRESHOLD. The DLQ log ends with exactly two
+    generations per error event, and the replay drain runs exactly
+    DLQ_THRESHOLD passes (one per +1 bump from 0 to the threshold)."""
+    paths = streaming.run_pipeline(
+        spark, SF_DIR, workdir=str(tmp_path), drain_retries=True
+    )
+    n_dead = spark.read.parquet(str(paths["dlq"])).count()
+    assert n_dead > 0, "fixture must dead-letter at least one event"
+    passes = streaming.replay_dlq(spark, paths)
+    assert passes == streaming.DLQ_THRESHOLD
+    dlq = spark.read.parquet(str(paths["dlq"]))
+    per_event = (
+        dlq.groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("generations"),
+            F.min("failed_attempts").alias("replay_attempts"),
+        )
+        .collect()
+    )
+    assert len(per_event) == n_dead, "replay must not invent or drop events"
+    for r in per_event:
+        assert r["generations"] == 2
+        assert r["replay_attempts"] == streaming.DLQ_THRESHOLD
+
+
+def test_replay_dlq_empty_noop(spark, tmp_path):
+    """Replay with no DLQ directory is a clean no-op (0 passes)."""
+    paths = {"dlq": str(tmp_path / "nope"), "retry_queue": str(tmp_path / "rq"),
+             "checkpoint": str(tmp_path / "ckpt")}
+    assert streaming.replay_dlq(spark, paths) == 0
