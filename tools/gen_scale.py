@@ -1,0 +1,124 @@
+"""Generate self-consistent synthetic tables at arbitrary scale factors
+for the SCALE.md scaling-decade measurement (VERDICT r4 item 3).
+
+The driver's /root/testdata is read-only and stops at sf0.1, so the
+decade measurement needs locally generated data. To keep the exponent
+meaningful, BOTH ends of each decade come from THIS generator (same
+distributions, same near-dup planting rate) — the driver's tables are
+never mixed into the curve. Distributions mirror the driver fixtures
+(inspected at sf0.1): documents ≈ 50k docs/sf from a ~40-word vocab,
+~5% planted near-dups + 0.2% exact dups; embeddings ≈ 20k × 64-dim
+float32 in 10 label clusters; events ≈ 1M rows/sf over 15k users/sf,
+TIMESTAMP(NANOS) on disk exactly like the driver's events.parquet;
+customer ≈ 150k rows/sf.
+
+Usage: python tools/gen_scale.py SF OUTDIR   (e.g. 1 /tmp/scale/sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash slow "
+    "vector query agg table key group the filter customer stream join shuffle "
+    "plan stage task node broadcast window merge index cache disk memory row "
+    "file block codec a"
+).split()
+
+LANGS = ["en", "en", "en", "zh", "de", "fr", "es"]  # en-heavy like the fixture
+
+
+def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
+    lengths = np.clip(rng.lognormal(3.7, 0.6, n), 8, 400).astype(int)
+    texts: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 10 and r < 0.002:  # exact duplicate of an earlier doc
+            texts.append(texts[rng.integers(0, i)])
+            continue
+        if i > 10 and r < 0.05:  # near duplicate: perturb ~5% of words
+            words = texts[rng.integers(0, i)].split()
+            for j in rng.integers(0, len(words), max(1, len(words) // 20)):
+                words[j] = VOCAB[rng.integers(0, len(VOCAB))]
+            texts.append(" ".join(words))
+            continue
+        idx = rng.integers(0, len(VOCAB), lengths[i])
+        texts.append(" ".join(VOCAB[k] for k in idx))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([LANGS[k] for k in rng.integers(0, len(LANGS), n)]),
+            "source": pa.array([f"src{k}" for k in rng.integers(0, 20, n)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
+    centroids = rng.normal(0, 1, (10, 64))
+    labels = rng.integers(0, 10, n)
+    vecs = (centroids[labels] + rng.normal(0, 0.35, (n, 64))).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+def gen_events(rng: np.random.Generator, n: int, n_users: int) -> pa.Table:
+    t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
+    span = 30 * 24 * 3600 * 10**9
+    ts = t0 + rng.integers(0, span, n)
+    types = np.array(["signup", "click", "purchase", "error", "view"])
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(np.sort(ts)).cast(pa.timestamp("ns")),
+            "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+            "event_type": pa.array(types[rng.integers(0, 5, n)]),
+            "value": pa.array(np.round(rng.uniform(0, 560, n), 2), pa.float64()),
+            "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n)]),
+        }
+    )
+
+
+def gen_customer(rng: np.random.Generator, n: int) -> pa.Table:
+    segs = np.array(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"])
+    return pa.table(
+        {
+            "c_custkey": pa.array(np.arange(1, n + 1), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(1, n + 1)]),
+            "c_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+            "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n), 2), pa.float64()),
+            "c_mktsegment": pa.array(segs[rng.integers(0, 5, n)]),
+        }
+    )
+
+
+def main(sf: float, outdir: str) -> None:
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(42)  # same seed at every sf: sf1 ⊇-like sf0.1
+    tables = {
+        "documents": gen_documents(rng, int(50_000 * sf)),
+        "embeddings": gen_embeddings(rng, int(20_000 * sf)),
+        "events": gen_events(rng, int(1_000_000 * sf), int(15_000 * sf)),
+        "customer": gen_customer(rng, int(150_000 * sf)),
+    }
+    for name, tbl in tables.items():
+        pq.write_table(tbl, f"{outdir}/{name}.parquet", store_schema=True)
+        print(f"{name}: {tbl.num_rows} rows -> {outdir}/{name}.parquet")
+
+
+if __name__ == "__main__":
+    main(float(sys.argv[1]), sys.argv[2])
