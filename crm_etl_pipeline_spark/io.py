@@ -27,15 +27,28 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a µs TimestampType across fixture
+    vintages: TIMESTAMP(NANOS) files arrive as a nanos long (via the
+    nanosAsLong legacy conf) and are converted with integer arithmetic
+    (no double round-trip — ns since epoch exceeds double's 53-bit
+    mantissa); TIMESTAMP(MICROS) files arrive as TIMESTAMP_NTZ and are
+    cast (identity under the UTC session timezone). DuckDB reads both
+    as naive µs timestamps, so oracle comparisons agree either way."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (S1 family: filter/limit/projection pushdown
     happen automatically once callers chain .filter/.select).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; we read nanos as long and convert to a microsecond
-    timestamp with integer arithmetic (no double round-trip — ns since
-    epoch exceeds double's 53-bit mantissa). DuckDB truncates ns→µs the
-    same way, so oracle comparisons agree.
+    ``events.parquet`` may store TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; ``normalize_event_ts`` handles both that vintage and
+    the plain-µs one.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
@@ -43,12 +56,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanosAsLong is set at session build (session.py); sessions built
         # elsewhere (e.g. the driver's) get a one-time guarded set here —
         # it is a session-wide legacy conf with no per-read equivalent.
-        # DuckDB truncates ns→µs the same way (the fixture's sub-µs
-        # component is zero), so oracles agree.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -13,10 +13,17 @@ Spark-first:
 - everything below is pure `pyspark.sql.functions` column algebra
   (codegen'd JVM expressions — zero Python UDFs in the hot path);
 - near-dedup NEVER does an all-pairs comparison: MinHash signatures are
-  banded and candidates come from an equi-join on (band_id, band_sig),
-  which shuffles each doc once per band — the standard LSH shape that
-  survives a 100×/1000× scale-up. A hot band signature (boilerplate
-  docs) is a skew key; AQE skew-join splits it at runtime.
+  banded and candidates generate INSIDE (band_id, band_sig) buckets
+  (lsh.bounded_sorted_members: one shuffle per doc per band, rank-
+  bounded membership arrays, capped pair emission) — the standard LSH
+  shape that survives a 100×/1000× scale-up. A hot band signature
+  (boilerplate docs) is a hot grouping key: its cost is one task's
+  sort of the bucket, bounded by the MEMBER_CAP rank filter, never a
+  pair explosion. Where the engine DOES equi-join on content-derived
+  keys (tf-idf's token join, decontamination's shingle join,
+  dedup_components' label propagation), a hot key is a skew-join
+  partition; AQE's OptimizeSkewedJoin splits it at runtime — observed,
+  not assumed, by tests/test_skew.py::test_aqe_splits_skewed_band_join.
 
 Determinism contract (drives the DuckDB oracles): md5/sha256 hex
 strings are identical across engines; whitespace `split` agrees with

@@ -47,8 +47,10 @@ DLQ_THRESHOLD = 10  # failed_attempts >= 10 → dead letter
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events fixture (S7). The stream
-    schema is the batch schema (ts arrives as nanos-long, converted to
-    a µs timestamp exactly like io.table)."""
+    schema is the batch schema; ts is normalized to a µs timestamp
+    exactly like io.table (both fixture vintages)."""
+    from crm_etl_pipeline_spark.io import normalize_event_ts
+
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -57,7 +59,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def _append_versions(log_path: str, updates: DataFrame) -> None:

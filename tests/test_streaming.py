@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from crm_etl_pipeline_spark import scd, streaming
+from crm_etl_pipeline_spark.io import normalize_event_ts
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -49,12 +50,12 @@ def test_store_is_append_only(spark, tmp_path):
     before = _snapshot(store)
     assert before, "store log should have files after the run"
     extra = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
         .limit(5)
         .select(
             F.col("user_id").alias("item_id"),
             "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "ts",
             "value",
         )
     )
@@ -74,7 +75,7 @@ def test_requeue_drains_to_convergence(spark, tmp_path):
         spark, SF_DIR, workdir=str(tmp_path), drain_retries=True
     )
     errors = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
         .filter(F.col("event_type") == "error")
         .select(
             "event_id",
@@ -145,13 +146,13 @@ def test_compacted_current_view_fast_path(spark, tmp_path):
     streaming.compact_store(spark, log, base)
     fresh_log = str(tmp_path / "fresh_log")
     extra = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
         .filter(F.col("event_type").isin(*streaming.PROCESS_TYPES))
         .limit(7)
         .select(
             F.col("user_id").alias("item_id"),
             "event_id",
-            (F.timestamp_micros(F.expr("ts div 1000")) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            (F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
             (F.col("value") + 1).alias("value"),
         )
     )
@@ -178,13 +179,13 @@ def test_compaction_roundtrip_after_log_truncation(spark, tmp_path):
     paths = streaming.run_pipeline(spark, SF_DIR, workdir=str(tmp_path))
     log, base = str(paths["store"]), str(tmp_path / "compacted")
     extra = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
         .filter(F.col("event_type").isin(*streaming.PROCESS_TYPES))
         .limit(7)
         .select(
             F.col("user_id").alias("item_id"),
             "event_id",
-            (F.timestamp_micros(F.expr("ts div 1000")) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            (F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
             (F.col("value") + 1).alias("value"),
         )
     )
@@ -233,7 +234,7 @@ def test_reliable_checkpoint_flag(spark, tmp_path):
 
 def test_completed_queue_and_dlq(spark, tmp_path):
     paths = streaming.run_pipeline(spark, SF_DIR, workdir=str(tmp_path))
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     n_process = events.filter(F.col("event_type").isin(*streaming.PROCESS_TYPES)).count()
     completed = spark.read.parquet(paths["completed"])
     assert completed.count() == n_process
@@ -256,9 +257,7 @@ def test_windowed_counts_match_batch(spark, tmp_path):
 
 
 def test_batch_dedup_last_write_wins(spark):
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     deduped = streaming.dedup_last_write_wins(events)
     per_key = deduped.groupBy("user_id", "event_type").count()
     assert per_key.filter(F.col("count") > 1).count() == 0
@@ -283,7 +282,7 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     out = str(tmp_path / "deduped")
     streaming.dedup_stream_within_watermark(spark, SF_DIR, out)
     got = spark.read.parquet(out)
-    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     assert got.count() == src.count()
     assert got.select("event_id").distinct().count() == src.count()
 
@@ -313,13 +312,13 @@ def test_compaction_racing_append_loses_nothing(spark, tmp_path):
     streaming.compact_store(spark, log, base)
     # the racing micro-batch: lands between the fold's read and truncation
     racing = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
         .filter(F.col("event_type").isin(*streaming.PROCESS_TYPES))
         .limit(9)
         .select(
             F.col("user_id").alias("item_id"),
             "event_id",
-            (F.timestamp_micros(F.expr("ts div 1000")) + F.expr("INTERVAL 20 DAYS")).alias("ts"),
+            (F.col("ts") + F.expr("INTERVAL 20 DAYS")).alias("ts"),
             (F.col("value") + 2).alias("value"),
         )
     )

@@ -9,7 +9,7 @@ never mixed into the curve. Distributions mirror the driver fixtures
 (inspected at sf0.1): documents ≈ 50k docs/sf from a ~40-word vocab,
 ~5% planted near-dups + 0.2% exact dups; embeddings ≈ 20k × 64-dim
 float32 in 10 label clusters; events ≈ 1M rows/sf over 15k users/sf,
-TIMESTAMP(NANOS) on disk exactly like the driver's events.parquet;
+TIMESTAMP(MICROS) on disk exactly like the driver's events.parquet;
 customer ≈ 150k rows/sf.
 
 Usage: python tools/gen_scale.py SF OUTDIR   (e.g. 1 /tmp/scale/sf1)
@@ -78,11 +78,14 @@ def gen_events(rng: np.random.Generator, n: int, n_users: int) -> pa.Table:
     t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
     span = 30 * 24 * 3600 * 10**9
     ts = t0 + rng.integers(0, span, n)
+    # round-5 driver fixtures store TIMESTAMP(MICROS); match that vintage
+    # (io.normalize_event_ts handles the older nanos layout too)
+    ts_us = np.sort(ts) // 1000
     types = np.array(["signup", "click", "purchase", "error", "view"])
     return pa.table(
         {
             "event_id": pa.array(np.arange(n), pa.int64()),
-            "ts": pa.array(np.sort(ts)).cast(pa.timestamp("ns")),
+            "ts": pa.array(ts_us).cast(pa.timestamp("us")),
             "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
             "event_type": pa.array(types[rng.integers(0, 5, n)]),
             "value": pa.array(np.round(rng.uniform(0, 560, n), 2), pa.float64()),
