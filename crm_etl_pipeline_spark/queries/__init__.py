@@ -74,4 +74,6 @@ DRIVER_PRIORITY: list[str] = [
     "vocab_top_tokens",
     # new in round 5
     "streaming_dlq_replay",
+    "pii_redaction",
+    "dedup_incremental_new_docs",
 ]

@@ -1373,3 +1373,132 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cum - 1) div 2048").alias("end_seq"),
         F.expr("start - (start div 2048) * 2048").alias("start_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + incremental (snapshot-delta) dedup
+
+# RE2-and-Java-compatible patterns (no lookaround, no backrefs): the
+# oracle runs them in DuckDB's RE2, Spark in java.util.regex — both
+# support character classes, bounded repetition and \b identically.
+_EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_PAT = r"\b555-[0-9]{4}\b"
+
+# deterministic PII fabrication (the fixture corpus contains none):
+# every doc_id % 9 == 0 gains an email, every doc_id % 11 == 0 a phone
+_PII_CORPUS_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 9 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS text
+    FROM documents
+"""
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(" or 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), email, phone).alias("text")
+    )
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH corpus AS ({_PII_CORPUS_SQL})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_PAT}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_PHONE_PAT}', '<PHONE>', 'g') AS redacted
+    FROM corpus
+    WHERE doc_id % 9 = 0 OR doc_id % 11 = 0
+    """,
+    survey="§2.9 curation (PII detection + redaction: email/phone regex scrub before training)",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the curation step every training corpus runs before
+    tokenization: count and mask emails/phone numbers with compiled
+    regexes. Deterministic PII is fabricated in-query (the fixture has
+    none), redaction output is verified byte-for-byte by the oracle.
+
+    Scale shape: a single narrow scan; all regex work is codegen'd JVM
+    `regexp_extract_all`/`regexp_replace` — per-row, no shuffle at all
+    until the (optional) downstream aggregation, so it pipelines with
+    whatever filter/dedup stage follows at any corpus size."""
+    t = F.col("text")
+    return (
+        _pii_corpus(spark, sf_dir)
+        .filter((F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 11 == 0))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(t, F.lit(_EMAIL_PAT), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all(t, F.lit(_PHONE_PAT), 0)).alias("n_phones"),
+            F.regexp_replace(
+                F.regexp_replace(t, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+            ).alias("redacted"),
+        )
+    )
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH batch AS ({_EXACT_CORPUS_SQL}),
+    snapshot AS (
+      SELECT DISTINCT sha256(text) AS content_hash
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    novel AS (
+      SELECT b.doc_id, sha256(b.text) AS content_hash
+      FROM batch b
+      WHERE sha256(b.text) NOT IN (SELECT content_hash FROM snapshot)
+    )
+    SELECT content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_in_batch
+    FROM novel GROUP BY content_hash
+    """,
+    survey="§2.9 dedup (incremental: new-batch docs deduped against a prior corpus snapshot)",
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the production shape for a GROWING
+    corpus: an incoming batch (with its fabricated exact dups) is
+    checked against the content-hash snapshot of the docs already
+    ingested (here: every doc_id % 3 == 0), and only genuinely new
+    content survives, first-writer-wins within the batch.
+
+    Scale shape: the snapshot side is a hash-only projection (32 bytes
+    a row, not documents), so at 100 TB it is a compact bucketed table;
+    the anti join shuffles both sides on content_hash (uniform by
+    construction — it IS a hash) and Spark's runtime Bloom-filter
+    injection prunes the batch side before the shuffle when the
+    snapshot is selective. No full-corpus recompare on any increment."""
+    batch = _exact_corpus(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
+    )
+    snapshot = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .distinct()
+    )
+    return (
+        batch.join(snapshot, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )

@@ -332,3 +332,38 @@ def test_bounded_sorted_members_caps_the_array(spark):
     assert out["cold"]["ids"] == [1, 3] and out["cold"]["n_members"] == 2
     # the flag contract holds on the bounded array: min(n, member_cap) > cap
     assert len(out["hot"]["ids"]) > 4 and len(out["cold"]["ids"]) <= 4
+
+
+def test_pii_redaction_scrubs_everything(spark):
+    """No email/phone pattern may survive redaction, every fabricated
+    PII doc is counted, and non-PII text is untouched."""
+    import re
+
+    from crm_etl_pipeline_spark.queries.llmops import _EMAIL_PAT, _PHONE_PAT
+
+    rows = _rows(spark, "pii_redaction")
+    assert rows
+    email_re, phone_re = re.compile(_EMAIL_PAT), re.compile(_PHONE_PAT)
+    for r in rows:
+        assert not email_re.search(r.redacted), r
+        assert not phone_re.search(r.redacted), r
+        assert r.n_emails == (1 if r.doc_id % 9 == 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 11 == 0 else 0)
+        assert ("<EMAIL>" in r.redacted) == (r.n_emails > 0)
+        assert ("<PHONE>" in r.redacted) == (r.n_phones > 0)
+
+
+def test_incremental_dedup_excludes_snapshot(spark):
+    """Snapshot content (doc_id % 3 == 0, and any other doc with the
+    same text) never re-surfaces; survivors are the minimum batch
+    doc_id per novel hash and fabricated exact dups collapse onto it."""
+    out = {r.keep_doc_id: r.n_in_batch for r in _rows(spark, "dedup_incremental_new_docs")}
+    assert out
+    # every snapshot doc is absent from the survivors
+    assert not any(k % 3 == 0 for k in out if k < DUP_OFFSET)
+    # fabricated exact dups (doc_id % 5 == 0, not already in snapshot)
+    # collapse onto the original: n_in_batch == 2, survivor below offset
+    for k, n in out.items():
+        assert k < DUP_OFFSET or n == 1  # a clone survives only if its
+        # original was snapshot content (then the clone is also filtered)
+    assert all(n <= 2 for n in out.values())
