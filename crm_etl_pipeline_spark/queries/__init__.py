@@ -76,4 +76,5 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_dlq_replay",
     "pii_redaction",
     "dedup_incremental_new_docs",
+    "token_rarity_score",
 ]

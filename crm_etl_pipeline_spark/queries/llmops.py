@@ -1502,3 +1502,72 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_in_batch"),
         )
     )
+
+
+@query(
+    "token_rarity_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), counts AS (
+      SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok
+    ), total AS (
+      SELECT COUNT(*) AS n_total FROM toks
+    ), rar AS (
+      SELECT tok, length(bin(n_total // n_tok)) - 1 AS rarity
+      FROM counts CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * rarity) AS BIGINT) AS sum_rarity,
+           CAST(SUM(tf * rarity) AS DOUBLE) / SUM(tf) AS avg_rarity
+    FROM tf JOIN rar USING (tok)
+    GROUP BY doc_id
+    """,
+    survey="§2.9 text analysis (token rarity / information-content quality score, exact integer log2)",
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document information-content score — the unigram-LM quality
+    signal (rare-token-dense docs score high, boilerplate scores low)
+    with EXACT cross-engine arithmetic: rarity(tok) =
+    floor(log2(total_tokens / count(tok))) computed as
+    length(bin(total div count)) - 1, pure integer ops in both engines
+    (libm log() differs at the last ulp between engines and can flip a
+    floor boundary; bit-length cannot). The only double op is the final
+    division of two exact integers — bit-identical everywhere.
+
+    Scale shape: one explode+groupBy builds the (doc, tok, tf) fact;
+    the corpus token histogram re-aggregates that narrow output (never
+    the exploded fact twice); the total is a broadcast scalar attached
+    with the non-foldable-key equi-join (see tfidf_top_terms); the final
+    per-doc agg is map-side combinable. Three shuffles total at any
+    corpus size."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("n_tok"))
+    total = tf.agg(F.sum("tf").alias("n_total")).select(
+        "n_total", F.least(F.col("n_total"), F.lit(1)).cast("int").alias("_k")
+    )
+    rar = (
+        counts.withColumn("_k", F.least(F.col("n_tok"), F.lit(1)).cast("int"))
+        .join(F.broadcast(total), "_k")
+        .select("tok", (F.length(F.bin(F.expr("n_total div n_tok"))) - F.lit(1)).alias("rarity"))
+    )
+    return (
+        tf.join(rar, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("rarity")).alias("sum_rarity"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_rarity",
+            (F.col("sum_rarity").cast("double") / F.col("n_tokens")).alias("avg_rarity"),
+        )
+    )
