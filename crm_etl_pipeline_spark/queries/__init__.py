@@ -77,4 +77,5 @@ DRIVER_PRIORITY: list[str] = [
     "pii_redaction",
     "dedup_incremental_new_docs",
     "token_rarity_score",
+    "repeated_span_mining",
 ]

@@ -1571,3 +1571,52 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_rarity").cast("double") / F.col("n_tokens")).alias("avg_rarity"),
         )
     )
+
+
+@query(
+    "repeated_span_mining",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    spans AS (
+      SELECT doc_id, unnest({_shingles_sql('t', 10)}) AS span
+      FROM toks WHERE len(t) >= 10
+    )
+    SELECT md5(span) AS span_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM spans GROUP BY md5(span)
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    survey="§2.9 dedup (cross-document repeated-span mining: 10-token window hashing flags boilerplate)",
+)
+def repeated_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans — the boilerplate/template detector
+    that substring-level dedup pipelines run before training: every
+    10-token window is hashed (Rabin-Karp shape, md5 here for the
+    cross-engine oracle) and windows appearing in ≥2 distinct documents
+    surface with their document and occurrence counts. The fabricated
+    near-dup clones guarantee shared spans in the fixture.
+
+    Scale shape: explode is a bounded ~W× fanout of the token stream,
+    feeding one groupBy on a uniform hash key (md5 — no skew by
+    construction except true boilerplate, which is exactly the signal);
+    the distinct-doc count is a partial-aggregated COUNT(DISTINCT) on
+    that same key, and the ≥2-docs filter prunes the long unique tail
+    before any further stage. No all-pairs comparison at any size."""
+    toks = _tokens()
+    spans = (
+        _near_corpus(spark, sf_dir)
+        .filter(F.size(toks) >= 10)
+        .select("doc_id", F.explode(_shingles(toks, 10)).alias("span"))
+    )
+    return (
+        spans.groupBy(F.md5(F.col("span")).alias("span_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

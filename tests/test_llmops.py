@@ -367,3 +367,15 @@ def test_incremental_dedup_excludes_snapshot(spark):
         assert k < DUP_OFFSET or n == 1  # a clone survives only if its
         # original was snapshot content (then the clone is also filtered)
     assert all(n <= 2 for n in out.values())
+
+
+def test_repeated_span_mining_flags_clone_spans(spark):
+    """Fabricated near-dup clones share 10-token windows with their
+    originals, so mined spans must exist, every span spans >= 2 docs,
+    occurrence counts are consistent, and at least one span's earliest
+    doc is a %7 original (the clone source)."""
+    rows = _rows(spark, "repeated_span_mining")
+    assert rows
+    assert all(r.n_docs >= 2 for r in rows)
+    assert all(r.n_occurrences >= r.n_docs for r in rows)
+    assert any(r.first_doc % 7 == 0 and r.first_doc < DUP_OFFSET for r in rows)
