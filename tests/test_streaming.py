@@ -375,3 +375,41 @@ def test_replay_dlq_empty_noop(spark, tmp_path):
     paths = {"dlq": str(tmp_path / "nope"), "retry_queue": str(tmp_path / "rq"),
              "checkpoint": str(tmp_path / "ckpt")}
     assert streaming.replay_dlq(spark, paths) == 0
+
+
+def test_event_ts_vintage_roundtrip(spark, tmp_path):
+    """io.table must produce IDENTICAL timestamps whether events.parquet
+    stores TIMESTAMP(NANOS) (pre-round-5 fixtures, read as nanos-long
+    via the legacy conf) or TIMESTAMP(MICROS) (round-5 fixtures, read
+    as TIMESTAMP_NTZ) — the driver regenerated the fixtures once and
+    can again."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crm_etl_pipeline_spark.io import table
+
+    us = [0, 1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["click"] * 3),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}"] * 3),
+    }
+    for vintage, arr in (
+        ("us", pa.array(us, pa.timestamp("us"))),
+        ("ns", pa.array([u * 1000 for u in us], pa.timestamp("ns"))),
+    ):
+        d = str(tmp_path / vintage)
+        os.makedirs(d)
+        pq.write_table(pa.table({**base, "ts": arr}), f"{d}/events.parquet")
+    got_us = table(spark, str(tmp_path / "us"), "events").select("event_id", "ts").collect()
+    got_ns = table(spark, str(tmp_path / "ns"), "events").select("event_id", "ts").collect()
+    assert sorted(map(tuple, got_us)) == sorted(map(tuple, got_ns))
+    assert {str(r.ts) for r in got_us} == {
+        "1970-01-01 00:00:00",
+        "2023-11-14 22:13:20",
+        "2023-11-14 22:15:23.456789",
+    }
