@@ -34,9 +34,19 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     (no double round-trip — ns since epoch exceeds double's 53-bit
     mantissa); TIMESTAMP(MICROS) files arrive as TIMESTAMP_NTZ and are
     cast (identity under the UTC session timezone). DuckDB reads both
-    as naive µs timestamps, so oracle comparisons agree either way."""
+    as naive µs timestamps, so oracle comparisons agree either way.
+
+    The NTZ→timestamp cast reinterprets wall-time in the SESSION
+    timezone, so the micros branch (unlike the tz-free nanos branch)
+    requires UTC; session.py pins it, and the guard below covers
+    sessions built elsewhere — same pattern as the nanosAsLong guard
+    in ``table``. (UTC is an engine-wide contract anyway: every
+    timestamp-producing oracle comparison depends on it.)"""
     from pyspark.sql.types import LongType
 
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if isinstance(df.schema["ts"].dataType, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -1549,7 +1549,7 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     counts = tf.groupBy("tok").agg(F.sum("tf").alias("n_tok"))
-    total = tf.agg(F.sum("tf").alias("n_total")).select(
+    total = counts.agg(F.sum("n_tok").alias("n_total")).select(
         "n_total", F.least(F.col("n_total"), F.lit(1)).cast("int").alias("_k")
     )
     rar = (

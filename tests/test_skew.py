@@ -18,6 +18,8 @@ than assumed:
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -32,7 +34,7 @@ BOILER_BASE = 400_000  # far above DUP_OFFSET: planted ids never collide
 N_BOILER = 300  # > lsh.BUCKET_CAP (256) → every shared band goes over cap
 
 
-def _plant_boilerplate_corpus(spark, tmp_path) -> str:
+def _plant_boilerplate_corpus(tmp_path) -> str:
     """Copy the sf0.001 documents fixture and append N_BOILER docs with
     IDENTICAL text — one band signature per band now holds an over-cap
     mass-duplicate cluster, exactly the hot-bucket shape the cap is
@@ -50,8 +52,6 @@ def _plant_boilerplate_corpus(spark, tmp_path) -> str:
         }
     )
     out = str(tmp_path / "planted")
-    import os
-
     os.makedirs(out, exist_ok=True)
     cols = [c for c in fixture.column_names if c in boiler.column_names]
     merged = pa.concat_tables([fixture.select(cols), boiler.select(cols)])
@@ -60,7 +60,7 @@ def _plant_boilerplate_corpus(spark, tmp_path) -> str:
 
 
 def test_hot_band_degrades_to_star_and_stays_connected(spark, tmp_path):
-    planted = _plant_boilerplate_corpus(spark, tmp_path)
+    planted = _plant_boilerplate_corpus(tmp_path)
 
     # the bucket profile surfaces the hot band — no silent caps
     prof = REGISTRY["lsh_bucket_profile"].fn(spark, planted).collect()

@@ -34,6 +34,18 @@ VOCAB = (
 LANGS = ["en", "en", "en", "zh", "de", "fr", "es"]  # en-heavy like the fixture
 
 
+def spaced_ids(n: int) -> np.ndarray:
+    """Ids that can never collide with the fabricated +100000 clone
+    offset used by the dedup queries (llmops.DUP_OFFSET and the
+    embedding clone offset): skip every other 100k block, so real ids
+    occupy [0,100k) ∪ [200k,300k) ∪ … and the +100000 clones land in
+    the gaps. Without this, any sf with >100k rows conflates a clone's
+    id with a genuine document's (observed at sf10: hybrid minhash
+    signatures from groupBy on the shared id)."""
+    idx = np.arange(n)
+    return idx + (idx // 100_000) * 100_000
+
+
 def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
     lengths = np.clip(rng.lognormal(3.7, 0.6, n), 8, 400).astype(int)
     texts: list[str] = []
@@ -52,7 +64,7 @@ def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
         texts.append(" ".join(VOCAB[k] for k in idx))
     return pa.table(
         {
-            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "doc_id": pa.array(spaced_ids(n), pa.int64()),
             "text": pa.array(texts),
             "lang": pa.array([LANGS[k] for k in rng.integers(0, len(LANGS), n)]),
             "source": pa.array([f"src{k}" for k in rng.integers(0, 20, n)]),
@@ -67,7 +79,7 @@ def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
     vecs = (centroids[labels] + rng.normal(0, 0.35, (n, 64))).astype(np.float32)
     return pa.table(
         {
-            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "vec_id": pa.array(spaced_ids(n), pa.int64()),
             "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
             "label": pa.array(labels, pa.int32()),
         }
