@@ -379,3 +379,38 @@ def test_repeated_span_mining_flags_clone_spans(spark):
     assert all(r.n_docs >= 2 for r in rows)
     assert all(r.n_occurrences >= r.n_docs for r in rows)
     assert any(r.first_doc % 7 == 0 and r.first_doc < DUP_OFFSET for r in rows)
+
+
+def test_new_operators_handle_empty_corpus(spark, tmp_path):
+    """An empty documents table (a routine occurrence for a partition of
+    a 100 TB corpus) must yield an empty result with the full output
+    schema from every round-5 operator — no exceptions, no dropped
+    columns."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(empty, f"{d}/documents.parquet")
+    expected_cols = {
+        "pii_redaction": ["doc_id", "n_emails", "n_phones", "redacted"],
+        "dedup_incremental_new_docs": ["content_hash", "keep_doc_id", "n_in_batch"],
+        "token_rarity_score": ["doc_id", "n_tokens", "sum_rarity", "avg_rarity"],
+        "repeated_span_mining": ["span_hash", "n_docs", "n_occurrences", "first_doc"],
+        "minhash_near_dup": ["doc_a", "doc_b", "n_shared_bands", "from_capped"],
+    }
+    for name, cols in expected_cols.items():
+        df = REGISTRY[name].fn(spark, d)
+        assert df.columns == cols, (name, df.columns)
+        assert df.count() == 0, name
