@@ -414,3 +414,52 @@ def test_new_operators_handle_empty_corpus(spark, tmp_path):
         df = REGISTRY[name].fn(spark, d)
         assert df.columns == cols, (name, df.columns)
         assert df.count() == 0, name
+
+
+def test_capped_pair_array_count_formula_sweep(spark):
+    """Exhaustive sweep of the pair-count contract over bucket sizes
+    2..40 under several caps, in one Spark job per cap: size n <= cap
+    emits exactly C(n,2) pairs (full pairwise), n > cap emits exactly
+    n-1 anchor-rooted pairs (star), and the anchor is always the
+    minimum member."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark import lsh
+
+    sizes = list(range(2, 41))
+    df = spark.createDataFrame(
+        [(n, list(range(1000 * n, 1000 * n + n))) for n in sizes],
+        "n int, ids array<int>",
+    ).select("n", F.sort_array("ids").alias("ids"))
+    for cap in (1, 3, 7, 39):
+        pairs = df.select(
+            "n",
+            F.explode(
+                lsh.capped_pair_array(
+                    F.col("ids"),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    cap=cap,
+                )
+            ).alias("p"),
+        )
+        got = {
+            r.n: (r.cnt, r.min_a, r.n_anchor)
+            for r in pairs.groupBy("n")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("p.a").alias("min_a"),
+                F.countDistinct(F.when(F.col("p.a") == F.lit(0), 1)).alias("n_anchor"),
+            )
+            .collect()
+        }
+        for n in sizes:
+            cnt, min_a, _ = got[n]
+            expected = n * (n - 1) // 2 if n <= cap else n - 1
+            assert cnt == expected, (n, cap, cnt, expected)
+            assert min_a == 1000 * n  # pairs never precede the minimum member
+        # star shape, one aggregate for the whole sweep: every pair in an
+        # over-cap bucket has the bucket anchor (its minimum member) as p.a
+        non_star = pairs.filter(
+            (F.col("n") > cap) & (F.col("p.a") != F.col("n") * 1000)
+        ).count()
+        assert non_star == 0, cap
