@@ -119,21 +119,28 @@ def gen_customer(rng: np.random.Generator, n: int) -> pa.Table:
     )
 
 
-def main(sf: float, outdir: str) -> None:
+def main(sf: float, outdir: str, only: set[str] | None = None) -> None:
     import os
 
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)  # same seed at every sf: sf1 ⊇-like sf0.1
-    tables = {
-        "documents": gen_documents(rng, int(50_000 * sf)),
-        "embeddings": gen_embeddings(rng, int(20_000 * sf)),
-        "events": gen_events(rng, int(1_000_000 * sf), int(15_000 * sf)),
-        "customer": gen_customer(rng, int(150_000 * sf)),
+    builders = {
+        "documents": lambda: gen_documents(rng, int(50_000 * sf)),
+        "embeddings": lambda: gen_embeddings(rng, int(20_000 * sf)),
+        "events": lambda: gen_events(rng, int(1_000_000 * sf), int(15_000 * sf)),
+        "customer": lambda: gen_customer(rng, int(150_000 * sf)),
     }
-    for name, tbl in tables.items():
+    # `only` exists for the top decade: a 100M-row events table is not
+    # generatable in reasonable time/memory, and the document-corpus
+    # queries need only documents+embeddings
+    for name, build in builders.items():
+        if only and name not in only:
+            continue
+        tbl = build()
         pq.write_table(tbl, f"{outdir}/{name}.parquet", store_schema=True)
         print(f"{name}: {tbl.num_rows} rows -> {outdir}/{name}.parquet")
 
 
 if __name__ == "__main__":
-    main(float(sys.argv[1]), sys.argv[2])
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    main(float(sys.argv[1]), sys.argv[2], only)

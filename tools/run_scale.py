@@ -14,7 +14,9 @@ still sub-linear in data".
 Timing mirrors bench.py: warm-up passes first (JIT + parquet footer
 cache), then min-of-N timed runs materialized via count().
 
-Usage: python tools/run_scale.py /tmp/scale/sf0.1 /tmp/scale/sf1 [out.json]
+Usage: python tools/run_scale.py LO_DIR HI_DIR [out.json] [q1,q2,...]
+(the optional query list restricts the run, e.g. to the document-corpus
+family when the top-decade dataset has no events/customer tables)
 """
 
 from __future__ import annotations
@@ -50,9 +52,12 @@ def _sf(d: str) -> float:
     return float(m.group(1))
 
 
-def main(lo_dir: str, hi_dir: str, out: str | None) -> None:
+def main(lo_dir: str, hi_dir: str, out: str | None, queries: list[str] | None = None) -> None:
     spark = get_spark("crm-etl-pipeline-scale")
     reg = load_all()
+    global QUERIES
+    if queries:
+        QUERIES = queries
     results: dict[str, dict] = {}
     bucket_stats: dict[str, dict] = {}
     for d in (lo_dir, hi_dir):
@@ -98,4 +103,9 @@ def main(lo_dir: str, hi_dir: str, out: str | None) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
+    main(
+        sys.argv[1],
+        sys.argv[2],
+        sys.argv[3] if len(sys.argv) > 3 else None,
+        sys.argv[4].split(",") if len(sys.argv) > 4 else None,
+    )
