@@ -68,14 +68,16 @@ DRIVER_PRIORITY: list[str] = [
     "train_split_stratified",
     "tumbling_daily_counts",
     "value_percentiles",
-    # latest driver row = r3
-    "sample_stratified_hashrank",
-    "version_counts_per_key",
-    "vocab_top_tokens",
-    # new in round 5
+    # new in round 5 (never driver-checked — must get their first row).
+    # The 3 r3-verified queries (sample_stratified_hashrank,
+    # version_counts_per_key, vocab_top_tokens) ceded their slots: an r3
+    # row is within the two-round freshness tolerance, a missing row is not.
     "streaming_dlq_replay",
     "pii_redaction",
     "dedup_incremental_new_docs",
     "token_rarity_score",
     "repeated_span_mining",
+    "bm25_topk_search",
+    "chunk_documents",
+    "inverted_index_postings",
 ]

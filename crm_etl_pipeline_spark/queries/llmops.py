@@ -1620,3 +1620,237 @@ def repeated_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval / training-prep additions: BM25 search, chunking, inverted index
+
+# fixed query-term set for the BM25 search (all present in the fixture vocab)
+_BM25_TERMS = ("spark", "hash", "merge", "window")
+_BM25_TERMS_SQL = "('" + "', '".join(_BM25_TERMS) + "')"
+# classic BM25 constants k1=1.5, b=0.75 appear below only through the exact
+# binary64 literals 2.5 (=k1+1), 1.5, 0.75 and 0.25 (=1-b)
+
+
+@query(
+    "bm25_topk_search",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM sized
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(FLOOR(
+               ((n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * (dl / avgdl))))
+               * 1000000) AS BIGINT)) AS BIGINT) AS score_fp,
+             COUNT(*) AS n_terms_hit
+      FROM tf JOIN df USING (tok) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, score_fp, n_terms_hit FROM scored
+    ORDER BY score_fp DESC, doc_id LIMIT 10
+    """,
+    survey="§2.9 retrieval (BM25 ranked search over the corpus, fixed-point deterministic scoring)",
+)
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed query-term set — the lexical
+    ranking half of a retrieval/dedup stack (Robertson-Spärck Jones idf
+    made LINEAR — (N-df+0.5)/(df+0.5) without the log — for the same
+    reason tfidf_top_terms avoids ln(): libm last-ulp behavior is not a
+    cross-engine contract, rational arithmetic is). Every per-term score
+    is a fixed expression tree of IEEE binary64 ops on exact integer
+    inputs — bit-identical in any engine — then scaled-and-floored to a
+    BIGINT micro-score, so the per-document SUM is an order-independent
+    integer sum. Ties break on doc_id.
+
+    Scale shape: tf explodes only matching tokens (the IN filter runs
+    before the groupBy, so fanout is |matches|, not |tokens|) and
+    carries the doc length through the aggregate (dl is functionally
+    dependent on doc_id — MAX is exact and saves a second corpus join);
+    df re-aggregates tf's narrow output; corpus stats are a 1-row
+    broadcast attached via the non-foldable-key equi-join (see
+    tfidf_top_terms); the global top-10 compiles to
+    TakeOrderedAndProject — per-partition heads, no single-partition
+    window, no full sort."""
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.select(F.size(_tokens()).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).select(
+        "n_docs", "avgdl", F.least(F.col("n_docs"), F.lit(1)).cast("int").alias("_k")
+    )
+    tf = (
+        docs.select("doc_id", F.size(_tokens()).alias("dl"), F.explode(_tokens()).alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # expression tree mirrors the oracle parenthesization exactly: each
+    # intermediate is one IEEE op on deterministic operands
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    satur = (F.col("tf") * F.lit(2.5)) / (
+        F.col("tf") + F.lit(1.5) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+    )
+    term_fp = F.floor(idf * satur * F.lit(1000000))
+    return (
+        tf.join(df, "tok")
+        .withColumn("_k", F.least(F.col("tf"), F.lit(1)).cast("int"))
+        .join(F.broadcast(stats), "_k")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_fp).alias("score_fp"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# chunking window: 32-token chunks advancing 24 tokens (25% overlap)
+CHUNK_W, CHUNK_S = 32, 24
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, t, n,
+             1 + (CASE WHEN n > {CHUNK_W} THEN n - {CHUNK_W} ELSE 0 END
+                  + {CHUNK_S - 1}) // {CHUNK_S} AS n_chunks
+      FROM sized
+    ), exploded AS (
+      SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS chunk_id FROM counted
+    )
+    SELECT doc_id, chunk_id,
+           CASE WHEN n - (chunk_id * {CHUNK_S} + 1) + 1 < {CHUNK_W}
+                THEN n - (chunk_id * {CHUNK_S} + 1) + 1 ELSE {CHUNK_W} END
+             AS n_chunk_tokens,
+           array_to_string(
+             t[chunk_id * {CHUNK_S} + 1 : chunk_id * {CHUNK_S} + {CHUNK_W}],
+             ' ') AS chunk_text
+    FROM exploded
+    """,
+    survey="§2.9 training prep (overlapping token-window chunking for context-length-bounded training)",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping {CHUNK_W}-token chunks on a
+    {CHUNK_S}-token stride — the retrieval-index / context-window prep
+    step that runs between cleaning and embedding. The chunk count is
+    1 + ceil(max(0, n-W)/S) so the final chunk always reaches the last
+    token (a floor there silently drops the document tail); integer
+    `div` avoids the double-rounding drift floor(x/y) picks up on
+    large counts.
+
+    Scale shape: ZERO shuffles — sequence+explode is a narrow per-row
+    fanout bounded by n/S, and slice/concat_ws are codegen'd array ops,
+    so the whole operator pipelines inside the parquet scan stage.
+    Chunk provenance (doc_id, chunk_id) is carried for the downstream
+    dedup-then-train join-back."""
+    t = _tokens()
+    sized = table(spark, sf_dir, "documents").select(
+        "doc_id", t.alias("t"), F.size(t).alias("n")
+    )
+    n_chunks = F.lit(1) + F.expr(
+        f"(CASE WHEN n > {CHUNK_W} THEN n - {CHUNK_W} ELSE 0 END + {CHUNK_S - 1}) div {CHUNK_S}"
+    )
+    start = F.col("chunk_id") * CHUNK_S + 1
+    return (
+        sized.select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.least(F.lit(CHUNK_W), F.col("n") - start + 1).alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(F.col("t"), start, F.lit(CHUNK_W))).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+# posting-list head cap: hot terms (stopwords) keep their exact df but only
+# the first POSTING_CAP doc ids materialize as an array — bounded rows at
+# any corpus size, same discipline as lsh.MEMBER_CAP
+POSTING_CAP = 32
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH postings AS (
+      SELECT tok, doc_id
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok, doc_id
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok
+    ), capped AS (
+      SELECT tok, doc_id FROM (
+        SELECT tok, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+        FROM postings) WHERE rk <= {POSTING_CAP}
+    ), heads AS (
+      SELECT tok,
+             array_to_string(list(doc_id ORDER BY doc_id), ',') AS posting_head
+      FROM capped GROUP BY tok
+    )
+    SELECT tok, df, posting_head FROM df JOIN heads USING (tok)
+    """,
+    survey="§2.9 retrieval (inverted index build: exact df + rank-capped posting-list heads)",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the term→documents inverted index: exact document
+    frequency per term plus the first {POSTING_CAP} posting doc_ids as
+    a CSV head. The cap is applied by a per-term rank BEFORE any
+    collect_list, so a stopword appearing in every document of a 100 TB
+    corpus costs a WindowGroupLimit prune (each partition keeps ≤
+    {POSTING_CAP} rows pre-shuffle), never an unbounded array row — the
+    same bounded-membership discipline as lsh.MEMBER_CAP. df stays
+    exact via a separate map-side-combinable count on the full posting
+    fact. Both aggregates hash on `tok`, so Catalyst reuses one
+    Exchange for the window and the final groupBy."""
+    postings = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .select("tok", "doc_id")
+    )
+    dfc = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    heads = (
+        postings.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= POSTING_CAP)
+        .groupBy("tok")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting_head")
+        )
+    )
+    return dfc.join(heads, "tok")

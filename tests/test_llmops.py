@@ -463,3 +463,80 @@ def test_capped_pair_array_count_formula_sweep(spark):
             (F.col("n") > cap) & (F.col("p.a") != F.col("n") * 1000)
         ).count()
         assert non_star == 0, cap
+
+
+# ---------------------------------------------------------------------------
+# retrieval / training-prep additions (round 5): BM25, chunking, postings
+
+
+def test_chunk_documents_full_coverage_and_overlap(spark):
+    """Chunking invariants the row-level oracle can't express: every
+    chunk is non-empty, consecutive chunks start exactly one stride
+    apart, the final chunk reaches the document's last token (no tail
+    drop), and re-joining unique stride-heads reconstructs each doc's
+    token count."""
+    from crm_etl_pipeline_spark.queries.llmops import CHUNK_S, CHUNK_W
+
+    rows = _rows(spark, "chunk_documents")
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        n = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert 1 <= c.n_chunk_tokens <= CHUNK_W
+            assert len(c.chunk_text.split(" ")) == c.n_chunk_tokens
+        # last chunk must reach token n: start + len - 1 == n
+        last = chunks[-1]
+        assert last.chunk_id * CHUNK_S + last.n_chunk_tokens == n
+        # every non-final chunk is full-width
+        assert all(c.n_chunk_tokens == CHUNK_W for c in chunks[:-1])
+
+
+def test_bm25_hits_only_and_positive(spark):
+    """BM25 returns only documents containing ≥1 query term, scores are
+    positive, and the winner beats a pure term-count baseline's zero."""
+    from crm_etl_pipeline_spark.queries.llmops import _BM25_TERMS
+
+    rows = _rows(spark, "bm25_topk_search")
+    assert 0 < len(rows) <= 10
+    scores = [r.score_fp for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.score_fp > 0 for r in rows)
+    assert all(1 <= r.n_terms_hit <= len(_BM25_TERMS) for r in rows)
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for r in rows:
+        toks = set(texts[r.doc_id].split(" "))
+        assert toks & set(_BM25_TERMS), f"doc {r.doc_id} has no query term"
+        assert len(toks & set(_BM25_TERMS)) == r.n_terms_hit
+
+
+def test_inverted_index_cap_and_df_exactness(spark):
+    """Posting heads never exceed POSTING_CAP entries; df is exact (it
+    must equal the head length whenever df <= cap, and the head is
+    exactly cap entries when df overflows it); heads are sorted."""
+    from crm_etl_pipeline_spark.queries.llmops import POSTING_CAP
+
+    rows = _rows(spark, "inverted_index_postings")
+    assert rows
+    overflowed = 0
+    for r in rows:
+        head = [int(x) for x in r.posting_head.split(",")]
+        assert head == sorted(head)
+        assert len(head) <= POSTING_CAP
+        if r.df <= POSTING_CAP:
+            assert len(head) == r.df
+        else:
+            overflowed += 1
+            assert len(head) == POSTING_CAP
+    assert overflowed > 0, "fixture vocab should overflow at least one term"
