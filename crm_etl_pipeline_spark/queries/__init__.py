@@ -66,7 +66,10 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats",
     "token_profile",
     "train_split_stratified",
-    "tumbling_daily_counts",
+    # tumbling_daily_counts ceded its slot to streaming_stream_stream_join:
+    # its streaming twin streaming_tumbling_counts holds an r4 row on the
+    # identical aggregation, and a first-ever driver row for a new operator
+    # outranks refreshing a pytest-green r2 row.
     "value_percentiles",
     # new in round 5 (never driver-checked — must get their first row).
     # The 3 r3-verified queries (sample_stratified_hashrank,
@@ -80,4 +83,5 @@ DRIVER_PRIORITY: list[str] = [
     "bm25_topk_search",
     "chunk_documents",
     "inverted_index_postings",
+    "streaming_stream_stream_join",
 ]

@@ -164,6 +164,33 @@ def streaming_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_stream_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+     AND c.click_ts < p.purchase_ts
+    """,
+    survey="ST-joins (watermarked stream-stream interval join, bounded state)",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click and purchase streams inner-joined on user within the hour
+    before each purchase, both sides watermarked so buffered state is
+    purged as event time advances. Under an availableNow drain the
+    appended sink converges to exactly the batch interval join — the
+    oracle — because an inner stream-stream join emits each pair once
+    when both rows have arrived and never retracts."""
+    out = os.path.join(_workdir("ssjoin", sf_dir), "pairs")
+    streaming.stream_stream_join(spark, sf_dir, out)
+    return spark.read.parquet(out).select("purchase_id", "click_id", "user_id")
+
+
+@query(
     "streaming_stateful_sessions",
     oracle="""
     WITH flagged AS (

@@ -413,3 +413,36 @@ def test_event_ts_vintage_roundtrip(spark, tmp_path):
         "2023-11-14 22:13:20",
         "2023-11-14 22:15:23.456789",
     }
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, tmp_path):
+    """The watermarked stream-stream inner join converges to exactly
+    the batch interval join: same pair set, no duplicates, no drops."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark import streaming
+    from crm_etl_pipeline_spark.io import table
+
+    out = str(tmp_path / "pairs")
+    streaming.stream_stream_join(spark, "/root/testdata/sf0.001", out)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("cts") < F.col("pts")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
