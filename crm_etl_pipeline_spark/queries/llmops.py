@@ -1751,8 +1751,8 @@ CHUNK_W, CHUNK_S = 32, 24
     survey="§2.9 training prep (overlapping token-window chunking for context-length-bounded training)",
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split every document into overlapping {CHUNK_W}-token chunks on a
-    {CHUNK_S}-token stride — the retrieval-index / context-window prep
+    """Split every document into overlapping CHUNK_W(=32)-token chunks
+    on a CHUNK_S(=24)-token stride — the retrieval-index / context prep
     step that runs between cleaning and embedding. The chunk count is
     1 + ceil(max(0, n-W)/S) so the final chunk always reaches the last
     token (a floor there silently drops the document tail); integer
@@ -1821,11 +1821,11 @@ POSTING_CAP = 32
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the term→documents inverted index: exact document
-    frequency per term plus the first {POSTING_CAP} posting doc_ids as
-    a CSV head. The cap is applied by a per-term rank BEFORE any
+    frequency per term plus the first POSTING_CAP(=32) posting doc_ids
+    as a CSV head. The cap is applied by a per-term rank BEFORE any
     collect_list, so a stopword appearing in every document of a 100 TB
-    corpus costs a WindowGroupLimit prune (each partition keeps ≤
-    {POSTING_CAP} rows pre-shuffle), never an unbounded array row — the
+    corpus costs a WindowGroupLimit prune (each partition keeps ≤ 32
+    rows pre-shuffle), never an unbounded array row — the
     same bounded-membership discipline as lsh.MEMBER_CAP. df stays
     exact via a separate map-side-combinable count on the full posting
     fact. Both aggregates hash on `tok`, so Catalyst reuses one

@@ -409,6 +409,9 @@ def test_new_operators_handle_empty_corpus(spark, tmp_path):
         "token_rarity_score": ["doc_id", "n_tokens", "sum_rarity", "avg_rarity"],
         "repeated_span_mining": ["span_hash", "n_docs", "n_occurrences", "first_doc"],
         "minhash_near_dup": ["doc_a", "doc_b", "n_shared_bands", "from_capped"],
+        "bm25_topk_search": ["doc_id", "score_fp", "n_terms_hit"],
+        "chunk_documents": ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"],
+        "inverted_index_postings": ["tok", "df", "posting_head"],
     }
     for name, cols in expected_cols.items():
         df = REGISTRY[name].fn(spark, d)
