@@ -57,7 +57,9 @@ DRIVER_PRIORITY: list[str] = [
     "pivot_status_by_priority",
     "props_from_json_typed",
     "props_json_extract",
-    "retry_and_dead_letter",
+    # retry_and_dead_letter ceded its slot to multimodal_byte_dedup: its
+    # streaming twins (streaming_dlq / streaming_requeue /
+    # streaming_dlq_replay) hold r4-or-newer rows on the same semantics.
     "return_type_fallback",
     "rollup_revenue",
     "session_window_builtin",
@@ -84,4 +86,5 @@ DRIVER_PRIORITY: list[str] = [
     "chunk_documents",
     "inverted_index_postings",
     "streaming_stream_stream_join",
+    "multimodal_byte_dedup",
 ]

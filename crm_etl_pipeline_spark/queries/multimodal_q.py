@@ -152,3 +152,67 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_offsets(_media(spark, sf_dir)).select(
         "doc_id", "frame_idx", "byte_offset"
     )
+
+
+@query(
+    "multimodal_byte_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id AS real_id, doc_id AS canon FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS real_id, doc_id AS canon
+      FROM documents WHERE doc_id % 6 = 0
+    ), keyed AS (
+      SELECT real_id,
+             CASE CAST(canon % 4 AS INT)
+                  WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
+                  WHEN 2 THEN 'image/png' ELSE 'video/mp4' END AS mime,
+             CASE WHEN CAST(canon % 4 AS INT) IN (1, 2)
+                  THEN canon % 256 ELSE canon END AS grp
+      FROM corpus
+    )
+    SELECT mime, MIN(real_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM keyed GROUP BY mime, grp
+    """,
+    survey="§2.9 multimodal (bytewise media dedup: sha256 over BinaryType, stage 1 of image/audio dedup)",
+)
+def multimodal_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytewise dedup of media payloads — the cheap first pass every
+    multimodal pipeline runs before perceptual hashing: sha256 over the
+    binary column, hash-groupBy, keep the lowest doc_id. Duplicates
+    come from two honest sources: planted clones (every doc_id % 6 == 0
+    re-appears at +100000 sharing the SAME payload bytes), and the
+    fabricators' own periodicity — BMP and PNG bytes are fully
+    determined by doc_id mod 256 (pixel bytes, dims mod 32, and hence
+    stride/length all recur), so ids 256 apart carry byte-identical
+    images, exactly like thumbnail boilerplate recurring across a crawl.
+    WAV and MP4 periods (lcm 8.19M / 288k) exceed any fixture range, so
+    they dedup only via clones — the oracle states that closed form
+    per mime. The hash group key is dropped from the output: DuckDB
+    cannot fabricate the bytes, and the (mime, keep, count) triple pins
+    the grouping regardless.
+
+    Scale shape: one sha256 per payload (JVM expression over
+    BinaryType, no Python), one map-side-combinable groupBy on the
+    uniform 64-hex key; the clone join broadcasts nothing and reuses
+    the fabrication output — O(corpus) end to end."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    base_media = multimodal.fabricate_media(docs).withColumnRenamed("doc_id", "canon")
+    base = docs.select(F.col("doc_id").alias("real_id"), F.col("doc_id").alias("canon"))
+    clones = (
+        docs.filter(F.col("doc_id") % 6 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("real_id"),
+            F.col("doc_id").alias("canon"),
+        )
+    )
+    corpus = base.unionByName(clones)
+    media = corpus.join(base_media, "canon")
+    return (
+        media.groupBy("mime", F.sha2(F.col("payload"), 256).alias("_h"))
+        .agg(
+            F.min("real_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("mime", "keep_doc_id", "n_copies")
+    )

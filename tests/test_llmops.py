@@ -543,3 +543,38 @@ def test_inverted_index_cap_and_df_exactness(spark):
             overflowed += 1
             assert len(head) == POSTING_CAP
     assert overflowed > 0, "fixture vocab should overflow at least one term"
+
+
+def test_chunk_formula_edge_lengths(spark, tmp_path):
+    """Chunking at boundary document lengths the fixture never hits:
+    1 token, exactly one stride, one window, one window ± 1, and the
+    first length that needs a third chunk. For each length n the chunk
+    layout must cover token n exactly once per trailing chunk and obey
+    1 + ceil(max(0, n-W)/S) chunks."""
+    import math
+
+    from crm_etl_pipeline_spark.queries.llmops import CHUNK_S, CHUNK_W
+    from crm_etl_pipeline_spark.registry import load_all
+
+    lengths = [1, CHUNK_S - 1, CHUNK_S, CHUNK_W - 1, CHUNK_W, CHUNK_W + 1,
+               CHUNK_W + CHUNK_S - 1, CHUNK_W + CHUNK_S, CHUNK_W + CHUNK_S + 1,
+               CHUNK_W + 2 * CHUNK_S, 3 * CHUNK_W]
+    rows = [(n, " ".join(f"t{i}" for i in range(1, n + 1))) for n in lengths]
+    d = str(tmp_path / "edge")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = load_all()["chunk_documents"].fn(spark, d).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n in lengths:
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_id)
+        want = 1 + math.ceil(max(0, n - CHUNK_W) / CHUNK_S)
+        assert len(chunks) == want, (n, len(chunks), want)
+        last = chunks[-1]
+        assert last.chunk_id * CHUNK_S + last.n_chunk_tokens == n, n
+        assert all(c.n_chunk_tokens == CHUNK_W for c in chunks[:-1]), n
+        # token n appears in the final chunk; token 1 only in chunk 0
+        assert last.chunk_text.split(" ")[-1] == f"t{n}", n
+        assert sum(1 for c in chunks if c.chunk_text.split(" ")[0] == "t1") == 1, n
