@@ -8,6 +8,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
     embeddings_q,
     events_q,
     joins,
+    layout_q,
     llmops,
     multimodal_q,
     relational,
@@ -62,7 +63,9 @@ DRIVER_PRIORITY: list[str] = [
     # streaming_dlq_replay) hold r4-or-newer rows on the same semantics.
     "return_type_fallback",
     "rollup_revenue",
-    "session_window_builtin",
+    # session_window_builtin ceded its slot to partition_pruned_scan:
+    # sessionization (same window semantics) stays in the window and the
+    # streaming twin streaming_stateful_sessions holds an r4 row.
     "sessionization",
     "setops_segments",
     "text_stats",
@@ -87,4 +90,5 @@ DRIVER_PRIORITY: list[str] = [
     "inverted_index_postings",
     "streaming_stream_stream_join",
     "multimodal_byte_dedup",
+    "partition_pruned_scan",
 ]
