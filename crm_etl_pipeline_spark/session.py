@@ -47,3 +47,30 @@ def get_spark(app_name: str = "crm_etl_pipeline_spark", cpus: int | None = None)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    application_side_min: str = "10GB",
+    creation_side_max: str = "10MB",
+) -> dict[str, str | None]:
+    """Turn on Spark's runtime bloom-filter join pruning (semi-join
+    reduction): a selective filter on one join side builds a bloom
+    filter that pre-filters the big side's shuffle — at 100 TB the
+    difference between shuffling the whole fact table and shuffling
+    only rows that can match. The defaults mirror Spark's cluster
+    guardrails (only bother when the big side scans ≥ 10 GB and the
+    filtered build side stays ≤ 10 MB of aggregated scan); tests lower
+    them to observe injection (`might_contain` + `bloom_filter_agg` in
+    the plan) at fixture scale. Returns the previous conf values so a
+    caller can restore them."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_min,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": creation_side_max,
+    }
+    previous: dict[str, str | None] = {}
+    for k, v in confs.items():
+        previous[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return previous

@@ -71,3 +71,36 @@ def test_range_sorted_files_have_disjoint_envelopes(spark, tmp_path):
     envelopes.sort()
     for (_, hi), (lo, _) in zip(envelopes, envelopes[1:]):
         assert hi <= lo, envelopes  # disjoint (boundary key may touch)
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """With runtime bloom filters enabled (thresholds lowered to
+    fixture scale and broadcast disabled so the join actually
+    shuffles), a selective dim filter must inject might_contain /
+    bloom_filter_agg into the fact scan — Spark's semi-join reduction,
+    observed rather than assumed — without changing the join result."""
+    from crm_etl_pipeline_spark.session import enable_runtime_bloom_filters
+
+    sf = "/root/testdata/sf0.01"
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    li = table(spark, sf, "lineitem")
+    join = li.join(o, li.l_orderkey == o.o_orderkey)
+    baseline = join.count()
+    prev = enable_runtime_bloom_filters(
+        spark, application_side_min="1KB", creation_side_max="100MB"
+    )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        filtered_join = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = filtered_join._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        assert filtered_join.count() == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
