@@ -36,7 +36,9 @@ DRIVER_PRIORITY: list[str] = [
     "catalog_tree",
     "composite_key_roundtrip",
     "contamination_ngram_overlap",
-    "cube_lineitem_flags",
+    # cube_lineitem_flags ceded its slot to ann_ivf_persisted_index: the
+    # grouping-sets engine path holds an r4 row (grouping_sets_region_segment)
+    # and rollup_revenue stays in the window.
     "doc_fingerprint",
     "doc_quality_score",
     "embedding_centroid_per_label",
@@ -91,4 +93,5 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_stream_stream_join",
     "multimodal_byte_dedup",
     "partition_pruned_scan",
+    "ann_ivf_persisted_index",
 ]

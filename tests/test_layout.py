@@ -104,3 +104,21 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_persisted_index_prunes_dynamically(spark):
+    """The persisted IVF index must serve probes through dynamic
+    partition pruning: the candidate-side scan of the cell-partitioned
+    store carries a dynamicpruning expression fed by the broadcast
+    probe side — so a probe batch touches its cells' directories, not
+    the corpus. Also: index round-trip parity with the in-memory probe
+    search (same rows)."""
+    from crm_etl_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    df = reg["ann_ivf_persisted_index"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP not injected on the index scan"
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in reg["ann_ivf_probe"].fn(spark, SF_DIR).collect()}
+    assert got == want and len(got) > 0
