@@ -18,60 +18,22 @@ point lookups on the bucket key.
 
 from __future__ import annotations
 
-import atexit
-import glob
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+from crm_etl_pipeline_spark import tmpdirs
 
 # external-table root: bucketed data never lands in the session's
 # warehouse dir (the driver's own SparkSession may default that to the
 # repo cwd) and never in the repo. PID-namespaced so a driver run and a
 # pytest run (or two parallel sessions) can't rmtree files the other is
 # mid-read — table names are constants, so the root must not be shared.
-# The per-PID root is removed at process exit, and roots left by dead
-# PIDs (crashed runs never reach atexit) are swept at import, so
-# repeated runs don't accumulate bucketed table data in /tmp.
-_BUCKET_ROOT = f"{tempfile.gettempdir()}/crm_etl_bucketed_{os.getpid()}"
-
-atexit.register(shutil.rmtree, _BUCKET_ROOT, ignore_errors=True)
-
-
-# age gate for the sweep: a root whose owning pid number is now an
-# unrelated long-lived process (pid reuse) would look "alive" to the
-# kill(0) probe forever; no legitimate run keeps a bucket root around
-# this long, so age alone is sufficient cause to reclaim.
-_STALE_ROOT_AGE_S = 6 * 3600
-
-
-def _sweep_stale_roots() -> None:
-    import time
-
-    now = time.time()
-    for p in glob.glob(f"{tempfile.gettempdir()}/crm_etl_bucketed_*"):
-        try:
-            pid = int(p.rsplit("_", 1)[-1])
-        except ValueError:
-            continue
-        if pid == os.getpid():
-            continue
-        try:
-            if now - os.path.getmtime(p) > _STALE_ROOT_AGE_S:
-                shutil.rmtree(p, ignore_errors=True)  # pid-reuse-proof reclaim
-                continue
-        except OSError:
-            continue  # raced with another sweeper
-        try:
-            os.kill(pid, 0)  # liveness probe only
-        except ProcessLookupError:
-            shutil.rmtree(p, ignore_errors=True)
-        except PermissionError:
-            pass  # pid alive under another uid — leave its root alone
-
-
-_sweep_stale_roots()
+# Exit-time removal, dead-PID sweep, and the pid-reuse age gate all
+# live in tmpdirs (the round-4 fix, generalized to every scratch
+# family in the package).
+_BUCKET_ROOT = tmpdirs.pid_root("crm_etl_bucketed")
 
 
 def _drop_table_and_location(spark: SparkSession, name: str) -> None:

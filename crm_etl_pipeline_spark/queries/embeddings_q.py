@@ -623,14 +623,13 @@ def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     over every later probe batch.
     """
     import os
-    import shutil
-    import tempfile
+
+    from crm_etl_pipeline_spark import tmpdirs
 
     base = os.path.join(
-        tempfile.gettempdir(),
-        f"crm_etl_ivf_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        tmpdirs.pid_scoped("crm_etl_ivf", os.path.basename(sf_dir.rstrip("/"))),
+        "index",
     )
-    shutil.rmtree(base, ignore_errors=True)
     emb = table(spark, sf_dir, "embeddings")
     cells = _ivf_cells(spark, sf_dir, max_rank=1).select("vec_id", "cell")
     e = emb.join(cells, "vec_id").select(

@@ -8,25 +8,21 @@ tests/test_layout.py (plan + parquet-footer inspection).
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crm_etl_pipeline_spark import layout
+from crm_etl_pipeline_spark import layout, tmpdirs
 from crm_etl_pipeline_spark.io import table
 from crm_etl_pipeline_spark.registry import query
 
 
 def _workdir(tag: str, sf_dir: str) -> str:
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"crm_etl_layout_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    """Fresh per-invocation scratch dir, exit-removed and crash-swept
+    by tmpdirs."""
+    return tmpdirs.pid_scoped(
+        "crm_etl_layout", tag, os.path.basename(sf_dir.rstrip("/"))
     )
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    return base
 
 
 @query(

@@ -10,27 +10,22 @@ state the stream must reach.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crm_etl_pipeline_spark import scd, streaming
+from crm_etl_pipeline_spark import scd, streaming, tmpdirs
 from crm_etl_pipeline_spark.queries.scd_q import _STORE_SQL
 from crm_etl_pipeline_spark.registry import query
 
 
 def _workdir(tag: str, sf_dir: str) -> str:
     """Fresh work area per invocation (streams cannot resume across a
-    content change, and parallel runs must not share checkpoints)."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"crm_etl_stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    content change, and parallel runs must not share checkpoints);
+    exit-removed and crash-swept by tmpdirs."""
+    return tmpdirs.pid_scoped(
+        "crm_etl_stream", tag, os.path.basename(sf_dir.rstrip("/"))
     )
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    return base
 
 
 @query(

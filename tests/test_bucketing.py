@@ -71,20 +71,48 @@ def test_bucket_key_aggregation_has_no_exchange(spark, bucketed_tables):
 def test_sweep_reclaims_old_roots_despite_live_pid(tmp_path, monkeypatch):
     """PID reuse can make a dead run's root look 'alive' to the kill(0)
     probe forever; the age gate reclaims any root older than the
-    threshold regardless of pid liveness."""
+    threshold regardless of pid liveness. (Sweep now lives in tmpdirs,
+    shared by every scratch family.)"""
     import os
-    import tempfile
 
-    from crm_etl_pipeline_spark import bucketing
+    from crm_etl_pipeline_spark import tmpdirs
 
-    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(tmpdirs.tempfile, "gettempdir", lambda: str(tmp_path))
     # pid 1 is always alive, so only the age gate can reclaim this root
     old = tmp_path / "crm_etl_bucketed_1"
     old.mkdir()
-    stale = 2 * bucketing._STALE_ROOT_AGE_S
+    stale = 2 * tmpdirs.STALE_AGE_S
     os.utime(old, (os.path.getmtime(old) - stale,) * 2)
     fresh = tmp_path / f"crm_etl_bucketed_{os.getppid()}"  # alive + fresh
     fresh.mkdir()
-    bucketing._sweep_stale_roots()
+    tmpdirs._sweep_family("crm_etl_bucketed")
     assert not old.exists(), "age-gated sweep should reclaim the old root"
     assert fresh.exists(), "fresh roots of live pids must be left alone"
+
+
+def test_tmpdirs_sweep_reclaims_dead_and_old_roots(tmp_path, monkeypatch):
+    """The shared scratch-root sweep must reclaim (a) roots older than
+    the age gate even when their suffix is not a PID, and (b) pid-
+    suffixed roots whose process is gone — while leaving this process's
+    root and fresh unparseable roots alone."""
+    import os
+    import time
+
+    from crm_etl_pipeline_spark import tmpdirs
+
+    monkeypatch.setattr(tmpdirs.tempfile, "gettempdir", lambda: str(tmp_path))
+    fam = "sweeptest"
+    old = tmp_path / f"{fam}_mkdtempXYZ"
+    old.mkdir()
+    os.utime(old, (time.time() - tmpdirs.STALE_AGE_S - 60,) * 2)
+    dead_pid = tmp_path / f"{fam}_999999999"  # beyond pid_max: never alive
+    dead_pid.mkdir()
+    mine = tmp_path / f"{fam}_{os.getpid()}"
+    mine.mkdir()
+    fresh_unparseable = tmp_path / f"{fam}_notapid"
+    fresh_unparseable.mkdir()
+    tmpdirs._sweep_family(fam)
+    assert not old.exists(), "age gate must reclaim regardless of suffix"
+    assert not dead_pid.exists(), "dead pid root must be reclaimed"
+    assert mine.exists(), "own root must survive"
+    assert fresh_unparseable.exists(), "fresh non-pid root must survive"
