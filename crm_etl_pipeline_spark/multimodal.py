@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -314,116 +315,166 @@ def decode_media(media: DataFrame) -> DataFrame:
     multimodal extension."""
 
     def extract(batches: Iterator) -> Iterator:
-        import struct
-        import zlib
-
         import pandas as pd
 
-        def parse_wav(b: bytes):
-            assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a RIFF/WAVE stream"
-            pos, n_ch, rate, bits, data_size = 12, None, None, None, None
-            while pos + 8 <= len(b):
-                cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
-                if cid == b"fmt ":
-                    _, n_ch, rate, _, block, bits = struct.unpack_from("<HHIIHH", b, pos + 8)
-                elif cid == b"data":
-                    data_size = size
-                pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-            n_samples = data_size // (n_ch * bits // 8)
-            return n_ch, rate, bits, n_samples
+        for pdf in batches:
+            rows = [
+                _decode_one(doc_id, mime, bytes(payload))
+                for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-        def parse_bmp(b: bytes):
-            assert b[:2] == b"BM", "not a BMP stream"
-            w, h = struct.unpack_from("<ii", b, 18)
-            bpp = struct.unpack_from("<H", b, 28)[0]
-            return w, abs(h), bpp
+    return media.mapInPandas(extract, MEDIA_SCHEMA)
 
-        def parse_png(b: bytes):
-            assert b[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG stream"
-            pos, dims, idat = 8, None, bytearray()
-            while pos + 12 <= len(b):
-                size = struct.unpack_from(">I", b, pos)[0]
-                ctype = b[pos + 4 : pos + 8]
-                data = b[pos + 8 : pos + 8 + size]
-                crc = struct.unpack_from(">I", b, pos + 8 + size)[0]
-                assert crc == zlib.crc32(ctype + data) & 0xFFFFFFFF, "PNG chunk CRC mismatch"
-                if ctype == b"IHDR":
-                    dims = struct.unpack_from(">IIBB", data, 0)  # w, h, depth, color
-                elif ctype == b"IDAT":
-                    idat += data
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + size
-            w, h, depth, color_type = dims
-            n_ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-            raw = zlib.decompress(bytes(idat))  # real inflate, adler32-checked
-            stride = 1 + w * n_ch * depth // 8
-            assert len(raw) == stride * h, "decompressed scanline size mismatch"
-            assert all(raw[r * stride] <= 4 for r in range(h)), "invalid PNG filter byte"
-            return w, h, n_ch, depth
 
-        def mp4_boxes(b: bytes, start: int, end: int):
-            """Yield (type, payload_start, box_end) for each ISO-BMFF
-            box in [start, end): 32-bit sizes, 64-bit `largesize`
-            (size == 1), and to-end (size == 0) are all spec forms."""
-            pos = start
-            while pos + 8 <= end:
-                size = struct.unpack_from(">I", b, pos)[0]
-                btype = b[pos + 4 : pos + 8]
-                hdr = 8
-                if size == 1:
-                    size = struct.unpack_from(">Q", b, pos + 8)[0]
-                    hdr = 16
-                elif size == 0:
-                    size = end - pos
-                assert size >= hdr and pos + size <= end, "corrupt mp4 box size"
-                yield btype, pos + hdr, pos + size
-                pos += size
+def _parse_wav(b: bytes):
+    import struct
 
-        def parse_mp4(b: bytes):
-            assert len(b) >= 12 and b[4:8] == b"ftyp", "not an ISO-BMFF stream"
-            timescale = duration = w = h = None
-            for btype, s, e in mp4_boxes(b, 0, len(b)):
-                if btype != b"moov":
-                    continue
-                for ctype, cs, ce in mp4_boxes(b, s, e):
-                    if ctype == b"mvhd":
-                        if b[cs] == 1:  # version 1: 64-bit times
-                            timescale = struct.unpack_from(">I", b, cs + 20)[0]
-                            duration = struct.unpack_from(">Q", b, cs + 24)[0]
-                        else:
-                            timescale, duration = struct.unpack_from(">II", b, cs + 12)
-                    elif ctype == b"trak":
-                        for t2, s2, _ in mp4_boxes(b, cs, ce):
-                            if t2 == b"tkhd":
-                                # width/height trail the fixed v0/v1 header
-                                off = s2 + (88 if b[s2] == 1 else 76)
-                                wfix, hfix = struct.unpack_from(">II", b, off)
-                                w, h = wfix >> 16, hfix >> 16
-            assert timescale is not None and w is not None, "mp4 missing mvhd/tkhd"
-            return w, h, timescale, duration
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a RIFF/WAVE stream"
+    pos, n_ch, rate, bits, data_size = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            _, n_ch, rate, _, block, bits = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    n_samples = data_size // (n_ch * bits // 8)
+    return n_ch, rate, bits, n_samples
+
+
+def _parse_bmp(b: bytes):
+    import struct
+
+    assert b[:2] == b"BM", "not a BMP stream"
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    return w, abs(h), bpp
+
+
+def _parse_png(b: bytes):
+    import struct
+    import zlib
+
+    assert b[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG stream"
+    pos, dims, idat = 8, None, bytearray()
+    while pos + 12 <= len(b):
+        size = struct.unpack_from(">I", b, pos)[0]
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + size]
+        crc = struct.unpack_from(">I", b, pos + 8 + size)[0]
+        assert crc == zlib.crc32(ctype + data) & 0xFFFFFFFF, "PNG chunk CRC mismatch"
+        if ctype == b"IHDR":
+            dims = struct.unpack_from(">IIBB", data, 0)  # w, h, depth, color
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    w, h, depth, color_type = dims
+    n_ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))  # real inflate, adler32-checked
+    stride = 1 + w * n_ch * depth // 8
+    assert len(raw) == stride * h, "decompressed scanline size mismatch"
+    assert all(raw[r * stride] <= 4 for r in range(h)), "invalid PNG filter byte"
+    return w, h, n_ch, depth
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for each ISO-BMFF box in
+    [start, end): 32-bit sizes, 64-bit `largesize` (size == 1), and
+    to-end (size == 0) are all spec forms."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", b, pos)[0]
+        btype = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", b, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        assert size >= hdr and pos + size <= end, "corrupt mp4 box size"
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _parse_mp4(b: bytes):
+    import struct
+
+    assert len(b) >= 12 and b[4:8] == b"ftyp", "not an ISO-BMFF stream"
+    timescale = duration = w = h = None
+    for btype, s, e in _mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(b, s, e):
+            if ctype == b"mvhd":
+                if b[cs] == 1:  # version 1: 64-bit times
+                    timescale = struct.unpack_from(">I", b, cs + 20)[0]
+                    duration = struct.unpack_from(">Q", b, cs + 24)[0]
+                else:
+                    timescale, duration = struct.unpack_from(">II", b, cs + 12)
+            elif ctype == b"trak":
+                for t2, s2, _ in _mp4_boxes(b, cs, ce):
+                    if t2 == b"tkhd":
+                        # width/height trail the fixed v0/v1 header
+                        off = s2 + (88 if b[s2] == 1 else 76)
+                        wfix, hfix = struct.unpack_from(">II", b, off)
+                        w, h = wfix >> 16, hfix >> 16
+    assert timescale is not None and w is not None, "mp4 missing mvhd/tkhd"
+    return w, h, timescale, duration
+
+
+def _decode_one(doc_id, mime: str, b: bytes) -> tuple:
+    """One MEDIA_SCHEMA row; raises on corrupt or unknown payloads
+    (decode_media_quarantined catches and flags instead)."""
+    if mime == "audio/wav":
+        n_ch, rate, bits, n_samples = _parse_wav(b)
+        return (doc_id, mime, len(b), None, None, n_ch, rate, n_samples, bits)
+    if mime == "image/bmp":
+        w, h, bpp = _parse_bmp(b)
+        return (doc_id, mime, len(b), w, h, 3, None, None, bpp)
+    if mime == "image/png":
+        w, h, n_ch, depth = _parse_png(b)
+        return (doc_id, mime, len(b), w, h, n_ch, None, None, depth)
+    if mime == "video/mp4":
+        w, h, rate, dur = _parse_mp4(b)
+        return (doc_id, mime, len(b), w, h, None, rate, dur, None)
+    raise ValueError(f"no codec for {mime!r}")
+
+
+#: MEDIA_SCHEMA plus the quarantine flag
+QUARANTINE_SCHEMA = StructType(
+    MEDIA_SCHEMA.fields + [StructField("is_corrupt", BooleanType())]
+)
+
+
+def decode_media_quarantined(media: DataFrame) -> DataFrame:
+    """decode_media's production shape: a corrupt payload yields a
+    quarantine row (decode fields NULL, ``is_corrupt`` true) instead of
+    failing the task — at 100 TB a single truncated file must cost one
+    row, not the stage. Mirrors the reference's skip-and-flag path for
+    unparseable fields (`PodioApiWrapper.py:91-94`, the "email CRM
+    admin" TODO): quarantined rows stay queryable for exactly that
+    re-drive loop. Same Arrow-batched mapInPandas shape as
+    decode_media; the happy path runs the identical parsers."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
                 b = bytes(payload)
-                if mime == "audio/wav":
-                    n_ch, rate, bits, n_samples = parse_wav(b)
-                    rows.append((doc_id, mime, len(b), None, None, n_ch, rate, n_samples, bits))
-                elif mime == "image/bmp":
-                    w, h, bpp = parse_bmp(b)
-                    rows.append((doc_id, mime, len(b), w, h, 3, None, None, bpp))
-                elif mime == "image/png":
-                    w, h, n_ch, depth = parse_png(b)
-                    rows.append((doc_id, mime, len(b), w, h, n_ch, None, None, depth))
-                elif mime == "video/mp4":
-                    w, h, rate, dur = parse_mp4(b)
-                    rows.append((doc_id, mime, len(b), w, h, None, rate, dur, None))
-                else:
-                    raise ValueError(f"no codec for {mime!r}")
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+                try:
+                    rows.append(_decode_one(doc_id, mime, b) + (False,))
+                except Exception:
+                    rows.append((doc_id, mime, len(b)) + (None,) * 6 + (True,))
+            yield pd.DataFrame(rows, columns=[f.name for f in QUARANTINE_SCHEMA.fields])
 
-    return media.mapInPandas(extract, MEDIA_SCHEMA)
+    return media.mapInPandas(extract, QUARANTINE_SCHEMA)
 
 
 def frame_offsets(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:

@@ -47,7 +47,9 @@ DRIVER_PRIORITY: list[str] = [
     "event_type_routing",
     "exact_dedup_documents",
     "fifo_head",
-    "having_filter",
+    # having_filter ceded its slot to multimodal_decode_quarantine: the
+    # post-aggregate filter semantic is exercised by the r4-verified
+    # grouping_sets_region_segment and repeated_span_mining (HAVING twin).
     "hidden_field_projection",
     "join_anti",
     "join_fk_enrichment",
@@ -94,4 +96,5 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_byte_dedup",
     "partition_pruned_scan",
     "ann_ivf_persisted_index",
+    "multimodal_decode_quarantine",
 ]

@@ -216,3 +216,47 @@ def multimodal_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("mime", "keep_doc_id", "n_copies")
     )
+
+
+@query(
+    "multimodal_decode_quarantine",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
+                WHEN 2 THEN 'image/png' ELSE 'video/mp4' END AS mime,
+           doc_id % 10 = 0 AS is_corrupt,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN NULL
+                     WHEN CAST(doc_id % 4 AS INT) IN (1, 2, 3)
+                     THEN 16 + doc_id % 32 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN NULL
+                     WHEN CAST(doc_id % 4 AS INT) = 1 THEN 16 + (7 * doc_id) % 32
+                     WHEN CAST(doc_id % 4 AS INT) = 2 THEN 16 + (11 * doc_id) % 32
+                     WHEN CAST(doc_id % 4 AS INT) = 3 THEN 16 + (13 * doc_id) % 32
+                     END AS INT) AS height
+    FROM documents
+    """,
+    survey="§2.9 multimodal (quarantine decode: corrupt payloads become flagged rows, not stage failures)",
+)
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corruption-tolerant decode over a corpus where every 10th
+    payload is truncated to its first 8 bytes: the quarantined decoder
+    flags those rows (NULL decode fields, is_corrupt) and decodes the
+    rest normally — proving a bad file costs one row, never the task.
+    The truncation defeats all four parsers through their own validity
+    checks (RIFF/WAVE tag gone, BMP header short, PNG signature with no
+    chunks, ISO-BMFF under 12 bytes). The oracle recomputes the
+    fabrication parameters closed-form and NULLs the corrupt subset —
+    decoded dims on the healthy rows prove the happy path still runs
+    the real parsers."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.fabricate_media(docs)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 10 == 0, F.substring(F.col("payload"), 1, 8)).otherwise(
+            F.col("payload")
+        ),
+    )
+    return multimodal.decode_media_quarantined(corrupted).select(
+        "doc_id", "mime", "is_corrupt", "width", "height"
+    )
