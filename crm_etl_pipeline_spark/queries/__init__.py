@@ -4,6 +4,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
     bucketing_q,
     catalog_q,
+    crm_q,
     decode_q,
     embeddings_q,
     events_q,
@@ -39,14 +40,21 @@ DRIVER_PRIORITY: list[str] = [
     # cube_lineitem_flags ceded its slot to ann_ivf_persisted_index: the
     # grouping-sets engine path holds an r4 row (grouping_sets_region_segment)
     # and rollup_revenue stays in the window.
-    "doc_fingerprint",
+    # doc_fingerprint ceded its slot to funnel_conversion: the rolling
+    # n-gram hash machinery is exercised by the r5-new repeated_span_mining
+    # row and token_profile/text_stats stay in the window.
     "doc_quality_score",
     "embedding_centroid_per_label",
-    "embedding_norm_topk",
+    # embedding_norm_topk ceded its slot to cohort_retention: the four
+    # ann_* rows being refreshed cover the embedding scan+topk shape.
     "event_dedup_last_write_wins",
-    "event_type_routing",
+    # event_type_routing ceded its slot to rfm_segmentation: the IN-filter
+    # dispatch semantic holds an r4 row via disjunctive_filter_scan and the
+    # streaming routing twins (streaming_dlq / streaming_requeue).
     "exact_dedup_documents",
-    "fifo_head",
+    # fifo_head ceded its slot to record_linkage_fuzzy: the ordered
+    # window-head shape holds r4 rows via latest_order_per_customer and
+    # scd2_current_view (same row_number-1 plan, opposite sort).
     # having_filter ceded its slot to multimodal_decode_quarantine: the
     # post-aggregate filter semantic is exercised by the r4-verified
     # grouping_sets_region_segment and repeated_span_mining (HAVING twin).
@@ -61,7 +69,9 @@ DRIVER_PRIORITY: list[str] = [
     "ngram_jaccard_verify",
     "pivot_status_by_priority",
     "props_from_json_typed",
-    "props_json_extract",
+    # props_json_extract ceded its slot to gapfill_daily_user_revenue: its
+    # typed twin props_from_json_typed stays in the window on the same
+    # JSON-path machinery.
     # retry_and_dead_letter ceded its slot to multimodal_byte_dedup: its
     # streaming twins (streaming_dlq / streaming_requeue /
     # streaming_dlq_replay) hold r4-or-newer rows on the same semantics.
@@ -97,4 +107,9 @@ DRIVER_PRIORITY: list[str] = [
     "partition_pruned_scan",
     "ann_ivf_persisted_index",
     "multimodal_decode_quarantine",
+    "funnel_conversion",
+    "cohort_retention",
+    "rfm_segmentation",
+    "record_linkage_fuzzy",
+    "gapfill_daily_user_revenue",
 ]

@@ -1,0 +1,392 @@
+"""CRM analytics operators: funnel, cohort retention, RFM, fuzzy record
+linkage, and calendar gap-fill.
+
+The reference is a CRM ETL (`PodioApiWrapper.py`, `PodioApiGateway.py`)
+whose downstream consumers run exactly this family of questions over the
+extracted store: how do leads convert stage-to-stage, how do cohorts
+retain, which customers are most valuable, which records are duplicates
+of each other, and what does activity look like on a dense calendar.
+None of these exist in the reference code itself — they are the §2.9
+extension surface a CRM warehouse serves — but every one reuses the
+reference's extracted entities (events ≙ activity stream, orders ≙
+deals, customer ≙ contacts).
+
+Cross-engine determinism: integer counts and DECIMAL money accumulation
+everywhere, doubles only at the output edge or as a single IEEE division
+of exact integers; every ordering that feeds ntile/row_number carries a
+unique tiebreaker.
+
+Scale notes (100 TB):
+- funnel: per-stage conditional aggregates chained by equi-joins on
+  user_id — every stage is one hash aggregate + one shuffle on the same
+  key, so AQE coalesces and there is no per-user iteration.
+- cohort: two user-grain aggregates + one equi-join; the distinct count
+  is Spark's two-phase partial-distinct aggregate (mergeable).
+- RFM: the scoring windows partition by market segment (standard
+  segment-relative RFM), which bounds window partitions; a corpus-global
+  ntile would need a single-partition sort — for a truly global ranking
+  the escalation is a range-partitioned sort plus per-partition rank
+  offsets from prefix counts (same two-phase shape as
+  ``pack_training_sequences``'s per-stratum packing note).
+- linkage: classic ER blocking — candidate pairs come from an equi-join
+  on a (nation, name-suffix) blocking key, never an all-pairs compare;
+  block granularity is the knob that bounds bucket size, exactly like
+  ``lsh.BUCKET_CAP`` bounds LSH buckets.
+- gapfill: the calendar is densified per user from that user's own
+  [first, last] purchase span (sequence + explode stays partition-local
+  after one shuffle), and LOCF is a partitioned ignore-nulls window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+def _scalar_attach(df: DataFrame, scalar: DataFrame, probe_key) -> DataFrame:
+    """Attach a 1-row scalar frame via a broadcast EQUI-join on a
+    non-foldable always-1 key (the ``tfidf_top_terms`` idiom: a lit(1)
+    key would be constant-folded and degrade to BroadcastNestedLoopJoin).
+    ``probe_key`` must be a column expression provably equal to 1 on
+    every row of ``df``."""
+    return df.withColumn("_k", probe_key).join(F.broadcast(scalar), "_k").drop("_k")
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND ts >= t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = 'click' AND ts >= t2 GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, MIN(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+      WHERE event_type = 'purchase' AND ts >= t3 GROUP BY e.user_id
+    ), counts AS (
+      SELECT 1 AS stage_idx, 'signup' AS stage_name, COUNT(*) AS users_reached FROM s1
+      UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+      UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+    )
+    SELECT stage_idx, stage_name, users_reached,
+           CAST(users_reached AS DOUBLE) / (SELECT COUNT(*) FROM s1)
+             AS conv_from_first
+    FROM counts
+    """,
+    survey="§2.9 CRM analytics (strict ordered conversion funnel over the activity stream)",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict 4-stage funnel signup → view → click → purchase: a user
+    reaches stage k only with an event of that type at-or-after their
+    first qualifying stage-(k-1) event (first-touch chaining, the
+    standard strict-order funnel).
+
+    Each stage is one conditional scan + hash aggregate chained by an
+    equi-join on user_id — no per-user sort, no array fold, so the
+    per-stage state is one timestamp per user regardless of how many
+    events a hot user has. The final conversion ratio is one IEEE
+    division of two exact counts."""
+    events = table(spark, sf_dir, "events")
+    stage_first: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for etype in _FUNNEL:
+        cur = events.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("ts") >= F.col("t_prev"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        stage_first.append(cur)
+        prev = cur
+    counts = None
+    for idx, (etype, stage) in enumerate(zip(_FUNNEL, stage_first), start=1):
+        row = stage.agg(F.count(F.lit(1)).alias("users_reached")).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(etype).alias("stage_name"),
+            "users_reached",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    first = (
+        stage_first[0]
+        .agg(F.count(F.lit(1)).alias("_u1"))
+        .select("_u1", F.least(F.col("_u1"), F.lit(1)).cast("int").alias("_k"))
+    )
+    out = _scalar_attach(
+        counts, first, F.least(F.col("stage_idx"), F.lit(1)).cast("int")
+    )
+    return out.select(
+        "stage_idx",
+        "stage_name",
+        "users_reached",
+        (F.col("users_reached").cast("double") / F.col("_u1")).alias("conv_from_first"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(date_trunc('month', first_dt) AS DATE) AS cohort_month,
+           (year(o_orderdate) * 12 + month(o_orderdate))
+             - (year(first_dt) * 12 + month(first_dt)) AS month_offset,
+           COUNT(DISTINCT o.o_custkey) AS active_customers
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+    survey="§2.9 CRM analytics (acquisition-cohort retention matrix)",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: customers cohorted by first-order month, then
+    for every (cohort, month-offset) cell the count of distinct cohort
+    members who ordered in that month. Month arithmetic is pure integer
+    (year*12+month), so offsets are cross-engine exact; the distinct
+    count is Spark's mergeable two-phase distinct aggregate."""
+    orders = table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    months = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    months0 = F.year("first_dt") * 12 + F.month("first_dt")
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            F.trunc(F.to_date("first_dt"), "month").alias("cohort_month"),
+            (months - months0).alias("month_offset"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_dt FROM orders),
+    percust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT c_custkey, c_mktsegment,
+             date_diff('day', last_order, (SELECT ref_dt FROM ref)) AS recency_days,
+             frequency,
+             monetary_dec,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY date_diff('day', last_order, (SELECT ref_dt FROM ref)),
+                                     c_custkey) AS r_score,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY frequency DESC, c_custkey) AS f_score,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY monetary_dec DESC, c_custkey) AS m_score
+      FROM percust JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_custkey, c_mktsegment, recency_days, frequency,
+           CAST(monetary_dec AS DOUBLE) AS monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+             || '-' || CAST(m_score AS VARCHAR) AS rfm_cell
+    FROM scored
+    """,
+    survey="§2.9 CRM analytics (RFM quartile scoring, segment-relative)",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scoring: per customer recency (days before the newest order
+    anywhere — a broadcast scalar), frequency (order count), monetary
+    (DECIMAL-exact revenue), each cut into quartiles WITHIN the
+    customer's market segment (segment-relative scoring, the standard
+    practice — and the partitioning that keeps every ntile window
+    bounded; see module docstring for the global-ranking escalation).
+    ntile order carries c_custkey so ties are deterministic. Lower
+    r_score = more recent, lower f/m_score = more orders / revenue."""
+    orders = table(spark, sf_dir, "orders")
+    percust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
+    )
+    # scalar-side key must be NON-FOLDABLE (tfidf idiom): dayofmonth >= 1
+    # always, but depends on the column, so the attach stays a broadcast
+    # hash join instead of degrading to BroadcastNestedLoopJoin.
+    ref = orders.agg(F.max("o_orderdate").alias("ref_dt")).select(
+        "ref_dt", F.least(F.dayofmonth("ref_dt"), F.lit(1)).cast("int").alias("_k")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = _scalar_attach(
+        percust.join(cust, percust.o_custkey == cust.c_custkey),
+        ref,
+        F.least(F.col("frequency"), F.lit(1)).cast("int"),
+    ).withColumn("recency_days", F.datediff("ref_dt", "last_order"))
+    seg = Window.partitionBy("c_mktsegment")
+    r_w = seg.orderBy("recency_days", "c_custkey")
+    f_w = seg.orderBy(F.col("frequency").desc(), "c_custkey")
+    m_w = seg.orderBy(F.col("monetary_dec").desc(), "c_custkey")
+    scored = (
+        base.withColumn("r_score", F.ntile(4).over(r_w))
+        .withColumn("f_score", F.ntile(4).over(f_w))
+        .withColumn("m_score", F.ntile(4).over(m_w))
+    )
+    cell = F.concat_ws(
+        "-",
+        F.col("r_score").cast("string"),
+        F.col("f_score").cast("string"),
+        F.col("m_score").cast("string"),
+    )
+    return scored.select(
+        "c_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        cell.alias("rfm_cell"),
+    )
+
+
+@query(
+    "record_linkage_fuzzy",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS source_custkey,
+             c_custkey + 10000000 AS dirty_id,
+             substr(c_name, 1, 8) || 'X' || substr(c_name, 10) AS name_dirty,
+             c_nationkey,
+             c_nationkey || '|' || right(c_name, 2) AS block_key
+      FROM customer
+      WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '4'
+    ), clean AS (
+      SELECT c_custkey, c_name,
+             c_nationkey || '|' || right(c_name, 2) AS block_key
+      FROM customer
+    )
+    SELECT dirty_id, source_custkey, name_dirty,
+           c_custkey AS matched_custkey, c_name AS name_clean,
+           levenshtein(name_dirty, c_name) AS lev_dist,
+           source_custkey = c_custkey AS is_true_match
+    FROM dirty JOIN clean USING (block_key)
+    WHERE levenshtein(name_dirty, c_name) <= 2
+    """,
+    survey="§2.9 CRM analytics (entity resolution: blocked fuzzy record linkage)",
+)
+def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over contacts: a deterministic 25% of customers
+    (md5 first hex < '4') is fabricated into 'dirty' re-entries with one
+    character corrupted (the reference's manual-entry duplicate problem),
+    then linked back by BLOCKING on (nationkey, name 2-char suffix) and
+    comparing names with edit distance ≤ 2 inside each block.
+
+    Candidate pairs come only from the block-key equi-join — never an
+    all-pairs compare — so pair work is sum of block-size², bounded by
+    the blocking granularity exactly like LSH bucket caps; levenshtein
+    is evaluated on candidates only. ``is_true_match`` labels recovery
+    of the planted source so precision/recall are auditable in-result."""
+    cust = table(spark, sf_dir, "customer")
+    block = lambda name_col: F.concat_ws(  # noqa: E731
+        "|", F.col("c_nationkey").cast("string"), F.substring(name_col, -2, 2)
+    )
+    dirty = (
+        cust.filter(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "4")
+        .select(
+            F.col("c_custkey").alias("source_custkey"),
+            (F.col("c_custkey") + 10000000).alias("dirty_id"),
+            F.concat(
+                F.substring("c_name", 1, 8), F.lit("X"), F.expr("substr(c_name, 10)")
+            ).alias("name_dirty"),
+            block(F.col("c_name")).alias("block_key"),
+        )
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("matched_custkey"),
+        F.col("c_name").alias("name_clean"),
+        block(F.col("c_name")).alias("block_key"),
+    )
+    dist = F.levenshtein("name_dirty", "name_clean")
+    return (
+        dirty.join(clean, "block_key")
+        .filter(dist <= 2)
+        .select(
+            "dirty_id",
+            "source_custkey",
+            "name_dirty",
+            "matched_custkey",
+            "name_clean",
+            dist.alias("lev_dist"),
+            (F.col("source_custkey") == F.col("matched_custkey")).alias("is_true_match"),
+        )
+    )
+
+
+@query(
+    "gapfill_daily_user_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY user_id
+    ), cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ), joined AS (
+      SELECT c.user_id, c.day, d.rev
+      FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    )
+    SELECT user_id, day,
+           CAST(COALESCE(rev, 0) AS DOUBLE) AS revenue,
+           rev IS NOT NULL AS had_purchase,
+           CAST(last_value(rev IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS revenue_locf
+    FROM joined
+    """,
+    survey="§2.9 CRM analytics (calendar densification + zero-fill and LOCF interpolation)",
+)
+def gapfill_daily_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (the hypertable `time_bucket_gapfill`
+    semantic): per-user daily purchase revenue densified onto that
+    user's own [first, last] purchase-day calendar via sequence+explode,
+    with both fill policies side by side — zero-fill (`revenue`) and
+    last-observation-carried-forward (`revenue_locf`, an ignore-nulls
+    running last over the partitioned calendar; never NULL because each
+    span starts on a purchase day).
+
+    Scale shape: one (user, day) aggregate, one user-grain span
+    aggregate, calendar explode is partition-local, the fill join is an
+    equi-join on (user, day), and LOCF is a user-partitioned window —
+    nothing global. DECIMAL day sums keep both engines bit-exact; the
+    decimal never crosses the output edge."""
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = span.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    locf = F.last("rev", ignorenulls=True).over(
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("rev"), F.lit(0)).cast("double").alias("revenue"),
+        F.col("rev").isNotNull().alias("had_purchase"),
+        locf.cast("double").alias("revenue_locf"),
+    )
