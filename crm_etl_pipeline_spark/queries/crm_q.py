@@ -278,21 +278,32 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="§2.9 CRM analytics (entity resolution: blocked fuzzy record linkage)",
 )
-def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def record_linkage_fuzzy(
+    spark: SparkSession, sf_dir: str, suffix_len: int = 2
+) -> DataFrame:
     """Entity resolution over contacts: a deterministic 25% of customers
     (md5 first hex < '4') is fabricated into 'dirty' re-entries with one
     character corrupted (the reference's manual-entry duplicate problem),
-    then linked back by BLOCKING on (nationkey, name 2-char suffix) and
-    comparing names with edit distance ≤ 2 inside each block.
+    then linked back by BLOCKING on (nationkey, name ``suffix_len``-char
+    suffix) and comparing names with edit distance ≤ 2 inside each block.
 
     Candidate pairs come only from the block-key equi-join — never an
-    all-pairs compare — so pair work is sum of block-size², bounded by
-    the blocking granularity exactly like LSH bucket caps; levenshtein
-    is evaluated on candidates only. ``is_true_match`` labels recovery
-    of the planted source so precision/recall are auditable in-result."""
+    all-pairs compare — so pair work is sum of block-size². The suffix
+    length is the GRANULARITY KNOB and it must grow with corpus size:
+    a fixed suffix means expected block size n/(25·10^s) grows linearly
+    and pair work n²/(25·10^s) grows quadratically — measured at
+    alpha ≈ 1.23 over the sf0.1→sf1 decade with s=2, restored to ~linear
+    with s=4 (SCALE.md). Choose s ≈ log10(n / target_block_size); the
+    corruption model never touches the suffix, so lengthening it costs
+    zero recall on the planted duplicates. ``is_true_match`` labels
+    recovery of the planted source so precision/recall are auditable
+    in-result. The registered driver query pins s=2 (coincidental
+    near-matches make the richer correctness fixture at sf0.01)."""
     cust = table(spark, sf_dir, "customer")
     block = lambda name_col: F.concat_ws(  # noqa: E731
-        "|", F.col("c_nationkey").cast("string"), F.substring(name_col, -2, 2)
+        "|",
+        F.col("c_nationkey").cast("string"),
+        F.substring(name_col, -suffix_len, suffix_len),
     )
     dirty = (
         cust.filter(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "4")

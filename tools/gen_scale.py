@@ -106,6 +106,26 @@ def gen_events(rng: np.random.Generator, n: int, n_users: int) -> pa.Table:
     )
 
 
+def gen_orders(rng: np.random.Generator, n: int, n_cust: int) -> pa.Table:
+    """Orders shaped like the driver fixture (10 orders/customer, dates
+    spanning 1995-2001) so the CRM-analytics family (cohort/RFM) can be
+    measured on self-consistent data at any sf."""
+    t0 = np.datetime64("1995-01-01T00:00:00", "us").astype(np.int64)
+    span = int(6.5 * 365.25 * 24 * 3600) * 10**6
+    status = np.array(["O", "F", "P"])
+    prio = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    return pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
+            "o_custkey": pa.array(rng.integers(1, n_cust + 1, n), pa.int64()),
+            "o_orderstatus": pa.array(status[rng.integers(0, 3, n)]),
+            "o_totalprice": pa.array(np.round(rng.uniform(900, 500_000, n), 2), pa.float64()),
+            "o_orderdate": pa.array(t0 + rng.integers(0, span, n)).cast(pa.timestamp("us")),
+            "o_orderpriority": pa.array(prio[rng.integers(0, 5, n)]),
+        }
+    )
+
+
 def gen_customer(rng: np.random.Generator, n: int) -> pa.Table:
     segs = np.array(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"])
     return pa.table(
@@ -129,6 +149,7 @@ def main(sf: float, outdir: str, only: set[str] | None = None) -> None:
         "embeddings": lambda: gen_embeddings(rng, int(20_000 * sf)),
         "events": lambda: gen_events(rng, int(1_000_000 * sf), int(15_000 * sf)),
         "customer": lambda: gen_customer(rng, int(150_000 * sf)),
+        "orders": lambda: gen_orders(rng, int(1_500_000 * sf), int(150_000 * sf)),
     }
     # `only` exists for the top decade: a 100M-row events table is not
     # generatable in reasonable time/memory, and the document-corpus

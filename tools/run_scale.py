@@ -73,12 +73,15 @@ def main(lo_dir: str, hi_dir: str, out: str | None, queries: list[str] | None = 
             results.setdefault(name, {})[d] = {"sec": round(best, 3), "rows": n_rows}
             print(f"{d} {name}: {best:.3f}s rows={n_rows}", file=sys.stderr)
         # hot-bucket telemetry at each end: the LSH caps are a no-op
-        # unless max_bucket approaches BUCKET_CAP
-        prof = reg["lsh_bucket_profile"].fn(spark, d).collect()
-        bucket_stats[d] = {
-            "max_bucket": max(r.max_bucket for r in prof),
-            "n_over_cap": sum(r.n_over_cap for r in prof),
-        }
+        # unless max_bucket approaches BUCKET_CAP. Only meaningful when
+        # the run's dataset includes a document corpus (the CRM-family
+        # runs generate events/customer/orders only).
+        if Path(f"{d}/documents.parquet").exists():
+            prof = reg["lsh_bucket_profile"].fn(spark, d).collect()
+            bucket_stats[d] = {
+                "max_bucket": max(r.max_bucket for r in prof),
+                "n_over_cap": sum(r.n_over_cap for r in prof),
+            }
     decade = math.log10(_sf(hi_dir) / _sf(lo_dir))
     report = {
         "lo": {"dir": lo_dir, "sf": _sf(lo_dir)},
