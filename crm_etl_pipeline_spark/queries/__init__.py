@@ -14,6 +14,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
     multimodal_q,
     relational,
     scd_q,
+    stats_q,
     streaming_q,
     transforms,
     windows,
@@ -61,13 +62,17 @@ DRIVER_PRIORITY: list[str] = [
     "hidden_field_projection",
     "join_anti",
     "join_fk_enrichment",
-    "join_full_outer",
+    # join_full_outer ceded its slot to event_value_anomalies: the join
+    # family keeps four r5-refresh slots (anti/semi/left/fk) on the same
+    # SMJ machinery.
     "join_left_missing",
     "join_semi",
     "kmv_distinct_sketch",
     "language_id_ngram",
     "ngram_jaccard_verify",
-    "pivot_status_by_priority",
+    # pivot_status_by_priority ceded its slot to
+    # weighted_sample_allocation: the grouping-engine path holds an r4 row
+    # (grouping_sets_region_segment) and rollup_revenue stays in the window.
     "props_from_json_typed",
     # props_json_extract ceded its slot to gapfill_daily_user_revenue: its
     # typed twin props_from_json_typed stays in the window on the same
@@ -82,7 +87,9 @@ DRIVER_PRIORITY: list[str] = [
     # streaming twin streaming_stateful_sessions holds an r4 row.
     "sessionization",
     "setops_segments",
-    "text_stats",
+    # text_stats ceded its slot to histogram_order_values: token_profile
+    # stays in the window and the single-scan column-algebra shape holds
+    # r4/r5 rows via doc_repetition_ratio and token_rarity_score.
     "token_profile",
     "train_split_stratified",
     # tumbling_daily_counts ceded its slot to streaming_stream_stream_join:
@@ -112,4 +119,7 @@ DRIVER_PRIORITY: list[str] = [
     "rfm_segmentation",
     "record_linkage_fuzzy",
     "gapfill_daily_user_revenue",
+    "event_value_anomalies",
+    "histogram_order_values",
+    "weighted_sample_allocation",
 ]

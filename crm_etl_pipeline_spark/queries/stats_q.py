@@ -1,0 +1,234 @@
+"""Statistical profiling operators: moment-based outlier detection,
+equi-width histograms, and revenue-weighted sample allocation.
+
+The dataset-profiling surface a warehouse runs before and after every
+ETL load (the reference's consumers eyeball Mongo extracts by hand;
+these are the first-class equivalents): where is the mass, what is
+anomalous, and how to draw a budgeted sample proportional to business
+weight.
+
+Cross-engine determinism: every moment (count, sum, sum-of-squares)
+accumulates EXACTLY — DECIMAL for the 2-dp money/value columns, with
+the squared term exact in DECIMAL(38,4) — and converts to double once,
+after which mean/variance/z-score/bucket arithmetic is an identical
+fixed sequence of IEEE ops in both engines. sqrt IS correctly rounded
+per IEEE-754 (unlike ln/exp, which these queries deliberately avoid —
+see tfidf_top_terms' linear-idf note), so even the standard deviation
+is bit-identical. No decimal crosses the output edge.
+
+Scale notes (100 TB): moments are mergeable single-pass aggregates on
+bounded key sets (event types, market segments) broadcast back to the
+fact scan — one wide shuffle nowhere; the histogram's min/max scalar
+attaches via the non-foldable broadcast-equi-join idiom; allocation
+sampling ranks within segment partitions (bounded windows) after two
+tiny aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+_N_BUCKETS = 20
+_SAMPLE_BUDGET = 100
+
+
+@query(
+    "event_value_anomalies",
+    oracle="""
+    WITH moments AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+      FROM events GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mean_val,
+             sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd_val
+      FROM moments
+    )
+    SELECT event_id, e.event_type, value,
+           (value - mean_val) / sd_val AS zscore,
+           abs((value - mean_val) / sd_val) > 3.0 AS is_anomaly
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+    survey="§2.9 profiling (per-group z-score outlier detection from exact moments)",
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score every event's value against its event-type population
+    (3-sigma outlier flag). One pass computes exact DECIMAL moments per
+    type (mergeable: count + sum + sum-of-squares), broadcast back onto
+    the fact scan; variance uses the E[x²]−mean² identity on doubles
+    derived once from the exact sums, so no second data pass and no
+    engine-specific streaming-variance accumulation order."""
+    events = table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    moments = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    stats = moments.select(
+        "event_type",
+        mean.alias("mean_val"),
+        F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean).alias("sd_val"),
+    )
+    z = (F.col("value") - F.col("mean_val")) / F.col("sd_val")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "histogram_order_values",
+    oracle=f"""
+    WITH ext AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ), bucketed AS (
+      SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / {_N_BUCKETS}.0)),
+                        {_N_BUCKETS - 1}) AS BIGINT) AS bucket,
+             lo, hi, o_totalprice
+      FROM orders, ext
+    )
+    SELECT bucket,
+           lo + bucket * ((hi - lo) / {_N_BUCKETS}.0) AS bucket_lo,
+           lo + (bucket + 1) * ((hi - lo) / {_N_BUCKETS}.0) AS bucket_hi,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM bucketed GROUP BY bucket, lo, hi
+    """,
+    survey="§2.9 profiling (equi-width histogram with scalar-attached extent)",
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order values. The [min, max]
+    extent is one global aggregate attached to the scan via the
+    non-foldable broadcast equi-join (tfidf idiom); bucket index, edges
+    and the final clamp (max lands in the last bucket) are identical
+    IEEE double expressions in both engines. Counts shuffle on at most
+    20 keys — partial aggregation does nearly all the work map-side."""
+    orders = table(spark, sf_dir, "orders")
+    ext = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    # day-of-nothing trick unavailable here: derive the non-foldable
+    # always-1 key from lo itself (price >= 900 in fixture and generator,
+    # but only >= is assumed: least(greatest(lo,1),1) is 1 for any lo >= 1)
+    ext = ext.select(
+        "lo", "hi",
+        F.least(F.greatest(F.col("lo"), F.lit(1.0)), F.lit(1.0)).cast("int").alias("_k"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_N_BUCKETS))
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        F.lit(_N_BUCKETS - 1),
+    ).cast("bigint")
+    base = (
+        orders.withColumn(
+            "_k", F.least(F.greatest(F.col("o_totalprice"), F.lit(1.0)), F.lit(1.0)).cast("int")
+        )
+        .join(F.broadcast(ext), "_k")
+        .select(
+            bucket.alias("bucket"),
+            "lo",
+            "hi",
+            "o_totalprice",
+        )
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(_N_BUCKETS))
+    return base.groupBy("bucket", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    ).select(
+        "bucket",
+        (F.col("lo") + F.col("bucket") * w).alias("bucket_lo"),
+        (F.col("lo") + (F.col("bucket") + 1) * w).alias("bucket_hi"),
+        "n_orders",
+        "revenue",
+    )
+
+
+@query(
+    "weighted_sample_allocation",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    ), tot AS (
+      SELECT SUM(rev) AS total FROM seg
+    ), alloc AS (
+      SELECT c_mktsegment,
+             CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS rev_share,
+             CAST(ceil({_SAMPLE_BUDGET}.0 * (CAST(rev AS DOUBLE) / CAST(total AS DOUBLE)))
+                  AS BIGINT) AS n_target
+      FROM seg, tot
+    ), ranked AS (
+      SELECT c.c_mktsegment, c_custkey, rev_share, n_target,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
+               AS samp_rank
+      FROM customer c JOIN alloc a ON c.c_mktsegment = a.c_mktsegment
+    )
+    SELECT c_mktsegment, c_custkey, samp_rank, n_target, rev_share
+    FROM ranked WHERE samp_rank <= n_target
+    """,
+    survey="§2.9 training prep (budgeted sampling, allocation proportional to group weight)",
+)
+def weighted_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional-allocation sampling: a fixed budget of
+    ~100 customers is split across market segments proportional to each
+    segment's DECIMAL-exact revenue share (ceil keeps every segment
+    non-empty), then each segment draws its quota by deterministic
+    md5 hash-rank — the same reproducible-uniform idiom as
+    ``sample_stratified_hashrank``, here with data-driven per-stratum
+    quotas instead of a fixed fraction. Ranking windows partition by
+    segment (bounded); the share division is one IEEE op on exact
+    sums."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    # non-foldable scalar-attach keys on BOTH sides (tfidf idiom): total
+    # revenue is positive, segment names are non-empty, so each key is
+    # provably 1 yet depends on a column and survives constant folding
+    tot = seg.agg(F.sum("rev").alias("total")).select(
+        "total",
+        F.least(F.greatest(F.col("total").cast("double"), F.lit(1.0)), F.lit(1.0))
+        .cast("int")
+        .alias("_kk"),
+    )
+    share = F.col("rev").cast("double") / F.col("total").cast("double")
+    alloc = (
+        seg.withColumn("_kk", F.least(F.length("c_mktsegment"), F.lit(1)).cast("int"))
+        .join(F.broadcast(tot), "_kk")
+        .select(
+            "c_mktsegment",
+            share.alias("rev_share"),
+            F.ceil(F.lit(float(_SAMPLE_BUDGET)) * share).alias("n_target"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    return (
+        cust.join(F.broadcast(alloc), "c_mktsegment")
+        .withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= F.col("n_target"))
+        .select("c_mktsegment", "c_custkey", "samp_rank", "n_target", "rev_share")
+    )
