@@ -1,0 +1,85 @@
+"""Targeted semantics for the statistical-profiling pack
+(queries/stats_q.py): a planted extreme must dominate the fixture's
+natural 3-sigma positives by orders of magnitude, and histogram /
+allocation carry structural invariants (exact tiling, quota fill,
+budget bound) the oracle equivalence doesn't spell out."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crm_etl_pipeline_spark.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.01"
+REGISTRY = load_all()
+
+
+def test_planted_outlier_is_flagged(spark, tmp_path):
+    """Copy the events fixture and plant one 1e6-value purchase: it must
+    be the only flagged anomaly among purchases, and its z must be
+    extreme while the population's other z-scores stay sane."""
+    fixture = pq.read_table(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "planted")
+    os.makedirs(out, exist_ok=True)
+    outlier = pa.table(
+        {
+            "event_id": pa.array([10_000_000], pa.int64()),
+            "ts": fixture.column("ts")[:1].cast(fixture.schema.field("ts").type),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["purchase"]),
+            "value": pa.array([1_000_000.0], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([fixture, outlier.select(fixture.column_names)]),
+        f"{out}/events.parquet",
+    )
+    rows = REGISTRY["event_value_anomalies"].fn(spark, out).collect()
+    planted = [r for r in rows if r.event_id == 10_000_000]
+    assert len(planted) == 1 and planted[0].is_anomaly
+    # the driver fixture's skewed per-type values yield a handful of
+    # natural 3-sigma positives (so the oracle already exercises both
+    # flag paths); the planted extreme must dominate them all by far
+    # (the extreme also inflates the purchase sigma ~100x, so its own z
+    # lands near sqrt(n) ~ 45, not value/sigma_before — still 5x beyond
+    # any natural positive)
+    natural_max = max(abs(r.zscore) for r in rows if r.event_id != 10_000_000)
+    assert natural_max < 10  # heavy-tailed fixture values top out near 9
+    assert planted[0].zscore > 30 and planted[0].zscore > 3 * natural_max
+
+
+def test_histogram_tiles_the_extent(spark):
+    rows = sorted(
+        REGISTRY["histogram_order_values"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(20))
+    # edges tile exactly (identical IEEE arithmetic produces shared edges)
+    for a, b in zip(rows, rows[1:]):
+        assert a.bucket_hi == b.bucket_lo
+    # every order lands in exactly one bucket
+    import duckdb
+
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'").fetchone()[0]
+    assert sum(r.n_orders for r in rows) == n
+
+
+def test_allocation_respects_quotas_and_budget(spark):
+    rows = REGISTRY["weighted_sample_allocation"].fn(spark, SF_DIR).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    shares = {}
+    for seg, rs in by_seg.items():
+        n_target = rs[0].n_target
+        assert len(rs) == n_target  # quota exactly filled (enough customers)
+        assert max(r.samp_rank for r in rs) == n_target
+        shares[seg] = rs[0].rev_share
+    # shares partition the revenue; ceil can overshoot by < 1 per segment
+    assert math.isclose(sum(shares.values()), 1.0, rel_tol=1e-12)
+    assert 100 <= len(rows) <= 100 + len(by_seg)
