@@ -37,7 +37,9 @@ DRIVER_PRIORITY: list[str] = [
     "catalog_fields_tree",
     "catalog_tree",
     "composite_key_roundtrip",
-    "contamination_ngram_overlap",
+    # contamination_ngram_overlap ceded its slot to embedding_quantize_int8:
+    # ngram_jaccard_verify stays in the window on the same candidates-only
+    # shingle equi-join machinery.
     # cube_lineitem_flags ceded its slot to ann_ivf_persisted_index: the
     # grouping-sets engine path holds an r4 row (grouping_sets_region_segment)
     # and rollup_revenue stays in the window.
@@ -45,7 +47,9 @@ DRIVER_PRIORITY: list[str] = [
     # n-gram hash machinery is exercised by the r5-new repeated_span_mining
     # row and token_profile/text_stats stay in the window.
     "doc_quality_score",
-    "embedding_centroid_per_label",
+    # embedding_centroid_per_label ceded its slot to embedding_standardize:
+    # the identical (dim)-grain explode + exact fixed-point aggregate shape
+    # now gets two first-ever r5 rows (standardize / quantize_int8).
     # embedding_norm_topk ceded its slot to cohort_retention: the four
     # ann_* rows being refreshed cover the embedding scan+topk shape.
     "event_dedup_last_write_wins",
@@ -122,4 +126,6 @@ DRIVER_PRIORITY: list[str] = [
     "event_value_anomalies",
     "histogram_order_values",
     "weighted_sample_allocation",
+    "embedding_standardize",
+    "embedding_quantize_int8",
 ]

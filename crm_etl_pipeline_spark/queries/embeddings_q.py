@@ -658,3 +658,135 @@ def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "cand_id", "cell", "rank", _cos_col().alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# vector feature pipeline: per-dim standardization + int8 quantization
+
+_MOMENT_SCALE = 1_000_000  # 1e6 quantum: xq^2 sums stay in BIGINT range
+_OUT_DIMS = 8  # output the first 8 dims (stats still span all 64)
+
+
+@query(
+    "embedding_standardize",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
+      FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
+    ), stats AS (
+      SELECT i, COUNT(*) AS n, SUM(xq) AS s1, SUM(xq * xq) AS s2 FROM q GROUP BY i
+    ), s AS (
+      SELECT i,
+             CAST(s1 AS DOUBLE) / {_MOMENT_SCALE} / n AS mean_val,
+             sqrt(CAST(s2 AS DOUBLE) / {_MOMENT_SCALE} / {_MOMENT_SCALE} / n
+                  - (CAST(s1 AS DOUBLE) / {_MOMENT_SCALE} / n)
+                    * (CAST(s1 AS DOUBLE) / {_MOMENT_SCALE} / n)) AS sd_val
+      FROM stats
+    )
+    SELECT vec_id, q.i - 1 AS dim,
+           (CAST(xq AS DOUBLE) / {_MOMENT_SCALE} - mean_val) / sd_val AS z
+    FROM q JOIN s ON q.i = s.i WHERE q.i <= {_OUT_DIMS}
+    """,
+    survey="§2.9 similarity search (per-dimension z-score feature standardization)",
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization — the preprocessing step
+    before distance-based indexing when dimensions carry different
+    scales. Moments are exact integer sums of 1e6-quantized values
+    (xq² sums stay within BIGINT up to ~10⁹ vectors; beyond that the
+    escalation is a DECIMAL accumulator like event_value_anomalies');
+    the mean/variance/z chain is then a fixed IEEE sequence identical
+    in both engines, sqrt included (correctly rounded per IEEE-754).
+
+    Scale shape: one posexplode to (dim) grain — 64 keys, uniform —
+    then a 64-row broadcast back onto the exploded scan. Output is
+    bounded to the first 8 dims; the statistics span all 64."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(float(_MOMENT_SCALE)))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    stats = q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("s1"),
+        F.sum(F.col("xq") * F.col("xq")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.lit(float(_MOMENT_SCALE)) / F.col("n")
+    s = stats.select(
+        "dim",
+        mean.alias("mean_val"),
+        F.sqrt(
+            F.col("s2").cast("double")
+            / F.lit(float(_MOMENT_SCALE))
+            / F.lit(float(_MOMENT_SCALE))
+            / F.col("n")
+            - mean * mean
+        ).alias("sd_val"),
+    )
+    z = (
+        F.col("xq").cast("double") / F.lit(float(_MOMENT_SCALE)) - F.col("mean_val")
+    ) / F.col("sd_val")
+    return (
+        q.filter(F.col("dim") < _OUT_DIMS)
+        .join(F.broadcast(s), "dim")
+        .select("vec_id", "dim", z.alias("z"))
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
+      FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
+    ), ext AS (
+      SELECT i, MIN(xq) AS mn, MAX(xq) AS mx FROM q GROUP BY i
+    )
+    SELECT vec_id, q.i - 1 AS dim,
+           CAST(least(CAST(FLOOR((xq - mn) * 255.0 / (mx - mn)) AS BIGINT), 255) - 128
+                AS INTEGER) AS q8
+    FROM q JOIN ext ON q.i = ext.i WHERE q.i <= {_OUT_DIMS}
+    """,
+    survey="§2.9 similarity search (per-dimension int8 vector quantization)",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization per dimension — the standard 4× vector
+    compression before an ANN index (each dim affinely mapped onto
+    [-128, 127] by its corpus min/max). Arithmetic is integers plus one
+    double division of integers (< 2^53, so floor is exact in both
+    engines) — bit-identical, no rounding-mode dependence. The max
+    lands on 255 before the clamp only via the exact-division edge, so
+    `least` keeps both engines in range. Same (dim)-grain explode +
+    64-row broadcast shape as standardization."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(float(_MOMENT_SCALE)))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    ext = q.groupBy("dim").agg(F.min("xq").alias("mn"), F.max("xq").alias("mx"))
+    q8 = (
+        F.least(
+            F.floor(
+                (F.col("xq") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))
+            ).cast("bigint"),
+            F.lit(255).cast("bigint"),
+        )
+        - 128
+    ).cast("int")
+    return (
+        q.filter(F.col("dim") < _OUT_DIMS)
+        .join(F.broadcast(ext), "dim")
+        .select("vec_id", "dim", q8.alias("q8"))
+    )
