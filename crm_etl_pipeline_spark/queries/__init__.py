@@ -14,6 +14,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
     multimodal_q,
     relational,
     scd_q,
+    sources_q,
     stats_q,
     streaming_q,
     transforms,
@@ -46,7 +47,9 @@ DRIVER_PRIORITY: list[str] = [
     # doc_fingerprint ceded its slot to funnel_conversion: the rolling
     # n-gram hash machinery is exercised by the r5-new repeated_span_mining
     # row and token_profile/text_stats stay in the window.
-    "doc_quality_score",
+    # doc_quality_score ceded its slot to csv_source_roundtrip: the
+    # single-scan quality column-algebra family holds r4/r5 rows via
+    # doc_repetition_ratio and token_rarity_score.
     # embedding_centroid_per_label ceded its slot to embedding_standardize:
     # the identical (dim)-grain explode + exact fixed-point aggregate shape
     # now gets two first-ever r5 rows (standardize / quantize_int8).
@@ -71,7 +74,9 @@ DRIVER_PRIORITY: list[str] = [
     # SMJ machinery.
     "join_left_missing",
     "join_semi",
-    "kmv_distinct_sketch",
+    # kmv_distinct_sketch ceded its slot to json_source_roundtrip: the
+    # mergeable-sketch family holds an r4 row via approx_value_percentiles
+    # (GK), and kmv passes the stricter pytest oracle at HEAD.
     "language_id_ngram",
     "ngram_jaccard_verify",
     # pivot_status_by_priority ceded its slot to
@@ -128,4 +133,6 @@ DRIVER_PRIORITY: list[str] = [
     "weighted_sample_allocation",
     "embedding_standardize",
     "embedding_quantize_int8",
+    "csv_source_roundtrip",
+    "json_source_roundtrip",
 ]

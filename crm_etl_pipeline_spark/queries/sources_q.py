@@ -1,0 +1,123 @@
+"""Source-format connectors beyond parquet: CSV and JSON-lines readers
+with explicit schemas, proven by row-grain roundtrip fidelity.
+
+The reference ingests REST JSON and lands CSV-ish exports by hand
+(`PodioApiWrapper.py:104-167` pagination loop, array→CSV at the field
+decode layer); warehouse users re-load both. These queries export the
+events table to the text format, read it back through the engine's
+reader, and return raw rows — the DuckDB oracle reads the PARQUET
+source of truth, so any fidelity loss in the text round-trip (timestamp
+truncation, double shortest-repr drift, quote/escape damage to embedded
+JSON) breaks the value hash. That makes the connector itself the thing
+under test, at row grain.
+
+Determinism/fidelity contract:
+- schemas are EXPLICIT on read — schema inference samples the input
+  and is both nondeterministic under sampling and a full extra pass at
+  100 TB;
+- timestamps are written/read with an explicit micro-second format
+  (`yyyy-MM-dd HH:mm:ss.SSSSSS`); the default format truncates to
+  milliseconds and the hash would catch it;
+- doubles survive because both Spark writers emit the shortest
+  round-trip representation (Jackson/Java `Double.toString`) and the
+  reader parses it back to the identical bits;
+- embedded JSON in the `props` column stress-tests CSV quoting (the
+  default quote+escape settings are symmetric between writer and
+  reader).
+
+Scale shape: text sources split by line just like parquet splits by
+row group — the reader is a full-width parallel scan; the only scan
+pushdown text formats support is line-level (no column pruning, no
+predicate pushdown), which is exactly why the engine's stores are
+parquet and these readers exist for INGEST, not serving. Scratch
+exports go through tmpdirs (exit-removed, crash-swept).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from crm_etl_pipeline_spark import tmpdirs
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_ROUNDTRIP_ORACLE = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events WHERE event_id < 500
+"""
+
+
+def _export_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+
+
+def _workdir(tag: str, sf_dir: str) -> str:
+    return tmpdirs.pid_scoped(
+        "crm_etl_sources", tag, os.path.basename(sf_dir.rstrip("/"))
+    )
+
+
+@query(
+    "csv_source_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    survey="S1 source formats (CSV reader with explicit schema; row-grain fidelity)",
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export 500 events to CSV, read them back through the CSV source,
+    return the raw rows — the oracle reads the parquet truth, so the
+    hash certifies header handling, explicit-schema typing, µs
+    timestamp format, double shortest-repr round-trip, and quoting of
+    the embedded-JSON props column."""
+    path = os.path.join(_workdir("csv", sf_dir), "events_csv")
+    _export_subset(spark, sf_dir).write.mode("overwrite").options(
+        header=True, timestampFormat=_TS_FMT
+    ).csv(path)
+    return spark.read.options(header=True, timestampFormat=_TS_FMT).schema(
+        _EVENTS_SCHEMA
+    ).csv(path)
+
+
+@query(
+    "json_source_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    survey="S7 source formats (JSON-lines reader with explicit schema; the webhook wire format)",
+)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract over JSON lines — the reference's actual wire
+    format (webhook POST bodies, `PodioApiGateway.py:197-215`). The
+    props column nests JSON-in-a-JSON-string, which the explicit
+    StringType schema must carry through un-reparsed."""
+    path = os.path.join(_workdir("json", sf_dir), "events_json")
+    _export_subset(spark, sf_dir).write.mode("overwrite").options(
+        timestampFormat=_TS_FMT
+    ).json(path)
+    return (
+        spark.read.options(timestampFormat=_TS_FMT)
+        .schema(_EVENTS_SCHEMA)
+        .json(path)
+        .select([f.name for f in _EVENTS_SCHEMA.fields])
+    )
