@@ -37,7 +37,10 @@ DRIVER_PRIORITY: list[str] = [
     "catalog_drift",
     "catalog_fields_tree",
     "catalog_tree",
-    "composite_key_roundtrip",
+    # composite_key_roundtrip ceded its slot to embedding_kmeans: the
+    # catalog family keeps three r5-refresh slots (tree/drift/fields_tree)
+    # on the same machinery, and a first-ever row for an iterative
+    # training operator outranks a fourth catalog refresh.
     # contamination_ngram_overlap ceded its slot to embedding_quantize_int8:
     # ngram_jaccard_verify stays in the window on the same candidates-only
     # shingle equi-join machinery.
@@ -135,4 +138,5 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "csv_source_roundtrip",
     "json_source_roundtrip",
+    "embedding_kmeans",
 ]

@@ -790,3 +790,142 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ext), "dim")
         .select("vec_id", "dim", q8.alias("q8"))
     )
+
+
+# ---------------------------------------------------------------------------
+# iterative clustering: k-means (Lloyd) with a full cross-engine oracle
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2  # fixed iteration budget; see docstring
+
+
+def _dist_q(vd: Column, cv: Column) -> Column:
+    """Σ_d floor((x_d − c_d)²·1e12) as BIGINT — both inputs are doubles
+    produced by identical arithmetic in both engines, each term is one
+    identical IEEE sequence, and the integer sum is order-free."""
+    return F.aggregate(
+        F.zip_with(
+            vd,
+            cv,
+            lambda x, y: F.floor((x - y) * (x - y) * F.lit(_SCALE)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+@query(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cluster, vd AS cv
+      FROM emb QUALIFY cluster < {_KMEANS_K}
+    ), d1 AS (
+      SELECT e.vec_id, s.cluster,
+             SUM(CAST(FLOOR((e.vd[i] - s.cv[i]) * (e.vd[i] - s.cv[i]) * 1e12)
+                      AS BIGINT)) AS dq
+      FROM emb e, seeds s, unnest(range(1, {_DIM + 1})) t(i)
+      GROUP BY 1, 2
+    ), a1 AS (
+      SELECT vec_id, cluster
+      FROM d1 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dq, cluster) = 1
+    ), c1 AS (
+      SELECT cluster, list(mean_d ORDER BY i) AS cv FROM (
+        SELECT a1.cluster, i,
+               CAST(SUM(CAST(FLOOR(e.vd[i] * {_MOMENT_SCALE}) AS BIGINT)) AS DOUBLE)
+                 / {_MOMENT_SCALE} / COUNT(*) AS mean_d
+        FROM emb e JOIN a1 USING (vec_id), unnest(range(1, {_DIM + 1})) t(i)
+        GROUP BY 1, 2
+      ) GROUP BY cluster
+    ), d2 AS (
+      SELECT e.vec_id, c.cluster,
+             SUM(CAST(FLOOR((e.vd[i] - c.cv[i]) * (e.vd[i] - c.cv[i]) * 1e12)
+                      AS BIGINT)) AS dq
+      FROM emb e, c1 c, unnest(range(1, {_DIM + 1})) t(i)
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, cluster, CAST(dq AS BIGINT) AS dq
+    FROM d2 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dq, cluster) = 1
+    """,
+    survey="§2.9 similarity search (iterative k-means training, full oracle)",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: k=8 seeds drawn by the
+    deterministic md5 hash-rank, then a FIXED budget of 2
+    assign-and-recompute iterations, returning each vector's final
+    cluster and quantized squared distance. Unlike MLlib's estimator
+    (sampled init, tolerance-based stop, float accumulation order),
+    every step here is reproducible and oracle-checkable: distances are
+    integer sums of identically-IEEE-computed terms, means come from
+    exact integer sums (the centroid-query idiom), and ties break on
+    cluster id.
+
+    Fixed iteration budget BY DESIGN: production training loops at this
+    scale run per-pass budgets with an external convergence check (the
+    dedup_components scalar-count pattern); unrolling keeps the whole
+    plan one DAG. Scale shape per iteration: the k=8 centroid set is a
+    broadcast attached via a non-foldable constant-key equi-join (8
+    matches per probe row — the ann probe shape without a nested
+    loop), assignment is one partitioned window, and the M-step is the
+    (cluster, dim)-grain exact aggregate — k·64 keys. Empty clusters
+    drop out identically in both engines."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+    )
+    probe = emb.withColumn(
+        "_k", F.least(F.col("vec_id") + 1, F.lit(1)).cast("int")
+    )  # vec_id >= 0 → key is provably 1 but non-foldable
+
+    seed_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    # the seed window is global but bounded: it runs on the hash-TOP-k
+    # only after a WindowGroupLimit prune (row_number + filter k), the
+    # same shape as every top-k query here
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(seed_w))
+        .filter(F.col("rn") <= _KMEANS_K)
+        .select((F.col("rn") - 1).alias("cluster"), F.col("vd").alias("cv"))
+    )
+
+    for _ in range(_KMEANS_ITERS):
+        cent_b = centroids.withColumn(
+            "_k", F.least(F.col("cluster") + 1, F.lit(1)).cast("int")
+        )
+        scored = probe.join(F.broadcast(cent_b), "_k").withColumn(
+            "dq", _dist_q(F.col("vd"), F.col("cv"))
+        )
+        aw = Window.partitionBy("vec_id").orderBy("dq", "cluster")
+        assign = (
+            scored.withColumn("arn", F.row_number().over(aw))
+            .filter(F.col("arn") == 1)
+            .select("vec_id", "cluster", "dq")
+        )
+        # M-step: exact integer means at (cluster, dim) grain
+        exploded = emb.join(assign.select("vec_id", "cluster"), "vec_id").select(
+            "cluster", F.posexplode(F.col("vd")).alias("dim0", "x")
+        )
+        means = (
+            exploded.groupBy("cluster", "dim0")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("x") * F.lit(float(_MOMENT_SCALE))).cast("bigint")
+                    ).cast("double")
+                    / F.lit(float(_MOMENT_SCALE))
+                    / F.count(F.lit(1))
+                ).alias("mean_d")
+            )
+        )
+        centroids = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "mean_d"))),
+                lambda s: s["mean_d"],
+            ).alias("cv")
+        )
+    return assign
