@@ -855,7 +855,9 @@ def _dist_q(vd: Column, cv: Column) -> Column:
     """,
     survey="§2.9 similarity search (iterative k-means training, full oracle)",
 )
-def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_kmeans(
+    spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS
+) -> DataFrame:
     """Lloyd's k-means over the embedding corpus: k=8 seeds drawn by the
     deterministic md5 hash-rank, then a FIXED budget of 2
     assign-and-recompute iterations, returning each vector's final
@@ -893,7 +895,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("rn") - 1).alias("cluster"), F.col("vd").alias("cv"))
     )
 
-    for _ in range(_KMEANS_ITERS):
+    for _ in range(iters):
         cent_b = centroids.withColumn(
             "_k", F.least(F.col("cluster") + 1, F.lit(1)).cast("int")
         )

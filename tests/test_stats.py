@@ -83,3 +83,21 @@ def test_allocation_respects_quotas_and_budget(spark):
     # shares partition the revenue; ceil can overshoot by < 1 per segment
     assert math.isclose(sum(shares.values()), 1.0, rel_tol=1e-12)
     assert 100 <= len(rows) <= 100 + len(by_seg)
+
+
+def test_kmeans_inertia_never_increases(spark):
+    """Lloyd's invariant: total within-cluster squared distance after
+    the assignment of iteration k+1 (against recomputed centroids) is
+    <= iteration k's — the convergence guarantee the fixed budget
+    relies on. Exercised via the iters parameter the registered query
+    pins at 2."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.queries.embeddings_q import embedding_kmeans
+
+    inertia = []
+    for it in (1, 2, 3):
+        df = embedding_kmeans(spark, SF_DIR, iters=it)
+        inertia.append(df.agg(F.sum("dq")).collect()[0][0])
+    assert inertia[1] <= inertia[0]
+    assert inertia[2] <= inertia[1]
