@@ -31,7 +31,9 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 DRIVER_PRIORITY: list[str] = [
     # latest driver row = r2 (oldest-verified first, alphabetical)
     "ann_cosine_topk",
-    "ann_ivf_nprobe2",
+    # ann_ivf_nprobe2 ceded its slot to copurchase_lift_topk: ann_ivf_probe
+    # stays in the window and ann_ivf_persisted_index holds a first r5 row
+    # on the same IVF machinery with a wider probe.
     "ann_ivf_probe",
     "ann_lsh_bucketed",
     "catalog_drift",
@@ -75,7 +77,9 @@ DRIVER_PRIORITY: list[str] = [
     # join_full_outer ceded its slot to event_value_anomalies: the join
     # family keeps four r5-refresh slots (anti/semi/left/fk) on the same
     # SMJ machinery.
-    "join_left_missing",
+    # join_left_missing ceded its slot to event_transition_matrix: the
+    # left-join-null-filter shape is the anti-join twin, and join_anti /
+    # join_semi / join_fk_enrichment keep r5-refresh slots.
     "join_semi",
     # kmv_distinct_sketch ceded its slot to json_source_roundtrip: the
     # mergeable-sketch family holds an r4 row via approx_value_percentiles
@@ -98,7 +102,9 @@ DRIVER_PRIORITY: list[str] = [
     # sessionization (same window semantics) stays in the window and the
     # streaming twin streaming_stateful_sessions holds an r4 row.
     "sessionization",
-    "setops_segments",
+    # setops_segments ceded its slot to dq_audit_orders: union/except/
+    # intersect are engine-native plans with an r2 row and a green pytest
+    # oracle at HEAD — the least distinctive machinery left in the window.
     # text_stats ceded its slot to histogram_order_values: token_profile
     # stays in the window and the single-scan column-algebra shape holds
     # r4/r5 rows via doc_repetition_ratio and token_rarity_score.
@@ -139,4 +145,7 @@ DRIVER_PRIORITY: list[str] = [
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "embedding_kmeans",
+    "copurchase_lift_topk",
+    "event_transition_matrix",
+    "dq_audit_orders",
 ]

@@ -401,3 +401,121 @@ def gapfill_daily_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").isNotNull().alias("had_purchase"),
         locf.cast("double").alias("revenue_locf"),
     )
+
+
+@query(
+    "copurchase_lift_topk",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket
+    ), single AS (
+      SELECT l_partkey, COUNT(*) AS c FROM basket GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support,
+           CAST(support AS DOUBLE) * n_orders / ca.c / cb.c AS lift
+    FROM pairs
+    JOIN single ca ON part_a = ca.l_partkey
+    JOIN single cb ON part_b = cb.l_partkey
+    CROSS JOIN n
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+    survey="§2.9 CRM analytics (market-basket co-purchase pairs with lift)",
+)
+def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: top-20 part pairs by co-purchase support,
+    each scored with lift = support·N / (count_a·count_b) (exact
+    integers, one IEEE chain). Pair generation is a self-equi-join on
+    the order key — pair work is Σ basket-size² with baskets bounded at
+    the order's line count (≤ tens), the same bounded-fanout argument
+    as LSH in-bucket pairs; never an all-pairs part join. The corpus
+    size attaches via the non-foldable broadcast scalar; top-20
+    compiles to TakeOrderedAndProject (no global window)."""
+    basket = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders")).select(
+        "n_orders",
+        F.least(F.col("n_orders"), F.lit(1)).cast("int").alias("_k"),
+    )
+    single = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    ca = single.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = single.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        _scalar_attach(
+            pairs.join(ca, "part_a").join(cb, "part_b"),
+            n,
+            F.least(F.col("support"), F.lit(1)).cast("int"),
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (F.col("support").cast("double") * F.col("n_orders") / F.col("ca") / F.col("cb"))
+            .alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), outdeg AS (
+      SELECT from_type, SUM(n_transitions) AS total FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE) / total AS p
+    FROM trans t JOIN outdeg o ON t.from_type = o.from_type
+    """,
+    survey="§2.9 CRM analytics (first-order Markov transition matrix over the activity stream)",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    event types, from per-user lag pairs (user-partitioned window,
+    event_id tiebreak). The 5×5 output and the 5-row out-degree
+    normalizer both live at event-type grain — counts shuffle on ≤ 25
+    keys, the normalizer joins broadcast, probabilities are one IEEE
+    division of exact counts."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    trans = (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    outdeg = trans.groupBy("from_type").agg(F.sum("n_transitions").alias("total"))
+    return trans.join(F.broadcast(outdeg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("total")).alias("p"),
+    )
