@@ -101,3 +101,59 @@ def test_kmeans_inertia_never_increases(spark):
         inertia.append(df.agg(F.sum("dq")).collect()[0][0])
     assert inertia[1] <= inertia[0]
     assert inertia[2] <= inertia[1]
+
+
+def test_transition_probabilities_partition_each_row(spark):
+    """Each from_type's outgoing probabilities must sum to exactly 1
+    (they share one exact-integer denominator, so the IEEE sum of the
+    5 divisions is within one ulp of 1 — assert tight closeness)."""
+    import math
+
+    rows = REGISTRY["event_transition_matrix"].fn(spark, SF_DIR).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    assert set(by_from) == {"signup", "view", "click", "purchase", "error"}
+    for total in by_from.values():
+        assert math.isclose(total, 1.0, rel_tol=1e-12)
+
+
+def test_dq_audit_passes_on_clean_fixture_and_catches_planted_rot(spark, tmp_path):
+    """The driver fixture passes all five rules; a planted corrupt load
+    (duplicate key, orphan custkey, negative price, out-of-range date,
+    bogus status) trips each corresponding rule with exact counts."""
+    import duckdb
+
+    rows = {r.rule: r for r in REGISTRY["dq_audit_orders"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "orderkey_unique", "custkey_fk_resolves", "totalprice_positive",
+        "orderdate_in_range", "status_in_domain",
+    }
+    assert all(r.passed and r.n_violations == 0 for r in rows.values())
+
+    out = str(tmp_path / "rot")
+    os.makedirs(out, exist_ok=True)
+    duckdb.sql(f"""
+      COPY (
+        SELECT * FROM '{SF_DIR}/orders.parquet'
+        UNION ALL SELECT 1, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                         o_orderpriority
+          FROM '{SF_DIR}/orders.parquet' WHERE o_orderkey = 1  -- dup key
+        UNION ALL VALUES
+          (90000001, 99999999, 'O', 100.0, TIMESTAMP '1996-01-01', '1-URGENT'),
+          (90000002, 1, 'O', -5.0, TIMESTAMP '1996-01-01', '1-URGENT'),
+          (90000003, 1, 'O', 100.0, TIMESTAMP '1975-01-01', '1-URGENT'),
+          (90000004, 1, 'X', 100.0, TIMESTAMP '1996-01-01', '1-URGENT')
+      ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF_DIR}/customer.parquet') TO "
+        f"'{out}/customer.parquet' (FORMAT PARQUET)"
+    )
+    rot = {r.rule: r for r in REGISTRY["dq_audit_orders"].fn(spark, out).collect()}
+    assert rot["orderkey_unique"].n_violations == 1
+    assert rot["custkey_fk_resolves"].n_violations == 1
+    assert rot["totalprice_positive"].n_violations == 1
+    assert rot["orderdate_in_range"].n_violations == 1
+    assert rot["status_in_domain"].n_violations == 1
+    assert not any(r.passed for r in rot.values())
