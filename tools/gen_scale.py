@@ -126,6 +126,37 @@ def gen_orders(rng: np.random.Generator, n: int, n_cust: int) -> pa.Table:
     )
 
 
+def gen_lineitem(rng: np.random.Generator, n_orders: int) -> pa.Table:
+    """~4 lines/order over a part catalog sized like the fixture ratio
+    (part count = orders/7.5), so basket sizes stay bounded and the
+    co-purchase pair join has fixture-like fanout at any sf."""
+    lines_per = rng.integers(1, 8, n_orders)
+    orderkeys = np.repeat(np.arange(1, n_orders + 1), lines_per)
+    n = len(orderkeys)
+    n_parts = max(200, n_orders // 8)
+    t0 = np.datetime64("1995-01-01T00:00:00", "us").astype(np.int64)
+    span = int(6.5 * 365.25 * 24 * 3600) * 10**6
+    flags = np.array(["N", "R", "A"])
+    status = np.array(["O", "F"])
+    return pa.table(
+        {
+            "l_orderkey": pa.array(orderkeys, pa.int64()),
+            "l_partkey": pa.array(rng.integers(1, n_parts + 1, n), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(1, 1000, n), pa.int64()),
+            "l_linenumber": pa.array(
+                np.concatenate([np.arange(1, c + 1) for c in lines_per]), pa.int32()
+            ),
+            "l_quantity": pa.array(rng.integers(1, 50, n).astype(np.float64)),
+            "l_extendedprice": pa.array(np.round(rng.uniform(900, 100_000, n), 2)),
+            "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n), 2)),
+            "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n), 2)),
+            "l_returnflag": pa.array(flags[rng.integers(0, 3, n)]),
+            "l_linestatus": pa.array(status[rng.integers(0, 2, n)]),
+            "l_shipdate": pa.array(t0 + rng.integers(0, span, n)).cast(pa.timestamp("us")),
+        }
+    )
+
+
 def gen_customer(rng: np.random.Generator, n: int) -> pa.Table:
     segs = np.array(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"])
     return pa.table(
@@ -150,6 +181,7 @@ def main(sf: float, outdir: str, only: set[str] | None = None) -> None:
         "events": lambda: gen_events(rng, int(1_000_000 * sf), int(15_000 * sf)),
         "customer": lambda: gen_customer(rng, int(150_000 * sf)),
         "orders": lambda: gen_orders(rng, int(1_500_000 * sf), int(150_000 * sf)),
+        "lineitem": lambda: gen_lineitem(rng, int(1_500_000 * sf)),
     }
     # `only` exists for the top decade: a 100M-row events table is not
     # generatable in reasonable time/memory, and the document-corpus
