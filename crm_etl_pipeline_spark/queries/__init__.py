@@ -60,7 +60,10 @@ DRIVER_PRIORITY: list[str] = [
     # now gets two first-ever r5 rows (standardize / quantize_int8).
     # embedding_norm_topk ceded its slot to cohort_retention: the four
     # ann_* rows being refreshed cover the embedding scan+topk shape.
-    "event_dedup_last_write_wins",
+    # event_dedup_last_write_wins ceded its slot to
+    # streaming_moments_anomalies: exact_dedup_documents keeps its refresh
+    # slot on the same keep-first semantics and the streaming dedup twin is
+    # pytest-green at HEAD.
     # event_type_routing ceded its slot to rfm_segmentation: the IN-filter
     # dispatch semantic holds an r4 row via disjunctive_filter_scan and the
     # streaming routing twins (streaming_dlq / streaming_requeue).
@@ -73,7 +76,9 @@ DRIVER_PRIORITY: list[str] = [
     # grouping_sets_region_segment and repeated_span_mining (HAVING twin).
     "hidden_field_projection",
     "join_anti",
-    "join_fk_enrichment",
+    # join_fk_enrichment ceded its slot to regional_supplier_volume: the FK
+    # enrichment join is a sub-tree of the 6-way Q5 join getting its first
+    # row; join_anti and join_semi keep r5-refresh slots.
     # join_full_outer ceded its slot to event_value_anomalies: the join
     # family keeps four r5-refresh slots (anti/semi/left/fk) on the same
     # SMJ machinery.
@@ -148,4 +153,6 @@ DRIVER_PRIORITY: list[str] = [
     "copurchase_lift_topk",
     "event_transition_matrix",
     "dq_audit_orders",
+    "regional_supplier_volume",
+    "streaming_moments_anomalies",
 ]

@@ -304,3 +304,59 @@ def disjunctive_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(_disc_price_dec()).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "regional_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({_DISC_PRICE_DEC}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    survey="J+ deep join tree (TPC-H Q5 shape: 6-way join, local-supplier volume per nation)",
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the deepest join tree in the registry: lineitem
+    ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
+    local-supplier constraint (customer and supplier share a nation)
+    and a one-year date window. Declared as six equi-joins and left to
+    Catalyst: region/nation broadcast (constant-size dims), the date
+    filter pushes into the orders scan, and AQE picks build sides for
+    the rest — the query is the optimizer showcase, not hand-scheduled.
+    Revenue uses the pricing_summary decimal idiom (IEEE product, exact
+    DECIMAL(28,6) accumulation, double at the edge)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_disc_price_dec()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -217,3 +217,57 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.read_sessions(spark, out).select(
         "user_id", "session_id", "n_events", "session_start", "session_end"
     )
+
+
+@query(
+    "streaming_moments_anomalies",
+    oracle="""
+    WITH moments AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+      FROM events GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mean_val,
+             sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd_val
+      FROM moments
+    )
+    SELECT event_id, e.event_type, value,
+           (value - mean_val) / sd_val AS zscore,
+           abs((value - mean_val) / sd_val) > 3.0 AS is_anomaly
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+    survey="ST1-ST3 + §2.9 profiling (incremental moment state across micro-batches → converged z-scores)",
+)
+def streaming_moments_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events through a complete-mode stateful aggregation
+    (4 micro-batches via maxFilesPerTrigger=1) accumulating exact
+    DECIMAL moments per event type, then score every event against the
+    CONVERGED moments — which must equal the single-pass batch twin
+    ``event_value_anomalies`` exactly, proving the moment state merges
+    losslessly across micro-batches. Same oracle as the batch twin."""
+    from crm_etl_pipeline_spark.io import table
+
+    out = streaming.moments_stream(spark, sf_dir, _workdir("moments", sf_dir))
+    moments = spark.read.parquet(out)
+    mean = F.col("s1").cast("double") / F.col("n")
+    stats = moments.select(
+        "event_type",
+        mean.alias("mean_val"),
+        F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean).alias("sd_val"),
+    )
+    z = (F.col("value") - F.col("mean_val")) / F.col("sd_val")
+    return (
+        table(spark, sf_dir, "events")
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )

@@ -618,3 +618,47 @@ def read_sessions(spark: SparkSession, out_path: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def moments_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str:
+    """Incremental per-type moment accumulation (ST1-ST3 shape applied
+    to profiling): the events fixture is re-laid as 4 parquet chunks
+    and streamed with ``maxFilesPerTrigger=1``, so the per-event-type
+    (count, Σvalue, Σvalue²) DECIMAL moments genuinely MERGE across
+    four micro-batches of streaming-aggregation state — the mergeable
+    property the batch twin (``event_value_anomalies``) relies on,
+    exercised through Spark's stateful complete-mode aggregation
+    instead of asserted. Returns the path of the converged moments
+    table."""
+    from crm_etl_pipeline_spark.io import table
+
+    src = os.path.join(workdir, "chunks")
+    table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    vdec = F.col("value").cast("decimal(18,2)")
+    moments = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    out = os.path.join(workdir, "moments")
+
+    def write_final(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(out)
+
+    q = (
+        moments.writeStream.outputMode("complete")
+        .foreachBatch(write_final)
+        .option("checkpointLocation", out + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out

@@ -446,3 +446,30 @@ def test_stream_stream_join_equals_batch_interval_join(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_moments_stream_really_spans_microbatches(spark, tmp_path):
+    """The moments stream must process its 4 input chunks as MULTIPLE
+    micro-batches (maxFilesPerTrigger=1) — otherwise the 'state merges
+    across batches' claim of streaming_moments_anomalies is vacuous.
+    The checkpoint's offsets log records one file per batch."""
+    import os
+
+    out = streaming.moments_stream(spark, SF_DIR, str(tmp_path))
+    offsets = [
+        f for f in os.listdir(out + "_checkpoint/offsets") if f.isdigit()
+    ]
+    assert len(offsets) >= 4, offsets
+    # and the converged moments match a direct batch aggregation
+    batch = (
+        spark.read.parquet(str(tmp_path / "chunks"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s1"),
+        )
+    )
+    streamed = spark.read.parquet(out).select("event_type", "n", "s1")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.select("event_type", "n", "s1").collect())
+    )
