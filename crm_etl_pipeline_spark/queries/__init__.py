@@ -113,7 +113,9 @@ DRIVER_PRIORITY: list[str] = [
     # text_stats ceded its slot to histogram_order_values: token_profile
     # stays in the window and the single-scan column-algebra shape holds
     # r4/r5 rows via doc_repetition_ratio and token_rarity_score.
-    "token_profile",
+    # token_profile ceded its slot to ols_frequency_monetary: the
+    # single-scan token-stats family holds r4/r5 rows via
+    # doc_repetition_ratio, token_rarity_score and vocab_top_tokens (r3).
     "train_split_stratified",
     # tumbling_daily_counts ceded its slot to streaming_stream_stream_join:
     # its streaming twin streaming_tumbling_counts holds an r4 row on the
@@ -155,4 +157,5 @@ DRIVER_PRIORITY: list[str] = [
     "dq_audit_orders",
     "regional_supplier_volume",
     "streaming_moments_anomalies",
+    "ols_frequency_monetary",
 ]

@@ -336,3 +336,76 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rule("status_in_domain", "bad_status", scan))
     )
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+@query(
+    "ols_frequency_monetary",
+    oracle="""
+    WITH percust AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey
+    ), moments AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy
+      FROM percust GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM moments
+    """,
+    survey="§2.9 profiling (closed-form one-feature OLS from exact sufficient statistics)",
+)
+def ols_frequency_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of customer revenue against order count,
+    per market segment — the closed-form normal-equation solution from
+    five sufficient statistics (Σx, Σx², Σy, Σy², Σxy), each an EXACT
+    integer/DECIMAL aggregate, with slope/intercept/r² one fixed IEEE
+    chain on the converted sums. This is how regression actually runs
+    at 100 TB: the data pass produces mergeable sufficient statistics
+    (two shuffles: customer grain, then 5 segment keys) and the solve
+    is O(1) — no gradient loop touches the data. Degenerate segments
+    (zero frequency variance) would yield NULL/NaN identically in both
+    engines."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    percust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"),
+        )
+    )
+    xb = F.col("x").cast("bigint")
+    moments = percust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(xb * xb).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return moments.select(
+        "c_mktsegment",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
