@@ -74,7 +74,9 @@ DRIVER_PRIORITY: list[str] = [
     # having_filter ceded its slot to multimodal_decode_quarantine: the
     # post-aggregate filter semantic is exercised by the r4-verified
     # grouping_sets_region_segment and repeated_span_mining (HAVING twin).
-    "hidden_field_projection",
+    # hidden_field_projection ceded its slot to keyset_pagination_orders:
+    # the F5 projection filter rides the same catalog machinery as the
+    # three catalog refresh slots still in the window.
     "join_anti",
     # join_fk_enrichment ceded its slot to regional_supplier_volume: the FK
     # enrichment join is a sub-tree of the 6-way Q5 join getting its first
@@ -158,4 +160,5 @@ DRIVER_PRIORITY: list[str] = [
     "regional_supplier_volume",
     "streaming_moments_anomalies",
     "ols_frequency_monetary",
+    "keyset_pagination_orders",
 ]

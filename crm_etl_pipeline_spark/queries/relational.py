@@ -360,3 +360,39 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@query(
+    "keyset_pagination_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1996-06-01'
+       OR (o_orderdate = TIMESTAMP '1996-06-01' AND o_orderkey > 1000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+    survey="S2/L1 serving path (keyset pagination: seek predicate + top-k, no OFFSET scan)",
+)
+def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The next page after cursor (1996-06-01, orderkey 1000) in
+    (o_orderdate, o_orderkey) order — KEYSET pagination, the serving
+    pattern that scales where OFFSET does not: the cursor becomes a
+    seek predicate pushed into the parquet scan (row groups wholly
+    before the cursor date never leave disk) and the page is a
+    TakeOrderedAndProject top-k, so page N costs the same as page 1.
+    An OFFSET formulation would scan and sort N·page rows — the
+    difference between O(page) and O(corpus) at 100 TB. The row
+    comparison is written in expanded form so both engines plan the
+    identical predicate."""
+    cursor_dt = F.lit("1996-06-01").cast("timestamp")
+    after = (F.col("o_orderdate") > cursor_dt) | (
+        (F.col("o_orderdate") == cursor_dt) & (F.col("o_orderkey") > 1000)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(after)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
