@@ -35,7 +35,9 @@ DRIVER_PRIORITY: list[str] = [
     # stays in the window and ann_ivf_persisted_index holds a first r5 row
     # on the same IVF machinery with a wider probe.
     "ann_ivf_probe",
-    "ann_lsh_bucketed",
+    # ann_lsh_bucketed ceded its slot to cdc_apply_snapshot: ann_cosine_topk
+    # and ann_ivf_probe keep refresh slots on the same fixed-dot machinery,
+    # and the sign-bucket join shape holds an r4 row via embedding_near_dup.
     "catalog_drift",
     "catalog_fields_tree",
     "catalog_tree",
@@ -118,7 +120,9 @@ DRIVER_PRIORITY: list[str] = [
     # token_profile ceded its slot to ols_frequency_monetary: the
     # single-scan token-stats family holds r4/r5 rows via
     # doc_repetition_ratio, token_rarity_score and vocab_top_tokens (r3).
-    "train_split_stratified",
+    # train_split_stratified ceded its slot to kmv_sketch_merge: the md5
+    # hash-assignment idiom holds r5 rows via weighted_sample_allocation
+    # and an r3 row via sample_stratified_hashrank.
     # tumbling_daily_counts ceded its slot to streaming_stream_stream_join:
     # its streaming twin streaming_tumbling_counts holds an r4 row on the
     # identical aggregation, and a first-ever driver row for a new operator
@@ -161,4 +165,6 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_moments_anomalies",
     "ols_frequency_monetary",
     "keyset_pagination_orders",
+    "cdc_apply_snapshot",
+    "kmv_sketch_merge",
 ]

@@ -355,3 +355,102 @@ def grouping_sets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
     )
+
+
+@query(
+    "kmv_sketch_merge",
+    oracle="""
+    WITH dist AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(ts AS DATE) AS day, user_id
+      FROM events GROUP BY 1, 2, 3
+    ), hashed AS (
+      SELECT week, day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+      FROM dist
+    ), daily_sketch AS (
+      SELECT week, day, hv
+      FROM hashed QUALIFY ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) <= 64
+    ), merged_kth AS (
+      SELECT week, hv AS kth_m FROM (
+        SELECT week, hv, ROW_NUMBER() OVER (PARTITION BY week ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT week, hv FROM daily_sketch)
+      ) WHERE rn = 64
+    ), direct_kth AS (
+      SELECT week, hv AS kth_d FROM (
+        SELECT week, hv, ROW_NUMBER() OVER (PARTITION BY week ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT week, hv FROM hashed)
+      ) WHERE rn = 64
+    ), exact AS (
+      SELECT week, COUNT(DISTINCT user_id) AS n_exact FROM dist GROUP BY week
+    )
+    SELECT e.week, n_exact,
+           63 * POW(16, 13) / kth_m AS est_merged,
+           63 * POW(16, 13) / kth_d AS est_direct,
+           kth_m = kth_d AS merge_lossless
+    FROM exact e JOIN merged_kth m ON e.week = m.week
+    JOIN direct_kth d ON e.week = d.week
+    """,
+    survey="§2.9/custom sketch (KMV MERGE: per-day sketches union to the exact weekly sketch)",
+)
+def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability proof for the KMV sketch, oracle-checked: build
+    a 64-minimum sketch per DAY, union the daily sketches per week and
+    re-take the 64 minima, and the merged weekly sketch's k-th value
+    must EQUAL the sketch built directly from the week's raw data
+    (`merge_lossless` = true for every week) — because any hash among
+    the week's global 64 minima is necessarily among its day's 64
+    minima. This is the property that lets 1000 executors sketch
+    partitions independently and combine results at O(k) each, the
+    same partial/merge contract HLL has, here fully deterministic.
+    Exact weekly distincts sit beside both estimates for error
+    inspection."""
+    from pyspark.sql import Window
+
+    dist = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    hashed = dist.select(
+        "week",
+        "day",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    day_w = Window.partitionBy("day").orderBy("hv")
+    daily_sketch = (
+        hashed.withColumn("rn", F.row_number().over(day_w))
+        .filter(F.col("rn") <= 64)
+        .select("week", "hv")
+        .distinct()
+    )
+
+    def kth(df: DataFrame, alias: str) -> DataFrame:
+        w = Window.partitionBy("week").orderBy("hv")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 64)
+            .select("week", F.col("hv").alias(alias))
+        )
+
+    merged = kth(daily_sketch, "kth_m")
+    direct = kth(hashed.select("week", "hv").distinct(), "kth_d")
+    exact = dist.groupBy("week").agg(F.countDistinct("user_id").alias("n_exact"))
+    est = lambda c: F.lit(63) * F.pow(F.lit(16), F.lit(13)) / F.col(c)  # noqa: E731
+    return (
+        exact.join(merged, "week")
+        .join(direct, "week")
+        .select(
+            "week",
+            "n_exact",
+            est("kth_m").alias("est_merged"),
+            est("kth_d").alias("est_direct"),
+            (F.col("kth_m") == F.col("kth_d")).alias("merge_lossless"),
+        )
+    )

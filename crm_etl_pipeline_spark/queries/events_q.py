@@ -308,3 +308,69 @@ def props_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "cdc_apply_snapshot",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'purchase' THEN 'U'
+                             WHEN 'error' THEN 'D' END AS op
+      FROM events
+      WHERE event_type IN ('signup', 'purchase', 'error')
+    ), counted AS (
+      SELECT user_id, COUNT(*) AS n_ops FROM ops GROUP BY user_id
+    ), last AS (
+      SELECT user_id, op AS last_op, ts AS last_ts, value AS last_value
+      FROM ops QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT l.user_id, last_op, last_ts, last_value, n_ops
+    FROM last l JOIN counted USING (user_id)
+    WHERE last_op <> 'D'
+    """,
+    survey="L3-L6 (CDC op-typed apply: I/U/D log folded to the live snapshot; PodioApiGateway.py:111-178)",
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style CDC apply: the event stream read as an op-typed
+    change log (signup→INSERT, purchase→UPDATE, error→DELETE on the
+    user entity) folded into the final snapshot — last op per key wins
+    in (ts, event_id) order, a trailing DELETE removes the key, a
+    later re-INSERT resurrects it. This is the op-typed complement to
+    the SCD2 path (which keeps history; CDC apply keeps only the live
+    image — the reference's drafted hard-delete branch,
+    PodioApiGateway.py:219-234, is exactly this fold).
+
+    Scale shape: one partitioned window to find each key's last op
+    (WindowGroupLimit prunes map-side) plus one key-grain count —
+    O(changelog) with no per-key iteration, the standard snapshot
+    materialization for a merge-on-read CDC table."""
+    ops = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "purchase", "U")
+            .otherwise("D")
+            .alias("op"),
+        )
+    )
+    counted = ops.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ops"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    return last.join(counted, "user_id").filter(F.col("last_op") != "D")
