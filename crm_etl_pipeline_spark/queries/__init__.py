@@ -93,7 +93,10 @@ DRIVER_PRIORITY: list[str] = [
     # kmv_distinct_sketch ceded its slot to json_source_roundtrip: the
     # mergeable-sketch family holds an r4 row via approx_value_percentiles
     # (GK), and kmv passes the stricter pytest oracle at HEAD.
-    "language_id_ngram",
+    # language_id_ngram ceded its slot to global_rank_two_phase: the
+    # single-scan n-gram column algebra holds r4/r5 rows across the text
+    # family, and a first row for the two-phase global-rank proof (the
+    # documented window escalation, now implemented) outranks the refresh.
     "ngram_jaccard_verify",
     # pivot_status_by_priority ceded its slot to
     # weighted_sample_allocation: the grouping-engine path holds an r4 row
@@ -167,4 +170,5 @@ DRIVER_PRIORITY: list[str] = [
     "keyset_pagination_orders",
     "cdc_apply_snapshot",
     "kmv_sketch_merge",
+    "global_rank_two_phase",
 ]

@@ -409,3 +409,78 @@ def ols_frequency_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+_RANK_BUCKETS = 32
+
+
+@query(
+    "global_rank_two_phase",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS global_rank
+    FROM customer
+    """,
+    survey="window escalation (two-phase global ranking: value-bucket rank + prefix offsets == direct global sort)",
+)
+def global_rank_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global ranking WITHOUT a single-partition sort — the
+    escalation the RFM/packing/allocation docstrings reference,
+    implemented and proven: (1) each row gets a deterministic value
+    bucket from the [min, max] extent (scalar-attached, 32 equi-width
+    buckets — range partitioning with deterministic boundaries instead
+    of Spark's sampled repartitionByRange, so the oracle can replay
+    it); (2) rows rank within their bucket (bounded partitioned
+    windows); (3) per-bucket counts (32 rows) prefix-sum into bucket
+    offsets; (4) global_rank = offset + in-bucket rank. The ORACLE
+    computes the naive single-sort ROW_NUMBER — the hash match IS the
+    equivalence proof. At 100 TB phase 2 is the only data-scale work
+    and it is fully partition-parallel; the 32-row offset table is the
+    entire serial section. Skewed value ranges need finer buckets or a
+    quantile-based boundary pass (the AQE-skew analog), noted here as
+    the knob."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ext = cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    # non-foldable always-1 keys (acctbal may be negative: |lo|+1 >= 1)
+    ext = ext.select(
+        "lo", "hi",
+        F.least(F.greatest(F.abs(F.col("lo")) + 1, F.lit(1.0)), F.lit(1.0))
+        .cast("int")
+        .alias("_k"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_RANK_BUCKETS))
+    bucket = F.least(
+        F.floor((F.col("c_acctbal") - F.col("lo")) / width),
+        F.lit(_RANK_BUCKETS - 1),
+    ).cast("int")
+    bucketed = (
+        cust.withColumn(
+            "_k",
+            F.least(F.greatest(F.abs(F.col("c_acctbal")) + 1, F.lit(1.0)), F.lit(1.0))
+            .cast("int"),
+        )
+        .join(F.broadcast(ext), "_k")
+        .select("c_custkey", "c_acctbal", bucket.alias("b"))
+    )
+    in_bucket = Window.partitionBy("b").orderBy("c_acctbal", "c_custkey")
+    ranked = bucketed.withColumn("rn", F.row_number().over(in_bucket))
+    counts = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    # 32-row prefix sum: the partition key is constant-but-non-foldable,
+    # so the window is a defined single partition over exactly 32 rows —
+    # the entire serial section of the algorithm
+    pw = (
+        Window.partitionBy(F.least(F.col("b") + 1, F.lit(1)))
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("n_b").over(pw), F.lit(0)).alias("offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "b")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("offset") + F.col("rn")).cast("bigint").alias("global_rank"),
+        )
+    )
