@@ -26,8 +26,8 @@ Scale notes (100 TB):
   segment-relative RFM), which bounds window partitions; a corpus-global
   ntile would need a single-partition sort — for a truly global ranking
   the escalation is a range-partitioned sort plus per-partition rank
-  offsets from prefix counts (same two-phase shape as
-  ``pack_training_sequences``'s per-stratum packing note).
+  offsets from prefix counts, implemented and hash-proven by
+  ``global_rank_two_phase`` (queries/stats_q.py).
 - linkage: classic ER blocking — candidate pairs come from an equi-join
   on a (nation, name-suffix) blocking key, never an all-pairs compare;
   block granularity is the knob that bounds bucket size, exactly like

@@ -1347,8 +1347,9 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Packing is per-stratum BY DESIGN: pretraining corpora pack inside
     language/domain shards, and the stratified window keeps the running
     sum partition-parallel — a corpus-global ordering would need a
-    single-partition window (or a two-phase partition-prefix sum) that
-    this engine deliberately avoids in query paths. Integer math only."""
+    single-partition window, or the two-phase partition-prefix sum that
+    ``global_rank_two_phase`` (queries/stats_q.py) implements and
+    hash-proves. Integer math only."""
     sized = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
