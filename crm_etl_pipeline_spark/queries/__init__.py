@@ -101,7 +101,9 @@ DRIVER_PRIORITY: list[str] = [
     # pivot_status_by_priority ceded its slot to
     # weighted_sample_allocation: the grouping-engine path holds an r4 row
     # (grouping_sets_region_segment) and rollup_revenue stays in the window.
-    "props_from_json_typed",
+    # props_from_json_typed ceded its slot to scd2_asof_snapshot: the
+    # typed JSON-path machinery holds an r4 row via typed_field_decode,
+    # and the time-travel read is a first-ever row on the SCD2 surface.
     # props_json_extract ceded its slot to gapfill_daily_user_revenue: its
     # typed twin props_from_json_typed stays in the window on the same
     # JSON-path machinery.
@@ -171,4 +173,5 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_apply_snapshot",
     "kmv_sketch_merge",
     "global_rank_two_phase",
+    "scd2_asof_snapshot",
 ]

@@ -163,3 +163,32 @@ def scd2_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.current_view(readback).select(
         "item_id", "event_id", "ts", "value", "version"
     )
+
+
+_ASOF_TS = "2024-01-15 00:00:00"
+
+
+@query(
+    "scd2_asof_snapshot",
+    oracle=_STORE_SQL
+    + f"""
+    SELECT item_id, event_id, ts, value, version
+    FROM v WHERE ts <= TIMESTAMP '{_ASOF_TS}'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY item_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    survey="L2/L3 time travel (as-of snapshot of the versioned store; PodioApiGateway.py:131-137)",
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store as of mid-replay (2024-01-15): what every record
+    looked like at that instant — the question the reference's
+    versioned `podio_items` collection exists to answer but can only
+    approach with hand-written Mongo queries. Keys with no version yet
+    are absent; each surviving key carries the version number it had
+    then (the stored version equals the rank among versions at or
+    before any cut, so no recompute). A filter plus one pruned window
+    head over the append-only log — time travel without a store
+    format."""
+    return scd.asof_view(_store(spark, sf_dir), _ASOF_TS).select(
+        "item_id", "event_id", "ts", "value", "version"
+    )

@@ -107,3 +107,22 @@ def read_store(spark, path: str) -> DataFrame:
     case), so restore ``is_current`` to its logical type."""
     df = spark.read.parquet(path)
     return df.withColumn("is_current", F.col("is_current").cast("boolean"))
+
+
+def asof_view(store: DataFrame, as_of: str) -> DataFrame:
+    """Time travel: the state of every key as of ``as_of`` — the
+    version that was current at that instant (latest version with
+    ts <= as_of; keys born later vanish). The stored ``version``
+    column already equals the rank among versions at-or-before any
+    cut, because versions are (ts, event_id)-ordered — so the as-of
+    read is a filter plus one partitioned window head, O(history ≤ T)
+    with the same WindowGroupLimit prune as ``current_view``'s twin
+    queries, and no store rewrite ever happens for it (the log is
+    append-only; every historical state stays addressable)."""
+    cut = store.filter(F.col(TS_COL) <= F.lit(as_of).cast("timestamp"))
+    w = Window.partitionBy(KEY_COL).orderBy(F.col(TS_COL).desc(), F.col(SEQ_COL).desc())
+    return (
+        cut.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
