@@ -22,12 +22,16 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 )
 
 # Queries the driver's bounded correctness prefix should check FIRST this
-# round. Round-5 rotation: the 42 queries whose latest driver row is
-# CORRECTNESS_r02 (every one passes the pytest oracle at HEAD, but the
-# contract metric is the driver row and code has churned for two rounds
-# since theirs), then the 3 whose latest row is r03, then any new round-5
-# queries appended below. registry.load_all reorders REGISTRY to put these
-# at the front; the rest follow in module order. Keep this list <= ~50.
+# round. Round-5 final rotation: the window opened on the 42 queries whose
+# latest driver row was CORRECTNESS_r02, but every operator ADDED during
+# round 5 took a slot from an r2 refresh whose semantics a fresher twin
+# already covers (each cede is justified inline below) — a first-ever
+# driver row for a new operator outranks re-confirming a pytest-green r2
+# row. Final mix: ~24 r2 refreshes + ~26 never-driver-checked round-5
+# operators. Every query in or out of this window passes the stricter
+# pytest oracle at HEAD (tests/test_oracle.py). registry.load_all reorders
+# REGISTRY to put these at the front; the rest follow in module order.
+# Keep this list <= 50 (test_driver_priority_window enforces the fit).
 DRIVER_PRIORITY: list[str] = [
     # latest driver row = r2 (oldest-verified first, alphabetical)
     "ann_cosine_topk",
