@@ -73,7 +73,9 @@ DRIVER_PRIORITY: list[str] = [
     # event_type_routing ceded its slot to rfm_segmentation: the IN-filter
     # dispatch semantic holds an r4 row via disjunctive_filter_scan and the
     # streaming routing twins (streaming_dlq / streaming_requeue).
-    "exact_dedup_documents",
+    # exact_dedup_documents ceded its slot to robust_outliers_mad: the
+    # hash-groupBy keep-first shape holds r5 rows via
+    # dedup_incremental_new_docs and multimodal_byte_dedup.
     # fifo_head ceded its slot to record_linkage_fuzzy: the ordered
     # window-head shape holds r4 rows via latest_order_per_customer and
     # scd2_current_view (same row_number-1 plan, opposite sort).
@@ -114,7 +116,9 @@ DRIVER_PRIORITY: list[str] = [
     # retry_and_dead_letter ceded its slot to multimodal_byte_dedup: its
     # streaming twins (streaming_dlq / streaming_requeue /
     # streaming_dlq_replay) hold r4-or-newer rows on the same semantics.
-    "return_type_fallback",
+    # return_type_fallback ceded its slot to histogram_equi_depth: the
+    # coalesce-typing machinery holds an r4 row via typed_field_decode and
+    # the catalog family keeps three refresh slots.
     "rollup_revenue",
     # session_window_builtin ceded its slot to partition_pruned_scan:
     # sessionization (same window semantics) stays in the window and the
@@ -178,4 +182,6 @@ DRIVER_PRIORITY: list[str] = [
     "kmv_sketch_merge",
     "global_rank_two_phase",
     "scd2_asof_snapshot",
+    "histogram_equi_depth",
+    "robust_outliers_mad",
 ]

@@ -484,3 +484,119 @@ def global_rank_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("rn")).cast("bigint").alias("global_rank"),
         )
     )
+
+
+_DEPTH_BUCKETS = 10
+
+
+@query(
+    "histogram_equi_depth",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice,
+                           [x / {_DEPTH_BUCKETS}.0 FOR x IN range(1, {_DEPTH_BUCKETS})])
+               AS qs
+      FROM orders
+    ), bucketed AS (
+      SELECT CAST(1 + len(list_filter(qs, c -> o_totalprice > c)) AS INT) AS bucket,
+             o_totalprice
+      FROM orders, cuts
+    )
+    SELECT bucket, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo_value, MAX(o_totalprice) AS hi_value
+    FROM bucketed GROUP BY bucket
+    """,
+    survey="§2.9 profiling (equi-depth histogram on exact quantile boundaries)",
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH complement of the equi-width histogram: 9 exact
+    interpolated deciles cut the order values into 10 near-equal-count
+    buckets (the boundary computation both engines interpolate
+    identically — the `value_percentiles` result), and each row's
+    bucket is 1 + the number of cuts strictly below it, a fold over
+    the broadcast 9-element boundary array. Exact quantiles need a
+    sort of the value column; the scale path swaps in the mergeable GK
+    sketch (`approx_value_percentiles`) for boundaries while this
+    assignment fold stays unchanged — boundary source and bucketing
+    are decoupled by design."""
+    orders = table(spark, sf_dir, "orders")
+    fracs = F.array(
+        *[F.lit(x / _DEPTH_BUCKETS) for x in range(1, _DEPTH_BUCKETS)]
+    )
+    cuts = orders.agg(F.percentile("o_totalprice", fracs).alias("qs")).select(
+        "qs", F.least(F.size("qs"), F.lit(1)).cast("int").alias("_k")
+    )
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("qs"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
+        )
+    ).cast("int")
+    return (
+        orders.withColumn(
+            "_k",
+            F.least(F.greatest(F.col("o_totalprice"), F.lit(1.0)), F.lit(1.0)).cast("int"),
+        )
+        .join(F.broadcast(cuts), "_k")
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo_value"),
+            F.max("o_totalprice").alias("hi_value"),
+        )
+    )
+
+
+@query(
+    "robust_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events
+      GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, med,
+             quantile_cont(abs(value - med), 0.5) AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type, med
+    )
+    SELECT event_id, e.event_type, value,
+           (value - med) / (1.4826 * mad) AS robust_z,
+           abs((value - med) / (1.4826 * mad)) > 3.0 AS is_outlier
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    """,
+    survey="§2.9 profiling (MAD robust outliers — median-based twin of the z-score detector)",
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the median absolute deviation:
+    robust_z = (x − median) / (1.4826·MAD), the estimator that does not
+    let the outliers inflate their own yardstick the way a planted
+    extreme inflates the z-score's sigma (see
+    tests/test_stats.py::test_planted_outlier_is_flagged). Two exact
+    interpolated medians per event type — bit-identical cross-engine
+    like `value_percentiles` — then one IEEE chain per row. Two passes
+    by nature (MAD needs the median first); each is a bounded-key
+    aggregate broadcast back onto the scan; the scale path swaps GK
+    sketch medians into the same shape."""
+    events = table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            rz.alias("robust_z"),
+            (F.abs(rz) > 3.0).alias("is_outlier"),
+        )
+    )
