@@ -157,3 +157,38 @@ def test_dq_audit_passes_on_clean_fixture_and_catches_planted_rot(spark, tmp_pat
     assert rot["orderdate_in_range"].n_violations == 1
     assert rot["status_in_domain"].n_violations == 1
     assert not any(r.passed for r in rot.values())
+
+
+def test_mad_yardstick_resists_the_planted_extreme(spark, tmp_path):
+    """The docstring claim, demonstrated: the same planted 1e6 purchase
+    that inflates the z-score's sigma ~100x (capping its own z near
+    sqrt(n) ~ 45) barely moves the median/MAD, so its robust_z is
+    orders of magnitude larger — robust detection keeps its yardstick."""
+    fixture = pq.read_table(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "planted")
+    os.makedirs(out, exist_ok=True)
+    outlier = pa.table(
+        {
+            "event_id": pa.array([10_000_000], pa.int64()),
+            "ts": fixture.column("ts")[:1].cast(fixture.schema.field("ts").type),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["purchase"]),
+            "value": pa.array([1_000_000.0], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([fixture, outlier.select(fixture.column_names)]),
+        f"{out}/events.parquet",
+    )
+    z = {
+        r.event_id: r.zscore
+        for r in REGISTRY["event_value_anomalies"].fn(spark, out).collect()
+        if r.event_id == 10_000_000
+    }
+    rz_rows = REGISTRY["robust_outliers_mad"].fn(spark, out).collect()
+    rz = {r.event_id: r.robust_z for r in rz_rows if r.event_id == 10_000_000}
+    assert rz[10_000_000] > 100 * z[10_000_000] > 0
+    # and the robust flag still fires while ordinary purchases stay quiet
+    flagged = [r for r in rz_rows if r.is_outlier and r.event_type == "purchase"]
+    assert any(r.event_id == 10_000_000 for r in flagged)
