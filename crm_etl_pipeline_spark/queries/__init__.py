@@ -43,7 +43,10 @@ DRIVER_PRIORITY: list[str] = [
     # and ann_ivf_probe keep refresh slots on the same fixed-dot machinery,
     # and the sign-bucket join shape holds an r4 row via embedding_near_dup.
     "catalog_drift",
-    "catalog_fields_tree",
+    # catalog_fields_tree ceded its slot to copurchase_pagerank:
+    # catalog_tree and catalog_drift keep refresh slots on the same nested
+    # traversal machinery (fields_tree is its leaf projection), and the
+    # graph-centrality operator needs a first-ever row.
     "catalog_tree",
     # composite_key_roundtrip ceded its slot to embedding_kmeans: the
     # catalog family keeps three r5-refresh slots (tree/drift/fields_tree)
@@ -184,4 +187,5 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_asof_snapshot",
     "histogram_equi_depth",
     "robust_outliers_mad",
+    "copurchase_pagerank",
 ]

@@ -519,3 +519,101 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         (F.col("n_transitions").cast("double") / F.col("total")).alias("p"),
     )
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def _pr_iteration_sql(prev: str, idx: int) -> str:
+    """One unrolled PageRank step: fixed-point-quantized contributions
+    integer-sum order-free, exactly like the Spark loop."""
+    return f"""
+    it{idx} AS (
+      SELECT e.dst AS node,
+             0.15 / nn + 0.85 * (SUM(CAST(FLOOR(p.r / d.d * 1e12) AS BIGINT)) / 1e12)
+               AS r
+      FROM edges e
+      JOIN {prev} p ON e.src = p.node
+      JOIN deg d ON e.src = d.src, n
+      GROUP BY e.dst, nn
+    )"""
+
+
+@query(
+    "copurchase_pagerank",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), n AS (
+      SELECT COUNT(*) AS nn FROM deg
+    ), it0 AS (
+      SELECT src AS node, 1.0 / nn AS r FROM deg, n
+    ),{_pr_iteration_sql("it0", 1)},{_pr_iteration_sql("it1", 2)},{_pr_iteration_sql("it2", 3)}
+    SELECT node AS part, r AS pagerank FROM it3
+    """,
+    survey="§2.9 CRM analytics (graph centrality: PageRank over the co-purchase graph, full oracle)",
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase part graph (symmetric
+    edges from the basket self-join): which products sit at the center
+    of the catalog's purchase structure. Three unrolled power
+    iterations with damping 0.85, fully deterministic cross-engine:
+    each neighbor contribution r/deg is quantized to fixed-point
+    BIGINT before the per-node sum, so accumulation order cannot move
+    a ulp (the `_fixed_dot` trick applied to graph aggregation — the
+    same reason `dedup_components` and `embedding_kmeans` oracle
+    cleanly where float-summing graph engines cannot).
+
+    Scale shape per iteration: one edge-grain equi-join on src (ranks
+    + degrees broadcast when small, shuffle otherwise) and one
+    groupBy dst — the standard Pregel-as-join formulation; the
+    symmetric co-purchase graph has no dangling nodes, so no global
+    redistribution term. Fixed iteration budget with an external
+    convergence check, like the k-means note."""
+    basket = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = basket.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.agg(F.count(F.lit(1)).alias("nn")).select(
+        "nn", F.least(F.col("nn"), F.lit(1)).cast("int").alias("_k")
+    )
+    ranks = _scalar_attach(
+        deg.select(F.col("src").alias("node")),
+        n,
+        F.least(F.length(F.col("node").cast("string")), F.lit(1)).cast("int"),
+    ).select("node", (F.lit(1.0) / F.col("nn")).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.floor(F.col("r") / F.col("d") * F.lit(1e12)).cast("bigint").alias("cq"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("cq").alias("sq"))
+        ranks = _scalar_attach(
+            sums, n, F.least(F.length(F.col("dst").cast("string")), F.lit(1)).cast("int")
+        ).select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(0.15) / F.col("nn")
+                + F.lit(0.85) * (F.col("sq") / F.lit(1e12))
+            ).alias("r"),
+        )
+    return ranks.select(F.col("node").alias("part"), F.col("r").alias("pagerank"))
