@@ -98,7 +98,9 @@ DRIVER_PRIORITY: list[str] = [
     # join_left_missing ceded its slot to event_transition_matrix: the
     # left-join-null-filter shape is the anti-join twin, and join_anti /
     # join_semi / join_fk_enrichment keep r5-refresh slots.
-    "join_semi",
+    # join_semi ceded its slot to kmeans_cluster_purity: join_anti keeps
+    # the refresh slot on the twin plan shape and exists_returned_lineitems
+    # holds an r4 row on the semi semantic.
     # kmv_distinct_sketch ceded its slot to json_source_roundtrip: the
     # mergeable-sketch family holds an r4 row via approx_value_percentiles
     # (GK), and kmv passes the stricter pytest oracle at HEAD.
@@ -188,4 +190,5 @@ DRIVER_PRIORITY: list[str] = [
     "histogram_equi_depth",
     "robust_outliers_mad",
     "copurchase_pagerank",
+    "kmeans_cluster_purity",
 ]

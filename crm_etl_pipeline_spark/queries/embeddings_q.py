@@ -931,3 +931,61 @@ def embedding_kmeans(
             ).alias("cv")
         )
     return assign
+
+
+# purity oracle: the full kmeans oracle embedded as a subquery, so the
+# two queries can never drift apart
+from crm_etl_pipeline_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "kmeans_cluster_purity",
+    oracle=f"""
+    WITH assigned AS ({_REG["embedding_kmeans"].oracle}),
+    labeled AS (
+      SELECT a.cluster, e.label FROM assigned a
+      JOIN embeddings e ON a.vec_id = e.vec_id
+    ), counts AS (
+      SELECT cluster, label, COUNT(*) AS n FROM labeled GROUP BY cluster, label
+    ), majority AS (
+      SELECT cluster, label AS majority_label, n AS n_majority
+      FROM counts QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                                             ORDER BY n DESC, label) = 1
+    ), totals AS (
+      SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_members FROM counts GROUP BY cluster
+    )
+    SELECT t.cluster, n_members, majority_label, n_majority,
+           CAST(n_majority AS DOUBLE) / n_members AS purity
+    FROM totals t JOIN majority m ON t.cluster = m.cluster
+    """,
+    survey="§2.9 similarity search (clustering evaluation: per-cluster label purity, composed on embedding_kmeans)",
+)
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External evaluation of the k-means clustering: per cluster, the
+    majority ground-truth label (ties break on the label) and the
+    purity fraction — the standard clustering quality metric, composed
+    directly on ``embedding_kmeans``'s assignment (and on its ORACLE,
+    embedded verbatim as a subquery, so the two registrations cannot
+    drift). One label join plus (cluster, label)-grain aggregates —
+    bounded keys end to end after the clustering itself."""
+    assigned = embedding_kmeans(spark, sf_dir).select("vec_id", "cluster")
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = (
+        assigned.join(labels, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), "label")
+    majority = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("majority_label"), F.col("n").alias("n_majority"))
+    )
+    totals = counts.groupBy("cluster").agg(F.sum("n").alias("n_members"))
+    return totals.join(majority, "cluster").select(
+        "cluster",
+        "n_members",
+        "majority_label",
+        "n_majority",
+        (F.col("n_majority").cast("double") / F.col("n_members")).alias("purity"),
+    )
