@@ -8,6 +8,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
     decode_q,
     embeddings_q,
     events_q,
+    gateway_q,
     joins,
     layout_q,
     llmops,
@@ -42,22 +43,25 @@ DRIVER_PRIORITY: list[str] = [
     # ann_lsh_bucketed ceded its slot to cdc_apply_snapshot: ann_cosine_topk
     # and ann_ivf_probe keep refresh slots on the same fixed-dot machinery,
     # and the sign-bucket join shape holds an r4 row via embedding_near_dup.
-    "catalog_drift",
+    # catalog_drift ceded its slot to credential_rotation_schedule late in
+    # round 5: catalog_tree keeps the refresh slot on the same nested
+    # traversal machinery (drift is its except-join composition), and the
+    # gateway family's two-phase global-sequence operator needs a first row.
     # catalog_fields_tree ceded its slot to copurchase_pagerank:
-    # catalog_tree and catalog_drift keep refresh slots on the same nested
-    # traversal machinery (fields_tree is its leaf projection), and the
+    # catalog_tree keeps a refresh slot on the same nested traversal
+    # machinery (fields_tree is its leaf projection), and the
     # graph-centrality operator needs a first-ever row.
     "catalog_tree",
     # composite_key_roundtrip ceded its slot to embedding_kmeans: the
-    # catalog family keeps three r5-refresh slots (tree/drift/fields_tree)
-    # on the same machinery, and a first-ever row for an iterative
-    # training operator outranks a fourth catalog refresh.
+    # catalog family keeps a refresh slot (catalog_tree) on the same
+    # machinery, and a first-ever row for an iterative
+    # training operator outranks another catalog refresh.
     # contamination_ngram_overlap ceded its slot to embedding_quantize_int8:
     # ngram_jaccard_verify stays in the window on the same candidates-only
     # shingle equi-join machinery.
     # cube_lineitem_flags ceded its slot to ann_ivf_persisted_index: the
-    # grouping-sets engine path holds an r4 row (grouping_sets_region_segment)
-    # and rollup_revenue stays in the window.
+    # grouping-sets engine path holds an r4 row
+    # (grouping_sets_region_segment).
     # doc_fingerprint ceded its slot to funnel_conversion: the rolling
     # n-gram hash machinery is exercised by the r5-new repeated_span_mining
     # row and token_profile/text_stats stay in the window.
@@ -111,7 +115,7 @@ DRIVER_PRIORITY: list[str] = [
     "ngram_jaccard_verify",
     # pivot_status_by_priority ceded its slot to
     # weighted_sample_allocation: the grouping-engine path holds an r4 row
-    # (grouping_sets_region_segment) and rollup_revenue stays in the window.
+    # (grouping_sets_region_segment).
     # props_from_json_typed ceded its slot to scd2_asof_snapshot: the
     # typed JSON-path machinery holds an r4 row via typed_field_decode,
     # and the time-travel read is a first-ever row on the SCD2 surface.
@@ -123,8 +127,11 @@ DRIVER_PRIORITY: list[str] = [
     # streaming_dlq_replay) hold r4-or-newer rows on the same semantics.
     # return_type_fallback ceded its slot to histogram_equi_depth: the
     # coalesce-typing machinery holds an r4 row via typed_field_decode and
-    # the catalog family keeps three refresh slots.
-    "rollup_revenue",
+    # the catalog family keeps a refresh slot.
+    # rollup_revenue ceded its slot to backoff_penalty_audit late in round
+    # 5: the grouping-engine path holds an r4 row via
+    # grouping_sets_region_segment (ROLLUP is its subset shape), and the
+    # gateway retry-ladder audit needs a first-ever row.
     # session_window_builtin ceded its slot to partition_pruned_scan:
     # sessionization (same window semantics) stays in the window and the
     # streaming twin streaming_stateful_sessions holds an r4 row.
@@ -145,7 +152,11 @@ DRIVER_PRIORITY: list[str] = [
     # its streaming twin streaming_tumbling_counts holds an r4 row on the
     # identical aggregation, and a first-ever driver row for a new operator
     # outranks refreshing a pytest-green r2 row.
-    "value_percentiles",
+    # value_percentiles ceded its slot to rate_limit_admission late in
+    # round 5: the exact-percentile machinery holds an r4 row via
+    # approx_value_percentiles' rank self-check and an r5-window slot via
+    # histogram_equi_depth (the same exact-quantile boundary computation),
+    # and the nested-window rate limiter needs a first-ever row.
     # new in round 5 (never driver-checked — must get their first row).
     # The 3 r3-verified queries (sample_stratified_hashrank,
     # version_counts_per_key, vocab_top_tokens) ceded their slots: an r3
@@ -191,4 +202,7 @@ DRIVER_PRIORITY: list[str] = [
     "robust_outliers_mad",
     "copurchase_pagerank",
     "kmeans_cluster_purity",
+    "rate_limit_admission",
+    "credential_rotation_schedule",
+    "backoff_penalty_audit",
 ]

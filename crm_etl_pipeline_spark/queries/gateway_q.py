@@ -1,0 +1,264 @@
+"""Gateway analytics: batch re-expressions of the reference's API
+rate-limit machinery as first-class queries over the event log.
+
+The reference's operational core is a rate-limited gateway: ~15
+consecutive item calls/min and 250/hour per token
+(`PodioApiWrapper.py:108`, `PodioApiWrapper.py:274`), a 4-credential
+round-robin rotated every 990 calls (`PodioApiGateway.py:17-42,57,
+100-102`), and a retry ladder that sleeps 1 s between token rotations
+and 300 s on a hard rate-limit hit (`PodioApiWrapper.py:149-163`).
+None of that machinery is observable in the reference — it prints.
+These queries make it queryable: given the event log as the call log,
+which calls would have been admitted, how the credential schedule
+unfolds, and what the backoff ladder costs.
+
+Greedy-equivalence note (rate_limit_admission): a sequential token
+bucket with nested fixed windows (per-minute cap M inside per-hour cap
+H, minute windows aligned inside hour windows) is EXACTLY equivalent
+to the two-stage window-rank decomposition used here — (1) admit the
+first M events of each minute, (2) among those, admit the first H of
+each hour. Proof sketch: before the hour quota exhausts, the hour
+constraint is non-binding, so greedy admission is decided purely by
+the minute counter, which counts only minute-admitted events — the
+first M per minute. The hour quota exhausts precisely at the H-th
+minute-admitted event of the hour, and once exhausted it stays
+exhausted for the rest of the hour, so every later event is rejected
+regardless of minute state. Window nesting is what makes the
+decomposition exact; sliding-window limiters do not decompose this way.
+
+Scale shape (100 TB): a single token's rate limiter is inherently a
+sequential counter, but the nested-fixed-window formulation shards it
+into independent per-minute and per-hour ranks — bounded windows (a
+window holds at most one minute / one hour of one token's calls),
+embarrassingly parallel across windows and tokens. The rotation
+schedule needs a corpus-global sequence number; it reuses the
+two-phase bucket-rank + prefix-offset construction proven by
+`global_rank_two_phase` (stats_q.py) with calendar days as the
+deterministic buckets, so no single-partition sort ever happens —
+the 30-row day-offset table is the entire serial section.
+
+Fixture calibration: the published production caps (15/min, 250/hour)
+never bind at driver fixture density (max 12 calls/min at sf0.1), so
+the registered query uses fixture-calibrated caps 2/min and 20/hour —
+same machinery, every branch exercised; `_PROD_MINUTE_CAP` /
+`_PROD_HOUR_CAP` carry the published constants and the planted-burst
+test (tests/test_gateway.py) proves the greedy equivalence against a
+pure-Python sequential limiter at both calibrations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.registry import query
+
+# published production constants (PodioApiWrapper.py:108,274)
+_PROD_MINUTE_CAP = 15
+_PROD_HOUR_CAP = 250
+# fixture-calibrated caps so both throttle branches fire at sf>=0.01
+_MINUTE_CAP = 2
+_HOUR_CAP = 20
+
+# credential pool + rotation threshold (PodioApiGateway.py:17-42,100-102)
+_N_CREDS = 4
+_ROTATE_EVERY = 990
+
+# retry ladder (PodioApiWrapper.py:149-163, PodioApiGateway.py:157-159)
+_BACKOFF_CAP_S = 300
+_DLQ_ATTEMPTS = 10
+
+
+def rate_limited_calls(
+    spark: SparkSession,
+    sf_dir: str,
+    minute_cap: int = _MINUTE_CAP,
+    hour_cap: int = _HOUR_CAP,
+) -> DataFrame:
+    """Per-call admission under nested fixed-window caps: every event
+    classified admitted / minute_throttled / hour_throttled. The
+    two-stage rank decomposition is exactly greedy (module docstring).
+    Returned at call grain so tests can replay it against a sequential
+    limiter; the registered query aggregates to hour grain."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    )
+    mw = Window.partitionBy("minute").orderBy("ts", "event_id")
+    ev = ev.withColumn("minute_ok", F.row_number().over(mw) <= minute_cap)
+    hw = Window.partitionBy("hour").orderBy("ts", "event_id")
+    hr = (
+        ev.filter("minute_ok")
+        .withColumn("hr", F.row_number().over(hw))
+        .select("event_id", "hr")
+    )
+    return (
+        ev.join(hr, "event_id", "left")
+        .select(
+            "event_id",
+            "ts",
+            "hour",
+            (F.col("minute_ok") & (F.col("hr") <= hour_cap)).alias("admitted"),
+            F.when(~F.col("minute_ok"), F.lit("minute_cap"))
+            .when(F.col("hr") > hour_cap, F.lit("hour_cap"))
+            .alias("throttle_reason"),
+        )
+    )
+
+
+@query(
+    "rate_limit_admission",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, ts,
+             date_trunc('hour', ts) AS hour,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('minute', ts)
+                                ORDER BY ts, event_id) <= {_MINUTE_CAP} AS minute_ok
+      FROM events
+    ), hranked AS (
+      SELECT event_id,
+             ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts, event_id) AS hr
+      FROM base WHERE minute_ok
+    )
+    SELECT CAST(b.hour AS TIMESTAMP) AS hour,
+           COUNT(*) AS n_calls,
+           CAST(SUM(CASE WHEN b.minute_ok AND h.hr <= {_HOUR_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN NOT b.minute_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minute_throttled,
+           CAST(SUM(CASE WHEN b.minute_ok AND h.hr > {_HOUR_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hour_throttled
+    FROM base b LEFT JOIN hranked h ON b.event_id = h.event_id
+    GROUP BY b.hour
+    """,
+    survey="§2.7 gateway (nested fixed-window rate-limit admission; PodioApiWrapper.py:108,274)",
+)
+def rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly admission ledger for the single-token call log: how many
+    calls the gateway's rate limiter would admit vs throttle (and at
+    which cap) — the observable version of the reference's sleep-and-
+    retry loop. Exactness and scale arguments in the module docstring;
+    the planted-burst test replays this against a sequential limiter."""
+    calls = rate_limited_calls(spark, sf_dir)
+    return calls.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.sum(F.col("admitted").cast("bigint")).alias("n_admitted"),
+        F.sum(
+            F.when(F.col("throttle_reason") == "minute_cap", 1).otherwise(0)
+        ).alias("n_minute_throttled"),
+        F.sum(F.when(F.col("throttle_reason") == "hour_cap", 1).otherwise(0)).alias(
+            "n_hour_throttled"
+        ),
+    )
+
+
+@query(
+    "credential_rotation_schedule",
+    oracle=f"""
+    WITH seq AS (
+      SELECT ts, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS n
+      FROM events
+    )
+    SELECT CAST(FLOOR((n - 1) / {_ROTATE_EVERY}) AS BIGINT) AS rotation_slot,
+           CAST(FLOOR((n - 1) / {_ROTATE_EVERY}) % {_N_CREDS} AS INT) AS cred_id,
+           COUNT(*) AS n_calls,
+           MIN(ts) AS first_call,
+           MAX(ts) AS last_call
+    FROM seq GROUP BY 1, 2
+    """,
+    survey="§2.7 gateway (round-robin credential rotation every 990 calls; PodioApiGateway.py:57,100-102)",
+)
+def credential_rotation_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gateway's credential schedule, derived from the call log:
+    call N is served by credential floor((N-1)/990) % 4 — the
+    `(secret_no + 1) % len(podio_creds)` round-robin rotated every 990
+    calls. The corpus-global call sequence is built WITHOUT a global
+    sort via the two-phase construction `global_rank_two_phase`
+    proves: rank within calendar-day buckets (bounded partitioned
+    windows), then add per-day prefix offsets (a 30-row serial
+    section). Output is one row per rotation slot with its credential
+    and call span — the audit a multi-token deployment reads to see
+    quota consumption per credential."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    dw = Window.partitionBy("day").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(dw))
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_d"))
+    # 30-row prefix sum over a constant-but-non-foldable single partition
+    pw = (
+        Window.partitionBy(F.least(F.dayofmonth("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "day", F.coalesce(F.sum("n_d").over(pw), F.lit(0)).alias("offset")
+    )
+    slot = F.floor((F.col("offset") + F.col("rn") - 1) / F.lit(_ROTATE_EVERY))
+    return (
+        ranked.join(F.broadcast(offsets), "day")
+        .select("ts", slot.cast("bigint").alias("rotation_slot"))
+        .groupBy("rotation_slot")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.min("ts").alias("first_call"),
+            F.max("ts").alias("last_call"),
+        )
+        .select(
+            "rotation_slot",
+            (F.col("rotation_slot") % _N_CREDS).cast("int").alias("cred_id"),
+            "n_calls",
+            "first_call",
+            "last_call",
+        )
+    )
+
+
+@query(
+    "backoff_penalty_audit",
+    oracle=f"""
+    SELECT failed_attempts,
+           COUNT(*) AS n_events,
+           CAST(LEAST(POW(2, failed_attempts), {_BACKOFF_CAP_S}) AS BIGINT)
+             AS penalty_s,
+           CAST(COUNT(*) * LEAST(POW(2, failed_attempts), {_BACKOFF_CAP_S})
+                AS BIGINT) AS total_penalty_s,
+           CASE WHEN failed_attempts >= {_DLQ_ATTEMPTS}
+                THEN 'dead_letter' ELSE 'requeue' END AS disposition
+    FROM (
+      SELECT CAST(FLOOR(value) AS INT) % 12 AS failed_attempts
+      FROM events WHERE event_type = 'error'
+    )
+    GROUP BY failed_attempts
+    """,
+    survey="§2.7 gateway (exponential backoff ladder, 300 s cap, DLQ at 10; PodioApiWrapper.py:149-163)",
+)
+def backoff_penalty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the retry ladder costs: per failed-attempt count, the
+    exponential backoff penalty 2^attempts seconds capped at the
+    reference's hard 300 s rate-limit sleep, and the disposition at
+    the 10-attempt dead-letter budget. 2^k for k <= 11 is exact in
+    double, so POW here is deterministic cross-engine (unlike the
+    ln/exp the repo avoids elsewhere). One scan, one bounded groupBy
+    (12 keys) with map-side partial aggregation — flat at any scale."""
+    attempts = (F.floor(F.col("value")).cast("int") % 12).alias("failed_attempts")
+    penalty = F.least(F.pow(F.lit(2), F.col("failed_attempts")), F.lit(_BACKOFF_CAP_S))
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(attempts)
+        .groupBy("failed_attempts")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "failed_attempts",
+            "n_events",
+            penalty.cast("bigint").alias("penalty_s"),
+            (F.col("n_events") * penalty).cast("bigint").alias("total_penalty_s"),
+            F.when(F.col("failed_attempts") >= _DLQ_ATTEMPTS, F.lit("dead_letter"))
+            .otherwise(F.lit("requeue"))
+            .alias("disposition"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""Gateway rate-limit semantics: the two-stage window-rank admission
+must be EXACTLY the greedy sequential limiter, at both the
+fixture-calibrated and the published production caps (the
+nested-fixed-window equivalence argued in gateway_q's docstring,
+verified here against a pure-Python reference limiter on a planted
+burst that exercises both throttle branches)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from crm_etl_pipeline_spark.queries import gateway_q
+
+
+def _sequential_limiter(rows, minute_cap, hour_cap):
+    """Greedy token-bucket with nested fixed windows: process calls in
+    (ts, event_id) order; only ADMITTED calls consume quota."""
+    minute_used: dict = {}
+    hour_used: dict = {}
+    admitted = {}
+    for event_id, ts in sorted(rows, key=lambda r: (r[1], r[0])):
+        m = ts.replace(second=0, microsecond=0)
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        ok = minute_used.get(m, 0) < minute_cap and hour_used.get(h, 0) < hour_cap
+        if ok:
+            minute_used[m] = minute_used.get(m, 0) + 1
+            hour_used[h] = hour_used.get(h, 0) + 1
+        admitted[event_id] = ok
+    return admitted
+
+
+def _planted_burst():
+    """A burst log that exercises both caps: minute 0 has 40 calls
+    (minute cap binds at every calibration), then a sustained 10/min
+    for the rest of the hour (hour cap binds), then a sparse second
+    hour (nothing binds)."""
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for i in range(40):  # burst minute
+        rows.append((eid, base + dt.timedelta(seconds=i)))
+        eid += 1
+    for minute in range(1, 60):  # sustained pressure
+        for i in range(10):
+            rows.append((eid, base + dt.timedelta(minutes=minute, seconds=3 * i)))
+            eid += 1
+    for minute in range(0, 60, 7):  # sparse second hour
+        rows.append((eid, base + dt.timedelta(hours=1, minutes=minute)))
+        eid += 1
+    return rows
+
+
+def _write_events(spark, tmp_path, rows):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_admission_matches_sequential_limiter_both_calibrations(spark, tmp_path):
+    rows = _planted_burst()
+    sf_dir = _write_events(spark, tmp_path, rows)
+    for minute_cap, hour_cap in [
+        (gateway_q._MINUTE_CAP, gateway_q._HOUR_CAP),
+        (gateway_q._PROD_MINUTE_CAP, gateway_q._PROD_HOUR_CAP),
+    ]:
+        want = _sequential_limiter(rows, minute_cap, hour_cap)
+        got = {
+            r["event_id"]: r["admitted"]
+            for r in gateway_q.rate_limited_calls(
+                spark, sf_dir, minute_cap=minute_cap, hour_cap=hour_cap
+            ).collect()
+        }
+        assert got == want, f"divergence at caps {minute_cap}/{hour_cap}"
+
+
+def test_throttle_reasons_partition_the_rejections(spark, tmp_path):
+    rows = _planted_burst()
+    sf_dir = _write_events(spark, tmp_path, rows)
+    calls = gateway_q.rate_limited_calls(spark, sf_dir).collect()
+    n_min = sum(1 for r in calls if r["throttle_reason"] == "minute_cap")
+    n_hr = sum(1 for r in calls if r["throttle_reason"] == "hour_cap")
+    n_adm = sum(1 for r in calls if r["admitted"])
+    assert n_min > 0 and n_hr > 0  # both branches fired on the planted burst
+    assert n_adm + n_min + n_hr == len(rows)
+    for r in calls:
+        assert r["admitted"] == (r["throttle_reason"] is None)
+
+
+def test_rotation_slots_are_contiguous_and_round_robin(spark):
+    out = gateway_q.credential_rotation_schedule(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    slots = sorted(r["rotation_slot"] for r in out)
+    assert slots == list(range(len(slots)))  # no gaps in the schedule
+    for r in out:
+        assert r["cred_id"] == r["rotation_slot"] % gateway_q._N_CREDS
+        assert r["first_call"] <= r["last_call"]
+        # every slot except the last is exactly the rotation threshold
+        if r["rotation_slot"] < len(slots) - 1:
+            assert r["n_calls"] == gateway_q._ROTATE_EVERY
