@@ -36,10 +36,13 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 DRIVER_PRIORITY: list[str] = [
     # latest driver row = r2 (oldest-verified first, alphabetical)
     "ann_cosine_topk",
-    # ann_ivf_nprobe2 ceded its slot to copurchase_lift_topk: ann_ivf_probe
-    # stays in the window and ann_ivf_persisted_index holds a first r5 row
-    # on the same IVF machinery with a wider probe.
-    "ann_ivf_probe",
+    # ann_ivf_nprobe2 ceded its slot to copurchase_lift_topk:
+    # ann_ivf_persisted_index holds a first r5 row on the same IVF
+    # machinery with a wider probe.
+    # ann_ivf_probe ceded its slot to cdc_derive_changes late in round 5:
+    # ann_cosine_topk keeps the refresh slot on the fixed-dot machinery
+    # and ann_ivf_persisted_index (in the window) exercises the IVF cell
+    # pruning path; the CDC producer-side diff needs a first-ever row.
     # ann_lsh_bucketed ceded its slot to cdc_apply_snapshot: ann_cosine_topk
     # and ann_ivf_probe keep refresh slots on the same fixed-dot machinery,
     # and the sign-bucket join shape holds an r4 row via embedding_near_dup.
@@ -57,8 +60,8 @@ DRIVER_PRIORITY: list[str] = [
     # machinery, and a first-ever row for an iterative
     # training operator outranks another catalog refresh.
     # contamination_ngram_overlap ceded its slot to embedding_quantize_int8:
-    # ngram_jaccard_verify stays in the window on the same candidates-only
-    # shingle equi-join machinery.
+    # the candidates-only shingle equi-join machinery holds an r4 row via
+    # minhash_near_dup's verify stage.
     # cube_lineitem_flags ceded its slot to ann_ivf_persisted_index: the
     # grouping-sets engine path holds an r4 row
     # (grouping_sets_region_segment).
@@ -112,7 +115,10 @@ DRIVER_PRIORITY: list[str] = [
     # single-scan n-gram column algebra holds r4/r5 rows across the text
     # family, and a first row for the two-phase global-rank proof (the
     # documented window escalation, now implemented) outranks the refresh.
-    "ngram_jaccard_verify",
+    # ngram_jaccard_verify ceded its slot to incremental_agg_merge late in
+    # round 5: the candidates-only shingle equi-join holds an r4 row via
+    # minhash_near_dup's verify stage, and the IVM merge proof needs a
+    # first-ever row.
     # pivot_status_by_priority ceded its slot to
     # weighted_sample_allocation: the grouping-engine path holds an r4 row
     # (grouping_sets_region_segment).
@@ -205,4 +211,6 @@ DRIVER_PRIORITY: list[str] = [
     "rate_limit_admission",
     "credential_rotation_schedule",
     "backoff_penalty_audit",
+    "cdc_derive_changes",
+    "incremental_agg_merge",
 ]

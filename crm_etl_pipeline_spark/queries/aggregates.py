@@ -454,3 +454,72 @@ def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kth_m") == F.col("kth_d")).alias("merge_lossless"),
         )
     )
+
+
+_IVM_CUTOFF = "1996-01-01"
+
+
+def _priority_state(df: DataFrame) -> DataFrame:
+    """Mergeable partial-aggregate state for the per-priority rollup:
+    (count, decimal sum) — everything the final metrics derive from."""
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s_price"),
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey="A1-A3 (incremental view maintenance: base+delta partial-state merge == full recompute, proven by the oracle hash)",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-priority revenue
+    rollup is maintained as mergeable partial state (count, exact
+    DECIMAL sum) — the base state from orders before 1996 merges with
+    the delta state from orders after via a key-grain full-outer
+    coalesce-add, and the ORACLE computes the naive full recompute:
+    the hash match IS the proof that the merge operator is exact. The
+    derived metrics (total, average) come off the merged state, never
+    off per-partition averages — the classic IVM rule that avg is
+    maintainable only through (sum, count).
+
+    Scale shape: at 100 TB the base state is a stored table of
+    |priorities| rows; each refresh aggregates ONLY the delta
+    partition (map-side partial agg into 5 keys) and merges in a
+    broadcast-size join — refresh cost is O(delta), not O(table),
+    which is the entire point of maintaining the view incrementally.
+    The same (count, decimal-sum) state merges associatively across
+    any number of deltas, so compaction cadence is free to vary."""
+    orders = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice", "o_orderdate")
+    cutoff = F.lit(_IVM_CUTOFF).cast("date")
+    base = _priority_state(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = _priority_state(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), F.col("b.o_orderpriority") == F.col("d.o_orderpriority"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.o_orderpriority"), F.col("d.o_orderpriority")).alias("o_orderpriority"),
+            (
+                F.coalesce(F.col("b.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.n_orders"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b.s_price"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d.s_price"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("s_price"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("s_price").cast("double").alias("total_price"),
+        (F.col("s_price").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )

@@ -374,3 +374,95 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return last.join(counted, "user_id").filter(F.col("last_op") != "D")
+
+
+_CDC_CUTOFF = "2024-01-15 00:00:00"
+
+
+def _snapshot_asof(spark: SparkSession, sf_dir: str, upper_ts: str | None) -> DataFrame:
+    """Live user snapshot from the op-typed change log as of ``upper_ts``
+    (exclusive; None = full log) — cdc_apply_snapshot's fold, bounded."""
+    ops = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase", "error"))
+    )
+    if upper_ts is not None:
+        ops = ops.filter(F.col("ts") < F.lit(upper_ts).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")  # trailing D = key absent
+        .select("user_id", F.col("ts").alias("img_ts"), F.col("value").alias("img_value"))
+    )
+
+
+@query(
+    "cdc_derive_changes",
+    oracle=f"""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value, event_type
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+    ), snap_a AS (
+      SELECT user_id, ts AS img_ts, value AS img_value
+      FROM ops WHERE ts < TIMESTAMP '{_CDC_CUTOFF}'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+              AND event_type <> 'error'
+    ), snap_b AS (
+      SELECT user_id, ts AS img_ts, value AS img_value
+      FROM ops
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+              AND event_type <> 'error'
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'I'
+                WHEN b.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           a.img_ts AS old_ts,
+           b.img_ts AS new_ts,
+           b.img_value AS new_value
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.user_id = b.user_id
+    WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.img_ts <> b.img_ts
+    """,
+    survey="L3-L6,ST9 (CDC derive: snapshot diff emits the minimal I/U/D change set — the inverse of cdc_apply_snapshot)",
+)
+def cdc_derive_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — the CDC *producer* side: given the live
+    image at the mid-month cutoff and the live image now, emit the
+    minimal op-typed change set (I for new keys, D for vanished keys,
+    U where the image moved). Applying this set to the old snapshot
+    reproduces the new one exactly (proven by
+    tests/test_gateway_cdc.py::test_cdc_roundtrip_derive_then_apply),
+    which is the defining roundtrip of a CDC pipeline — the reference
+    registers webhooks to RECEIVE such deltas (`PodioApiWrapper.py:
+    296-316`); deriving them from snapshots is what you do when the
+    upstream has no webhook.
+
+    Scale shape: two bounded-window folds over the change log (each
+    WindowGroupLimit-pruned map-side) and ONE key-grain full-outer
+    sort-merge join; no all-pairs work anywhere. At 100 TB the two
+    snapshots would be stored tables and this is a single co-partitioned
+    full-outer join — bucket both snapshots on user_id and it is
+    shuffle-free (the bucketed_join_colocated machinery)."""
+    a = _snapshot_asof(spark, sf_dir, _CDC_CUTOFF)
+    b = _snapshot_asof(spark, sf_dir, None)
+    joined = a.alias("a").join(b.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+            F.when(F.col("a.user_id").isNull(), "I")
+            .when(F.col("b.user_id").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("a.img_ts").alias("old_ts"),
+            F.col("b.img_ts").alias("new_ts"),
+            F.col("b.img_value").alias("new_value"),
+        )
+        .filter(
+            F.col("old_ts").isNull()
+            | F.col("new_ts").isNull()
+            | (F.col("old_ts") != F.col("new_ts"))
+        )
+    )
