@@ -95,19 +95,22 @@ DRIVER_PRIORITY: list[str] = [
     # hidden_field_projection ceded its slot to keyset_pagination_orders:
     # the F5 projection filter rides the same catalog machinery as the
     # three catalog refresh slots still in the window.
-    "join_anti",
+    # join_anti ceded its slot to pps_systematic_sample late in round 5:
+    # the anti-join semantic holds r4-or-newer rows via
+    # exists_returned_lineitems (its semi twin) and the r5-window
+    # dedup_incremental_new_docs (an anti-join at its core), and the
+    # two-phase prefix-sum sampler needs a first-ever row.
     # join_fk_enrichment ceded its slot to regional_supplier_volume: the FK
     # enrichment join is a sub-tree of the 6-way Q5 join getting its first
-    # row; join_anti and join_semi keep r5-refresh slots.
-    # join_full_outer ceded its slot to event_value_anomalies: the join
-    # family keeps four r5-refresh slots (anti/semi/left/fk) on the same
-    # SMJ machinery.
+    # row.
+    # join_full_outer ceded its slot to event_value_anomalies: the
+    # full-outer SMJ shape gets fresh coverage via cdc_derive_changes and
+    # incremental_agg_merge (both in the window for a first row).
     # join_left_missing ceded its slot to event_transition_matrix: the
-    # left-join-null-filter shape is the anti-join twin, and join_anti /
-    # join_semi / join_fk_enrichment keep r5-refresh slots.
-    # join_semi ceded its slot to kmeans_cluster_purity: join_anti keeps
-    # the refresh slot on the twin plan shape and exists_returned_lineitems
-    # holds an r4 row on the semi semantic.
+    # left-join-null-filter shape is the anti-join twin with r4-or-newer
+    # coverage via exists_returned_lineitems.
+    # join_semi ceded its slot to kmeans_cluster_purity:
+    # exists_returned_lineitems holds an r4 row on the semi semantic.
     # kmv_distinct_sketch ceded its slot to json_source_roundtrip: the
     # mergeable-sketch family holds an r4 row via approx_value_percentiles
     # (GK), and kmv passes the stricter pytest oracle at HEAD.
@@ -138,10 +141,13 @@ DRIVER_PRIORITY: list[str] = [
     # 5: the grouping-engine path holds an r4 row via
     # grouping_sets_region_segment (ROLLUP is its subset shape), and the
     # gateway retry-ladder audit needs a first-ever row.
-    # session_window_builtin ceded its slot to partition_pruned_scan:
-    # sessionization (same window semantics) stays in the window and the
-    # streaming twin streaming_stateful_sessions holds an r4 row.
-    "sessionization",
+    # session_window_builtin ceded its slot to partition_pruned_scan: the
+    # streaming twin streaming_stateful_sessions holds an r4 row on the
+    # same gap-based semantics.
+    # sessionization ceded its slot to approx_distinct_selfcheck late in
+    # round 5: it is re-verified every bench run as a headline query, its
+    # gap-window machinery holds an r4 row via streaming_stateful_sessions,
+    # and the HLL error-contract proof needs a first-ever row.
     # setops_segments ceded its slot to dq_audit_orders: union/except/
     # intersect are engine-native plans with an r2 row and a green pytest
     # oracle at HEAD — the least distinctive machinery left in the window.
@@ -213,4 +219,6 @@ DRIVER_PRIORITY: list[str] = [
     "backoff_penalty_audit",
     "cdc_derive_changes",
     "incremental_agg_merge",
+    "pps_systematic_sample",
+    "approx_distinct_selfcheck",
 ]

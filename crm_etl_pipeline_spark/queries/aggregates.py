@@ -523,3 +523,48 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_price").cast("double").alias("total_price"),
         (F.col("s_price").cast("double") / F.col("n_orders")).alias("avg_price"),
     )
+
+
+@query(
+    "approx_distinct_selfcheck",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    survey="A+ (HLL++ approx distinct, self-checking against the exact count at a 10% bound — the GK-sketch oracle pattern)",
+)
+def approx_distinct_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type, checked
+    in-query against the exact count: ``within_bound`` asserts the
+    estimate lands within 10% of truth (5x the configured 2% rsd).
+    Sketch internals differ across engines, so — like the GK
+    percentile sketch's rank self-check — the estimate itself never
+    crosses the output edge; the ORACLE recomputes the exact count and
+    pins ``within_bound`` TRUE, so the hash match proves Spark's HLL
+    actually met its error contract on this data. HLL++ is
+    deterministic given the data (hash-based, no RNG), so the check
+    cannot flake.
+
+    Scale shape: the sketch is the point — a fixed few-KB register
+    array per group, mergeable across partitions (map-side partial
+    merge), where COUNT(DISTINCT) must shuffle every distinct key.
+    The exact count rides along here only to judge the sketch; at
+    100 TB you would drop it and keep the HLL column alone."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_est"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_exact"))
+                <= 0.1 * F.col("n_exact")
+            ).alias("within_bound"),
+        )
+    )

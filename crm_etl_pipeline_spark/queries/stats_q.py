@@ -600,3 +600,94 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(rz) > 3.0).alias("is_outlier"),
         )
     )
+
+
+_PPS_K = 50
+
+
+@query(
+    "pps_systematic_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w_cents
+      FROM orders
+    ), c AS (
+      SELECT *, COALESCE(SUM(w_cents) OVER (ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM w
+    ), t AS (
+      SELECT CAST(SUM(w_cents) AS BIGINT) AS total FROM w
+    )
+    SELECT o_orderkey, o_orderdate, w_cents,
+           CAST((cum_before + w_cents) * {_PPS_K} // total
+                - cum_before * {_PPS_K} // total AS BIGINT) AS n_hits
+    FROM c, t
+    WHERE (cum_before + w_cents) * {_PPS_K} // total
+          > cum_before * {_PPS_K} // total
+    """,
+    survey="§2.9 sampling (systematic probability-proportional-to-size draw from exact integer prefix sums)",
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling: walk the orders in (date, key) order,
+    accumulate exact integer cents, and select every unit whose weight
+    interval crosses a multiple of total/K — the classical
+    survey-sampling design where inclusion probability is exactly
+    proportional to order value, deterministic end to end (no RNG, so
+    the oracle can replay it; the repo's rand()-free sampling rule).
+    ``n_hits`` is the unit's multiplicity (a unit heavier than the
+    step can absorb several skip intervals), and SUM(n_hits) == K by
+    construction. All threshold arithmetic is exact BIGINT (cents x K
+    stays far under 2^63 at any plausible sf; integer division DIV /
+    // in both engines — never a double).
+
+    Scale shape: the corpus-global prefix sum is built the two-phase
+    way (cumulate within calendar-day buckets in parallel, then add
+    per-day offsets from a ~2.4k-row serial prefix over day totals) —
+    the running-sum sibling of global_rank_two_phase's rank
+    construction; no single-partition sort of the fact table exists in
+    the plan. The ORACLE computes the naive single-window cumulation —
+    the hash match is the equivalence proof for the decomposition."""
+    w = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("w_cents"),
+    )
+    dw = (
+        Window.partitionBy("o_orderdate")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_day = w.withColumn("cum_in_day", F.coalesce(F.sum("w_cents").over(dw), F.lit(0)))
+    day_tot = w.groupBy("o_orderdate").agg(F.sum("w_cents").alias("d_tot"))
+    pw = (
+        Window.partitionBy(F.least(F.dayofmonth("o_orderdate"), F.lit(1)))
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_tot.select(
+        "o_orderdate", F.coalesce(F.sum("d_tot").over(pw), F.lit(0)).alias("offset")
+    )
+    tot = w.agg(F.sum("w_cents").alias("total")).select(
+        "total", F.least(F.col("total"), F.lit(1)).cast("int").alias("_k")
+    )
+    cum = (
+        in_day.join(F.broadcast(offsets), "o_orderdate")
+        .withColumn("cum_before", F.col("offset") + F.col("cum_in_day"))
+        .withColumn("_k", F.least(F.col("w_cents"), F.lit(1)).cast("int"))
+        .join(F.broadcast(tot), "_k")
+    )
+    lo = F.expr(f"cum_before * {_PPS_K} DIV total")
+    hi = F.expr(f"(cum_before + w_cents) * {_PPS_K} DIV total")
+    return (
+        cum.filter(hi > lo)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "w_cents",
+            (hi - lo).cast("bigint").alias("n_hits"),
+        )
+    )

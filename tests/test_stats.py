@@ -12,6 +12,8 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from pyspark.sql import functions as F
+
 from crm_etl_pipeline_spark.registry import load_all
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -192,3 +194,30 @@ def test_mad_yardstick_resists_the_planted_extreme(spark, tmp_path):
     # and the robust flag still fires while ordinary purchases stay quiet
     flagged = [r for r in rz_rows if r.is_outlier and r.event_type == "purchase"]
     assert any(r.event_id == 10_000_000 for r in flagged)
+
+
+class TestPpsSystematicSample:
+    def test_hits_sum_to_k_at_both_sfs(self, spark):
+        from crm_etl_pipeline_spark.queries.stats_q import _PPS_K, pps_systematic_sample
+
+        for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            df = pps_systematic_sample(spark, sf_dir)
+            got = df.agg(F.sum("n_hits")).collect()[0][0]
+            assert got == _PPS_K, f"{sf_dir}: hits {got} != {_PPS_K}"
+
+    def test_selection_is_value_biased(self, spark):
+        """PPS means heavier orders are likelier: the sampled mean order
+        value must exceed the population mean by a clear margin."""
+        from crm_etl_pipeline_spark.io import table
+        from crm_etl_pipeline_spark.queries.stats_q import pps_systematic_sample
+
+        sf_dir = "/root/testdata/sf0.01"
+        sample_mean = (
+            pps_systematic_sample(spark, sf_dir).agg(F.avg("w_cents")).collect()[0][0]
+        )
+        pop_mean = (
+            table(spark, sf_dir, "orders")
+            .agg(F.avg(F.col("o_totalprice") * 100))
+            .collect()[0][0]
+        )
+        assert sample_mean > pop_mean
