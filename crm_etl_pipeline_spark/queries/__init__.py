@@ -34,31 +34,38 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # REGISTRY to put these at the front; the rest follow in module order.
 # Keep this list <= 50 (test_driver_priority_window enforces the fit).
 DRIVER_PRIORITY: list[str] = [
-    # latest driver row = r2 (oldest-verified first, alphabetical)
-    "ann_cosine_topk",
+    # By end of round 5 every refresh slot was ceded to a never-checked
+    # operator: a first-ever driver row outranks re-confirming a
+    # pytest-green r2 row, and each ceding query's machinery is covered by
+    # an r4-or-newer twin named in its cede note. All 50 slots now carry
+    # queries with no driver row at all.
+    # ann_cosine_topk ceded its slot (the last refresh holdout) to
+    # knn_label_disagreement, which runs the IDENTICAL broadcast-probe +
+    # fixed-dot + WindowGroupLimit machinery as a superset (labels joined
+    # and voted) — the new first row re-verifies the old query's plan
+    # shape in the same run.
     # ann_ivf_nprobe2 ceded its slot to copurchase_lift_topk:
     # ann_ivf_persisted_index holds a first r5 row on the same IVF
     # machinery with a wider probe.
     # ann_ivf_probe ceded its slot to cdc_derive_changes late in round 5:
-    # ann_cosine_topk keeps the refresh slot on the fixed-dot machinery
-    # and ann_ivf_persisted_index (in the window) exercises the IVF cell
-    # pruning path; the CDC producer-side diff needs a first-ever row.
-    # ann_lsh_bucketed ceded its slot to cdc_apply_snapshot: ann_cosine_topk
-    # and ann_ivf_probe keep refresh slots on the same fixed-dot machinery,
-    # and the sign-bucket join shape holds an r4 row via embedding_near_dup.
+    # knn_label_disagreement carries the fixed-dot machinery in the window
+    # and ann_ivf_persisted_index exercises the IVF cell pruning path;
+    # the CDC producer-side diff needs a first-ever row.
+    # ann_lsh_bucketed ceded its slot to cdc_apply_snapshot: the fixed-dot
+    # machinery rides in via knn_label_disagreement, and the sign-bucket
+    # join shape holds an r4 row via embedding_near_dup.
     # catalog_drift ceded its slot to credential_rotation_schedule late in
-    # round 5: catalog_tree keeps the refresh slot on the same nested
-    # traversal machinery (drift is its except-join composition), and the
-    # gateway family's two-phase global-sequence operator needs a first row.
-    # catalog_fields_tree ceded its slot to copurchase_pagerank:
-    # catalog_tree keeps a refresh slot on the same nested traversal
-    # machinery (fields_tree is its leaf projection), and the
+    # round 5: the gateway family's two-phase global-sequence operator
+    # needs a first row; catalog traversal is pytest-green at HEAD.
+    # catalog_fields_tree ceded its slot to copurchase_pagerank: the
     # graph-centrality operator needs a first-ever row.
-    "catalog_tree",
-    # composite_key_roundtrip ceded its slot to embedding_kmeans: the
-    # catalog family keeps a refresh slot (catalog_tree) on the same
-    # machinery, and a first-ever row for an iterative
-    # training operator outranks another catalog refresh.
+    # catalog_tree ceded its slot to triangle_count late in round 5: the
+    # nested-traversal machinery holds an r4 row via typed_field_decode's
+    # struct decode and stays pytest-green; the degree-oriented triangle
+    # kernel needs a first-ever row.
+    # composite_key_roundtrip ceded its slot to embedding_kmeans: a
+    # first-ever row for an iterative training operator outranks another
+    # catalog refresh (the family is pytest-green at HEAD).
     # contamination_ngram_overlap ceded its slot to embedding_quantize_int8:
     # the candidates-only shingle equi-join machinery holds an r4 row via
     # minhash_near_dup's verify stage.
@@ -221,4 +228,6 @@ DRIVER_PRIORITY: list[str] = [
     "incremental_agg_merge",
     "pps_systematic_sample",
     "approx_distinct_selfcheck",
+    "knn_label_disagreement",
+    "triangle_count",
 ]

@@ -989,3 +989,86 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_majority",
         (F.col("n_majority").cast("double") / F.col("n_members")).alias("purity"),
     )
+
+
+_NOISE_PROBES = 64
+_NOISE_K = 5
+
+
+@query(
+    "knn_label_disagreement",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+      FROM embeddings WHERE vec_id < {_NOISE_PROBES}
+    ), c AS (
+      SELECT vec_id AS cand_id, embedding AS ce, label AS clabel
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, qlabel, cand_id, clabel,
+             {_fixed_dot_sql('qe', 'ce')} AS dotq
+      FROM q, c WHERE cand_id <> query_id
+    ), ranked AS (
+      SELECT query_id, qlabel, clabel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dotq DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, qlabel AS label,
+           CAST(SUM(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_disagree,
+           CAST(SUM(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+             / {_NOISE_K} AS disagree_frac,
+           SUM(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) >= 3 AS is_suspect
+    FROM ranked WHERE rank <= {_NOISE_K}
+    GROUP BY query_id, qlabel
+    """,
+    survey="§2.9 label quality (kNN label-noise mining: neighbor-vote disagreement over the exact fixed-dot ranking)",
+)
+def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise mining by neighbor vote (Confident-Learning style):
+    for each probe vector, take its 5 nearest neighbors under the
+    exact integer dot ranking and measure how often their labels
+    disagree with the probe's — a majority disagreement flags the
+    probe as probably mislabeled, the standard pre-training triage
+    for classifier corpora. Rides the ann_cosine_topk machinery
+    unchanged: broadcast probe batch (constant-size, the allowlisted
+    BNLJ), one candidate scan, per-probe WindowGroupLimit top-k, then
+    a 64-key vote aggregate.
+
+    Scale: probes are a bounded audit sample by design — at 100 TB you
+    audit a stratified probe set per label, not the corpus; for
+    corpus-wide noise sweeps swap the exact scan for the IVF route
+    (ann_ivf_probe) and vote over its candidates instead."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NOISE_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    scored = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id")).withColumn(
+        "dotq", _fixed_dot(F.col("qe"), F.col("ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dotq").desc(), F.col("cand_id"))
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NOISE_K)
+        .groupBy("query_id", F.col("qlabel").alias("label"))
+        .agg(
+            F.sum(F.when(F.col("clabel") != F.col("qlabel"), 1).otherwise(0)).alias(
+                "n_disagree"
+            )
+        )
+    )
+    return votes.select(
+        "query_id",
+        "label",
+        "n_disagree",
+        (F.col("n_disagree").cast("double") / _NOISE_K).alias("disagree_frac"),
+        (F.col("n_disagree") >= 3).alias("is_suspect"),
+    )

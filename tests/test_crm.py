@@ -137,3 +137,24 @@ def test_linkage_blocking_prunes_cross_block_pairs(spark, tmp_path):
     assert len(rows) == 1, rows
     r = rows[0]
     assert r.matched_custkey == dirty_src and r.is_true_match and r.lev_dist == 1
+
+
+def test_triangle_count_on_planted_clique(spark, tmp_path):
+    """K4 on parts (10,20,30,40) has exactly 4 triangles with every
+    vertex in 3 of them; a disconnected extra edge adds none."""
+    from pyspark.sql import types as T
+
+    from crm_etl_pipeline_spark.queries.crm_q import triangle_count
+
+    rows = [(1, p) for p in (10, 20, 30, 40)] + [(2, 50), (2, 60)]
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {r["part"]: r["n_triangles"] for r in triangle_count(spark, str(tmp_path)).collect()}
+    assert got == {10: 3, 20: 3, 30: 3, 40: 3}
