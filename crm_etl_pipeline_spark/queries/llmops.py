@@ -1855,3 +1855,132 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dfc.join(heads, "tok")
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter set-similarity join (AllPairs / PPJoin candidate generation,
+# Vernica et al. SIGMOD'10 MapReduce formulation) over 5-token shingle sets
+
+_SETSIM_NUM = 6  # Jaccard threshold as the exact fraction 6/10
+_SETSIM_DEN = 10
+
+
+@query(
+    "prefix_filter_setsim_join",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tt FROM corpus
+    ), sh AS (
+      SELECT doc_id, list_distinct({_shingles_sql('tt')}) AS t
+      FROM toks WHERE len(tt) >= 5
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, unnest(t) AS tok FROM sh) a
+      JOIN (SELECT doc_id, unnest(t) AS tok FROM sh) b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             len(list_filter(ta.t, x -> list_contains(tb.t, x))) AS n_shared,
+             len(ta.t) AS n_a, len(tb.t) AS n_b
+      FROM pairs
+      JOIN sh ta ON ta.doc_id = doc_a
+      JOIN sh tb ON tb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+    FROM verified
+    WHERE n_shared * {_SETSIM_DEN} >= (n_a + n_b - n_shared) * {_SETSIM_NUM}
+    """,
+    survey="§2.9 near-dedup (prefix-filter set-similarity join over shingle sets: rare-prefix candidates, exact Jaccard verify)",
+)
+def prefix_filter_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 5-token-shingle-set Jaccard >= 0.6,
+    found by PREFIX FILTERING (AllPairs/PPJoin, the Vernica et al.
+    SIGMOD'10 MapReduce formulation) — the third candidate-generation
+    family in the dedup suite, alongside MinHash banding
+    (probabilistic recall) and given-pair shingle verification
+    (ngram_jaccard_verify). Shingles are globally ordered rarest-first
+    by document frequency; each doc indexes only its first
+    n - ceil(0.6 n) + 1 shingles (pigeonhole: a qualifying pair shares
+    >= ceil(0.6 n) shingles, which cannot all hide in a suffix shorter
+    than that), candidates must also pass the integer length filter
+    0.6 <= n_a/n_b <= 1/0.6, and survivors get one exact
+    array_intersect verify. Membership decisions are pure-integer
+    (n_shared*10 >= union*6) in both engines — no float threshold.
+
+    The ORACLE is deliberately NOT the same algorithm: it generates
+    candidates from ANY shared shingle (exact, since J > 0 implies a
+    shared element) and verifies all of them — ground truth
+    independent of the prefix machinery, so the hash match proves the
+    prefix filter's COMPLETENESS on this corpus, not just its
+    self-consistency. Shingle sets (not word sets) are the right
+    universe on purpose: word sets over a small vocabulary collapse
+    (measured here: 94k word-set pairs >= 0.6 vs 106 shingle-set
+    pairs, the same 106 the MinHash family resolves), while shingles
+    keep df skew low — and what df skew remains is exactly what the
+    rare-first prefix kills, since a frequent shingle is almost never
+    inside anyone's prefix.
+
+    Scale shape: one df aggregate (shingle-grain), one per-doc sort of
+    its own prefix candidates (array algebra, no extra shuffle), one
+    equi-join on prefix shingles with AQE skew handling, pair-grain
+    distinct, and a candidates-only verify join — never an all-pairs
+    product."""
+    toks = _tokens()
+    sh = (
+        _near_corpus(spark, sf_dir)
+        .filter(F.size(toks) >= 5)
+        .select("doc_id", F.array_distinct(_shingles(toks)).alias("t"))
+    )
+    df_tab = (
+        sh.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    exploded = sh.select(
+        "doc_id", F.size("t").alias("n"), F.explode("t").alias("tok")
+    ).join(df_tab, "tok")
+    ordered = exploded.groupBy("doc_id", "n").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s["tok"]
+        ).alias("st")
+    )
+    # prefix length n - ceil(6n/10) + 1, integer ceil = (6n + 9) DIV 10
+    plen = (
+        F.col("n")
+        - ((F.lit(_SETSIM_NUM) * F.col("n") + F.lit(_SETSIM_DEN - 1)) / F.lit(_SETSIM_DEN)).cast("bigint")
+        + 1
+    )
+    prefixes = ordered.select(
+        "doc_id", "n", F.explode(F.slice("st", 1, plen.cast("int"))).alias("tok")
+    )
+    a = prefixes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "tok")
+    b = prefixes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("n_a") * _SETSIM_DEN >= F.col("n_b") * _SETSIM_NUM)
+            & (F.col("n_b") * _SETSIM_DEN >= F.col("n_a") * _SETSIM_NUM)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size("t_a") + F.size("t_b") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("n_shared", inter)
+        .withColumn("u", union)
+        .filter(F.col("n_shared") * _SETSIM_DEN >= F.col("u") * _SETSIM_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("u")).alias("jaccard"),
+        )
+    )
