@@ -105,3 +105,43 @@ def test_rotation_slots_are_contiguous_and_round_robin(spark):
         # every slot except the last is exactly the rotation threshold
         if r["rotation_slot"] < len(slots) - 1:
             assert r["n_calls"] == gateway_q._ROTATE_EVERY
+
+
+# -- property check: greedy equivalence on hypothesis-generated bursts -------
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# second offsets inside a 2-hour span, with repeats (same-second calls
+# tie-broken by event_id) and adversarial clustering around boundaries
+_offsets = st.lists(
+    st.integers(min_value=0, max_value=7199), min_size=1, max_size=300
+)
+_caps = st.sampled_from([(1, 5), (2, 20), (3, 7), (15, 250)])
+
+
+@pytest.mark.usefixtures("spark")
+class TestRateLimitProperty:
+    @given(offsets=_offsets, caps=_caps)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_random_bursts_match_sequential_limiter(self, spark, tmp_path_factory, offsets, caps):
+        rows = [
+            (i, dt.datetime(2024, 5, 1, 6, 0, 0) + dt.timedelta(seconds=off))
+            for i, off in enumerate(sorted(offsets))
+        ]
+        tmp = tmp_path_factory.mktemp("rl")
+        sf_dir = _write_events(spark, tmp, rows)
+        minute_cap, hour_cap = caps
+        want = _sequential_limiter(rows, minute_cap, hour_cap)
+        got = {
+            r["event_id"]: r["admitted"]
+            for r in gateway_q.rate_limited_calls(
+                spark, sf_dir, minute_cap=minute_cap, hour_cap=hour_cap
+            ).collect()
+        }
+        assert got == want
