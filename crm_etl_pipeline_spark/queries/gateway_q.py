@@ -109,9 +109,10 @@ def rate_limited_calls(
     )
 
 
-@query(
-    "rate_limit_admission",
-    oracle=f"""
+# hourly admission ledger oracle — shared verbatim by the streaming twin
+# (queries/streaming_q.py streaming_rate_limit), whose converged state
+# must equal this same batch SQL
+_ADMISSION_SQL = f"""
     WITH base AS (
       SELECT event_id, ts,
              date_trunc('hour', ts) AS hour,
@@ -133,7 +134,12 @@ def rate_limited_calls(
                 AS BIGINT) AS n_hour_throttled
     FROM base b LEFT JOIN hranked h ON b.event_id = h.event_id
     GROUP BY b.hour
-    """,
+    """
+
+
+@query(
+    "rate_limit_admission",
+    oracle=_ADMISSION_SQL,
     survey="§2.7 gateway (nested fixed-window rate-limit admission; PodioApiWrapper.py:108,274)",
 )
 def rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:

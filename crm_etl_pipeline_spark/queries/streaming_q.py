@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crm_etl_pipeline_spark import scd, streaming, tmpdirs
+from crm_etl_pipeline_spark.queries.gateway_q import _ADMISSION_SQL
 from crm_etl_pipeline_spark.queries.scd_q import _STORE_SQL
 from crm_etl_pipeline_spark.registry import query
 
@@ -271,3 +272,45 @@ def streaming_moments_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "streaming_rate_limit",
+    # the batch oracle VERBATIM: batch and stream must converge to the
+    # same hourly ledger
+    oracle=_ADMISSION_SQL,
+    survey="ST3,ST7 + §2.7 gateway (cross-batch stateful rate limiting via applyInPandasWithState)",
+)
+def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gateway_q admission ledger as TRUE streaming state: the
+    event log arrives in 4 time-ordered micro-batches, a per-hour
+    GroupState carries the saturated per-minute counters and the
+    hour's minute-admitted count across batches, and every decision is
+    appended immutably. The converged hourly ledger must equal the
+    batch query's — the oracle IS gateway_q._ADMISSION_SQL verbatim,
+    so the hash match proves batch/stream equivalence of the nested
+    greedy decomposition under state carry-over (hours spanning chunk
+    boundaries genuinely exercise it).
+
+    Scale shape: state is one 124-byte row per open hour key (the
+    watermark analog: close hours older than the limiter horizon and
+    state stays O(open hours)); decisions append without merge because
+    admission is irrevocable — an at-least-once sink dedups on
+    event_id if replays occur."""
+    wd = _workdir("ratelimit", sf_dir)
+    out = streaming.rate_limit_stream(spark, sf_dir, wd)
+    dec = spark.read.parquet(out)
+    return (
+        dec.groupBy(F.timestamp_micros(F.col("hour_us")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum(F.col("admitted").cast("bigint")).alias("n_admitted"),
+            F.sum(F.when(F.col("reason") == "minute_cap", 1).otherwise(0)).alias(
+                "n_minute_throttled"
+            ),
+            F.sum(F.when(F.col("reason") == "hour_cap", 1).otherwise(0)).alias(
+                "n_hour_throttled"
+            ),
+        )
+    )
+

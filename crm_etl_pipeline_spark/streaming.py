@@ -662,3 +662,133 @@ def moments_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str:
     )
     q.awaitTermination()
     return out
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: cross-batch rate limiting (the gateway_q
+# nested-fixed-window admission as TRUE streaming state)
+
+from pyspark.sql.types import BooleanType, StringType  # noqa: E402
+
+RATE_MINUTE_CAP = 2  # fixture calibration, see queries/gateway_q.py
+RATE_HOUR_CAP = 20
+
+_RL_OUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("hour_us", LongType()),
+        StructField("admitted", BooleanType()),
+        StructField("reason", StringType()),
+    ]
+)
+
+# per-hour group state: how many calls each minute has seen (saturated at
+# 255 — only "rank <= cap" matters) and how many minute-admitted calls the
+# hour has seen; both carried across micro-batches
+_RL_STATE = StructType(
+    [
+        StructField("minute_seen_hex", StringType()),  # 60 x 2 hex chars
+        StructField("hour_minute_ok", LongType()),
+    ]
+)
+
+
+def _rate_limit_group(key, pdfs, state: GroupState):
+    """Stateful nested-window admission for one clock hour: stage 1
+    ranks each call within its minute over ALL calls seen (carried
+    per-minute counters), stage 2 ranks stage-1 survivors within the
+    hour (carried count) — the exact greedy decomposition proven by
+    tests/test_gateway.py, applied across micro-batches. Vectorized:
+    cumcounts, no per-row Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    (hour_us,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_us", "event_id"])
+    if state.exists:
+        minute_hex, hour_ok_seen = state.get
+        minute_seen = np.array(
+            [int(minute_hex[i : i + 2], 16) for i in range(0, 120, 2)], dtype=np.int64
+        )
+    else:
+        minute_seen = np.zeros(60, dtype=np.int64)
+        hour_ok_seen = 0
+    minute = ((rows["ts_us"].to_numpy() - hour_us) // 60_000_000).astype(np.int64)
+    within = pd.Series(minute).groupby(minute).cumcount().to_numpy()
+    rank_in_minute = minute_seen[minute] + within + 1
+    minute_ok = rank_in_minute <= RATE_MINUTE_CAP
+    rank_in_hour = hour_ok_seen + np.cumsum(minute_ok)
+    admitted = minute_ok & (rank_in_hour <= RATE_HOUR_CAP)
+    reason = np.where(
+        ~minute_ok, "minute_cap", np.where(~admitted, "hour_cap", None)
+    )
+    counts = pd.Series(minute).groupby(minute).size()
+    minute_seen[counts.index.to_numpy()] = np.minimum(
+        minute_seen[counts.index.to_numpy()] + counts.to_numpy(), 255
+    )
+    state.update(
+        ("".join(f"{c:02x}" for c in minute_seen), int(hour_ok_seen + minute_ok.sum()))
+    )
+    yield pd.DataFrame(
+        {
+            "event_id": rows["event_id"].to_numpy(),
+            "hour_us": hour_us,
+            "admitted": admitted,
+            "reason": reason,
+        }
+    )
+
+
+def rate_limit_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str:
+    """Stream the events fixture through the stateful rate limiter in 4
+    time-ordered micro-batches and return the decisions path. The
+    fixture is re-laid as 4 single-file chunks split on event_id
+    quartiles (ts is monotone in event_id in every fixture vintage, so
+    chunk order == event-time order) and streamed with
+    ``maxFilesPerTrigger=1`` — hours that span a chunk boundary
+    genuinely exercise the carried counters."""
+    from crm_etl_pipeline_spark.io import table
+
+    src = os.path.join(workdir, "chunks")
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    step = (hi + 4) // 4
+    for i in range(4):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    calls = stream.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    )
+    decisions = calls.groupBy("hour_us").applyInPandasWithState(
+        _rate_limit_group,
+        outputStructType=_RL_OUT,
+        stateStructType=_RL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = os.path.join(workdir, "decisions")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out)  # decisions are immutable
+
+    q = (
+        decisions.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", out + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out

@@ -473,3 +473,17 @@ def test_moments_stream_really_spans_microbatches(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.select("event_type", "n", "s1").collect())
     )
+
+
+def test_streaming_rate_limit_converges_to_batch(spark):
+    """The stateful streaming limiter's converged hourly ledger equals
+    the batch nested-window admission query on the same fixture —
+    per-hour state carried across the 4 time-ordered micro-batches
+    (chunk boundaries fall mid-hour, so carry-over is exercised)."""
+    from crm_etl_pipeline_spark.queries.gateway_q import rate_limit_admission
+    from crm_etl_pipeline_spark.queries.streaming_q import streaming_rate_limit
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in streaming_rate_limit(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in rate_limit_admission(spark, sf_dir).collect())
+    assert got == want
