@@ -15,6 +15,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
     multimodal_q,
     relational,
     scd_q,
+    sketch_filters_q,
     sources_q,
     stats_q,
     streaming_q,

@@ -721,3 +721,99 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ), pairs AS (
+      SELECT p.p_id, t.t_id, t.t_ts, t.touch_type,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts DESC, t.t_id DESC) AS rn
+      FROM p JOIN t
+        ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ), last AS (
+      SELECT p_id, t_id, t_ts, touch_type FROM pairs WHERE rn = 1
+    )
+    SELECT COALESCE(l.touch_type, 'direct') AS touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+             AS attributed_revenue,
+           CAST(SUM(date_diff('second', l.t_ts, p.p_ts)) AS DOUBLE)
+             / SUM(CASE WHEN l.t_id IS NOT NULL THEN 1 ELSE 0 END)
+             / 3600.0 AS avg_hours_to_convert
+    FROM p LEFT JOIN last l ON p.p_id = l.p_id
+    GROUP BY COALESCE(l.touch_type, 'direct')
+    """,
+    survey="§2.9 CRM analytics (last-touch marketing attribution, as-of-style credit)",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits 100% of
+    its value to the LAST non-purchase touch (click/view/signup) by the
+    same user within a 7-day lookback; purchases with no touch in the
+    window credit 'direct'. Output per touch channel: attributed
+    purchase count, exact-DECIMAL revenue, and mean hours-to-convert
+    (exact integer second-sum, two IEEE divisions at the edge).
+
+    The reference's consumers ask exactly this of the extracted
+    activity stream (events ≙ CRM activities, `PodioApiWrapper.py:118`
+    item events); it is the as-of-join family (windows.py asof) with
+    credit assignment on top.
+
+    Scale shape: the candidate join is anchored on the user equi-key —
+    the 7-day band is a post-filter on a hash join, never an interval
+    explosion (same argument as range_join_clicks_before_purchase);
+    the last-touch pick is a row_number window partitioned by purchase
+    (bounded partitions: one user-week of touches); the final agg has
+    ≤ 4 keys. One user-key shuffle + one purchase-key window, both
+    AQE-coalesced."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    t = t.withColumnRenamed("user_id", "t_user")
+    pairs = p.join(
+        t,
+        (p["user_id"] == t["t_user"])
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("t_ts").desc(), F.col("t_id").desc())
+    last = (
+        pairs.select("p_id", "t_id", "t_ts", "touch_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    att = p.join(last, "p_id", "left")
+    n_touched = F.sum(F.when(F.col("t_id").isNotNull(), 1).otherwise(0))
+    return att.groupBy(
+        F.coalesce(F.col("touch_type"), F.lit("direct")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("attributed_revenue"),
+        (
+            F.sum(F.col("p_ts").cast("long") - F.col("t_ts").cast("long")).cast("double")
+            / n_touched
+            / F.lit(3600.0)
+        ).alias("avg_hours_to_convert"),
+    )

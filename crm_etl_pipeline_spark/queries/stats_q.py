@@ -691,3 +691,78 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hi - lo).cast("bigint").alias("n_hits"),
         )
     )
+
+
+@query(
+    "chi_square_segment_nation",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS observed
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), rows_t AS (
+      SELECT c_nationkey, COUNT(*) AS n_row FROM customer GROUP BY c_nationkey
+    ), cols_t AS (
+      SELECT c_mktsegment, COUNT(*) AS n_col FROM customer GROUP BY c_mktsegment
+    ), tot AS (
+      SELECT COUNT(*) AS n_total FROM customer
+    )
+    SELECT c.c_nationkey, c.c_mktsegment, c.observed,
+           CAST(r.n_row AS DOUBLE) * c2.n_col / t.n_total AS expected,
+           (c.observed - CAST(r.n_row AS DOUBLE) * c2.n_col / t.n_total)
+             * (c.observed - CAST(r.n_row AS DOUBLE) * c2.n_col / t.n_total)
+             / (CAST(r.n_row AS DOUBLE) * c2.n_col / t.n_total) AS chisq_term
+    FROM cells c
+    JOIN rows_t r USING (c_nationkey)
+    JOIN cols_t c2 USING (c_mktsegment)
+    CROSS JOIN tot t
+    """,
+    survey="§2.9 profiling (chi-square independence contingency table, exact-count arithmetic)",
+)
+def chi_square_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the (nation × market-segment)
+    contingency table: per-cell observed count, expected count under
+    independence (row·col/N), and the cell's chi-square contribution.
+    Feature-dependency profiling with NO transcendentals — unlike
+    entropy/mutual-information (which need ln, not correctly rounded
+    across engines), chi-square is pure rational arithmetic over exact
+    integer counts, so every cell is hash-matched bit-for-bit. The
+    summed statistic is one trivial reduction the consumer runs on the
+    125-row output; the per-cell grain is kept so no double-sum order
+    crosses the engine boundary.
+
+    Scale shape: three partial-aggregating groupBys over the same scan
+    (25-key, 5-key, scalar) — map-side combine collapses each to near
+    nothing; the marginals attach back to the 125-row cell table via
+    broadcast joins and the non-foldable scalar idiom. At 100 TB this
+    is three tiny shuffles and zero wide ones."""
+    cust = table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    rows_t = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_row"))
+    cols_t = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_col"))
+    # non-foldable scalar attach (tfidf idiom): counts are >= 1, so the
+    # derived key is provably 1 yet survives constant folding
+    tot = cust.agg(F.count(F.lit(1)).alias("n_total")).select(
+        "n_total",
+        F.least(F.greatest(F.col("n_total"), F.lit(1)), F.lit(1)).cast("int").alias("_k"),
+    )
+    expected = F.col("n_row").cast("double") * F.col("n_col") / F.col("n_total")
+    return (
+        cells.join(F.broadcast(rows_t), "c_nationkey")
+        .join(F.broadcast(cols_t), "c_mktsegment")
+        .withColumn(
+            "_k",
+            F.least(F.greatest(F.col("observed"), F.lit(1)), F.lit(1)).cast("int"),
+        )
+        .join(F.broadcast(tot), "_k")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "observed",
+            expected.alias("expected"),
+            (
+                (F.col("observed") - expected) * (F.col("observed") - expected) / expected
+            ).alias("chisq_term"),
+        )
+    )
