@@ -568,3 +568,148 @@ def approx_distinct_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "kmv_set_intersection",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type AS t, user_id AS u FROM events
+    ), types AS (
+      SELECT DISTINCT t FROM tu
+    ), pairs AS (
+      SELECT a.t AS t1, b.t AS t2 FROM types a JOIN types b ON a.t < b.t
+    ), hashed AS (
+      SELECT t, u,
+             CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+      FROM tu
+    ), kth AS (
+      SELECT t, hv AS kth_hv
+      FROM (SELECT t, hv, ROW_NUMBER() OVER (PARTITION BY t ORDER BY hv) AS rn
+            FROM hashed)
+      WHERE rn = 64
+    ), memb AS (
+      SELECT DISTINCT p.t1, p.t2, h.u, h.hv
+      FROM pairs p JOIN hashed h ON h.t = p.t1 OR h.t = p.t2
+    ), ukth AS (
+      SELECT t1, t2, hv AS union_kth
+      FROM (SELECT t1, t2, hv,
+                   ROW_NUMBER() OVER (PARTITION BY t1, t2 ORDER BY hv) AS rn
+            FROM memb)
+      WHERE rn = 64
+    ), exact AS (
+      SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_exact_intersection
+      FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+      GROUP BY a.t, b.t
+    )
+    SELECT p.t1, p.t2,
+           63 * POW(16, 13) / k1.kth_hv AS est_t1,
+           63 * POW(16, 13) / k2.kth_hv AS est_t2,
+           63 * POW(16, 13) / uk.union_kth AS est_union,
+           63 * POW(16, 13) / k1.kth_hv + 63 * POW(16, 13) / k2.kth_hv
+             - 63 * POW(16, 13) / uk.union_kth AS est_intersection,
+           e.n_exact_intersection
+    FROM pairs p
+    JOIN kth k1 ON k1.t = p.t1
+    JOIN kth k2 ON k2.t = p.t2
+    JOIN ukth uk ON uk.t1 = p.t1 AND uk.t2 = p.t2
+    JOIN exact e ON e.t1 = p.t1 AND e.t2 = p.t2
+    """,
+    survey="§2.9 sketch set-algebra (KMV union/intersection by inclusion-exclusion, audience overlap)",
+)
+def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from KMV sketches: for every pair of
+    event types, the distinct-user cardinality of each side and of the
+    UNION comes from the 64th-smallest md5 fraction, and the
+    intersection follows by inclusion-exclusion (|A∩B| = |A|+|B|−|A∪B|)
+    — the exact intersection count sits beside the estimate. The union
+    sketch demonstrates the KMV property that makes sketches useful at
+    warehouse scale: merging two audiences never rescans them, it
+    merges two 64-value summaries (kmv_sketch_merge proves the merge
+    law; this query applies it to set algebra).
+
+    Determinism: same fixed-hash KMV as kmv_distinct_sketch
+    (aggregates.py:173) — the estimates themselves are oracle-checked,
+    not just error-bounded. Scale shape: everything after the one
+    distinct (type,user) aggregate operates on per-type 64-row
+    summaries and a ≤ C(types,2)-row pair list (broadcast); the
+    pairwise union membership re-ranks tiny sets, and the exact
+    intersection is a user-key equi-join of the SAME distinct frame —
+    one shuffle reused, never an all-users cross."""
+    from pyspark.sql import Window
+
+    tu = (
+        table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        .distinct()
+    )
+    hashed = tu.select(
+        "t",
+        "u",
+        F.conv(F.substring(F.md5(F.col("u").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    wk = Window.partitionBy("t").orderBy("hv")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 64)
+        .select("t", F.col("hv").alias("kth_hv"))
+    )
+    # exact co-membership: the user-key equi-join drives a hash join and
+    # the t1 < t2 ordering is a post-filter — never a type×type nested
+    # loop. The pair list itself derives from this frame (pairs with an
+    # empty intersection would be dropped by the final inner join anyway,
+    # exactly as in the oracle).
+    exact = (
+        tu.alias("x")
+        .join(tu.alias("y"), "u")
+        .filter(F.col("x.t") < F.col("y.t"))
+        .groupBy(F.col("x.t").alias("t1"), F.col("y.t").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("n_exact_intersection"))
+    )
+    pairs = exact.select("t1", "t2")
+    # union membership per pair: two broadcast EQUI-joins on the type key
+    # unioned, then distinct — equivalent to the oracle's OR join but
+    # hash-joinable (no BroadcastNestedLoopJoin anywhere in this plan)
+    memb = (
+        hashed.join(F.broadcast(pairs), hashed["t"] == pairs["t1"])
+        .select("t1", "t2", "u", "hv")
+        .unionAll(
+            hashed.join(F.broadcast(pairs), hashed["t"] == pairs["t2"]).select(
+                "t1", "t2", "u", "hv"
+            )
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("t1", "t2").orderBy("hv")
+    ukth = (
+        memb.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 64)
+        .select("t1", "t2", F.col("hv").alias("union_kth"))
+    )
+    scale = F.lit(63) * F.pow(F.lit(16), F.lit(13))
+    est1 = scale / F.col("kth_hv1")
+    est2 = scale / F.col("kth_hv2")
+    estu = scale / F.col("union_kth")
+    return (
+        pairs.join(
+            F.broadcast(kth.select(F.col("t").alias("t1"), F.col("kth_hv").alias("kth_hv1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(kth.select(F.col("t").alias("t2"), F.col("kth_hv").alias("kth_hv2"))),
+            "t2",
+        )
+        .join(F.broadcast(ukth), ["t1", "t2"])
+        .join(F.broadcast(exact), ["t1", "t2"])
+        .select(
+            "t1",
+            "t2",
+            est1.alias("est_t1"),
+            est2.alias("est_t2"),
+            estu.alias("est_union"),
+            (est1 + est2 - estu).alias("est_intersection"),
+            "n_exact_intersection",
+        )
+    )

@@ -396,3 +396,51 @@ def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "shipping_delay_audit",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_shipped_before_order,
+           CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)
+             / COUNT(*) AS avg_delay_days,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                          BETWEEN 0 AND 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS pct_within_30d
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    survey="§2.9 SLA audit (order-to-ship delay distribution per priority, Q12 shape)",
+)
+def shipping_delay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA audit (the TPC-H Q12 shape on this reduced
+    schema): per order priority, lineitem count, how many shipped
+    BEFORE their order date (a data-quality violation the synthetic
+    corpus deliberately contains), mean delay in days (exact integer
+    day-sum, one IEEE division), and the share shipped within 30 days.
+
+    Scale shape: the delay is computed on the join output of the two
+    biggest tables — an orderkey equi-join both engines hash-partition;
+    on a cluster the bucketed twin (bucketing.py) makes it shuffle-free.
+    The aggregate lands on ≤ 5 priority keys, so partial aggregation
+    collapses everything map-side after the join."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)).alias(
+            "n_shipped_before_order"
+        ),
+        (F.sum(delay).cast("double") / F.count(F.lit(1))).alias("avg_delay_days"),
+        (
+            F.sum(F.when(delay.between(0, 30), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pct_within_30d"),
+    )

@@ -363,3 +363,63 @@ def percent_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
     )
+
+
+@query(
+    "mom_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_mktsegment,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, date_trunc('month', o.o_orderdate)
+    )
+    SELECT c_mktsegment, month, revenue,
+           LAG(revenue) OVER (PARTITION BY c_mktsegment ORDER BY month)
+             AS prev_revenue,
+           (revenue - LAG(revenue) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY month))
+             / LAG(revenue) OVER (PARTITION BY c_mktsegment ORDER BY month)
+             AS mom_growth
+    FROM monthly
+    """,
+    survey="§2.9 time-series (month-over-month growth per segment, lag window on pre-agg)",
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per market segment: aggregate
+    order revenue to (segment, month) grain in exact DECIMAL, then a
+    lag window computes the growth rate ((rev − prev)/prev, two IEEE
+    ops on doubles derived once from exact sums; first month NULL).
+
+    Scale shape: the window runs on the PRE-AGGREGATED frame — ~5
+    segments × ~80 months, not on raw orders — so the sort inside each
+    window partition is trivially bounded no matter the fact size; the
+    only input-sized work is one partially-aggregated groupBy after a
+    broadcast customer join. The anti-pattern this query is the
+    counter-example to: lag over raw fact rows, which would sort the
+    world."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "c_mktsegment",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
