@@ -1984,3 +1984,128 @@ def prefix_filter_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared").cast("double") / F.col("u")).alias("jaccard"),
         )
     )
+
+
+# deterministic boilerplate fabrication for line-level dedup: ~31% of
+# docs (first md5 hex < '5') get one of three canned lines prepended,
+# chosen by the second hex digit — the same fabricate-then-operate
+# idiom as the minhash near-dup clones and the multimodal codecs
+_BOILER = (
+    "subscribe to our newsletter for weekly updates",
+    "cookies are required to use this site",
+    "copyright all rights reserved contact us",
+)
+
+
+@query(
+    "boilerplate_line_removal",
+    oracle=f"""
+    WITH fab AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '5'
+                  THEN (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '6'
+                             THEN '{_BOILER[0]}'
+                             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < 'b'
+                             THEN '{_BOILER[1]}'
+                             ELSE '{_BOILER[2]}' END) || chr(10) || text
+                  ELSE text END AS text
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, o AS pos, arr[o] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM fab) t,
+           LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS o) s
+    ), freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
+    ), tot AS (
+      SELECT COUNT(*) AS n_total FROM documents
+    ), boiler AS (
+      SELECT line FROM freq, tot WHERE n_docs > 0.05 * n_total
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l WHERE l.line NOT IN (SELECT line FROM boiler)
+    )
+    SELECT f.doc_id,
+           (SELECT COUNT(*) FROM lines l2 WHERE l2.doc_id = f.doc_id)
+             AS n_lines_before,
+           COUNT(k.line) AS n_lines_after,
+           COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+             AS clean_text
+    FROM fab f LEFT JOIN kept k ON k.doc_id = f.doc_id
+    GROUP BY f.doc_id
+    """,
+    survey="§2.9 curation (CCNet-style line-level boilerplate removal with corpus-frequency gate)",
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb pass this
+    corpus lacks structure for until fabricated): a deterministic ~31%
+    of documents get one of three canned lines prepended, then any line
+    occurring in more than 5% of documents is dropped corpus-wide and
+    each document is reassembled in original line order. Output per
+    document: line counts before/after and the cleaned text — so the
+    oracle checks the reconstruction byte-for-byte, not just counts.
+
+    Scale shape: one explode to line grain (lines-per-doc bounded),
+    one line-key groupBy whose partial aggregation collapses the heavy
+    boilerplate keys map-side (the classic skew case: three keys carry
+    30% of rows — AQE skew-join handles the anti-join's build side, and
+    the frequency table itself is tiny), the corpus size attaches via
+    the non-foldable broadcast scalar, and reassembly is one doc-key
+    aggregate with an in-group sort bounded by lines-per-doc. No
+    all-pairs anything: frequency gating IS the scalable form of
+    boilerplate detection (RefinedWeb §3.2 runs exactly this at
+    trillion-token scale)."""
+    docs = table(spark, sf_dir, "documents")
+    hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    hex2 = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)
+    boiler = (
+        F.when(hex2 < "6", F.lit(_BOILER[0]))
+        .when(hex2 < "b", F.lit(_BOILER[1]))
+        .otherwise(F.lit(_BOILER[2]))
+    )
+    fab = docs.select(
+        "doc_id",
+        F.when(hex1 < "5", F.concat(boiler, F.lit("\n"), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    lines = fab.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos0", "line"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    freq = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("n_docs"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total")).select(
+        "n_total",
+        F.least(F.greatest(F.col("n_total"), F.lit(1)), F.lit(1)).cast("int").alias("_k"),
+    )
+    boiler_lines = (
+        freq.withColumn(
+            "_k",
+            F.least(F.greatest(F.col("n_docs"), F.lit(1)), F.lit(1)).cast("int"),
+        )
+        .join(F.broadcast(tot), "_k")
+        .filter(F.col("n_docs") > 0.05 * F.col("n_total"))
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler_lines), "line", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    before = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines_before"))
+    return (
+        fab.select("doc_id")
+        .join(before, "doc_id")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines_before",
+            F.coalesce(F.col("n_lines_after"), F.lit(0)).alias("n_lines_after"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -314,3 +314,63 @@ def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "streaming_late_data_audit",
+    oracle="""
+    WITH e AS (
+      SELECT ts, substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS h
+      FROM events
+    ), wm AS (
+      SELECT MAX(CASE WHEN h < '6' THEN ts END) - INTERVAL 1 HOUR AS wm1,
+             MAX(ts) - INTERVAL 1 HOUR AS wm_final
+      FROM e
+    ), perday AS (
+      SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n_batch,
+             CAST(SUM(CASE WHEN e.h < 'b'
+                             OR date_trunc('day', e.ts) + INTERVAL 1 DAY > wm.wm1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_stream
+      FROM e, wm
+      GROUP BY date_trunc('day', e.ts), wm.wm1
+    )
+    SELECT p.day, p.n_stream, p.n_batch,
+           p.n_batch - p.n_stream AS n_late_dropped
+    FROM perday p, wm
+    WHERE p.day + INTERVAL 1 DAY <= wm.wm_final
+    """,
+    survey="ST5/ST6 (watermark late-data accounting: measured drop per finalized window)",
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified watermark loss: replay events as three deterministic
+    arrival waves through an append-mode 1-day/1-hour-watermark window
+    aggregation, then reconcile the finalized sink against the batch
+    truth — per finalized day: rows the stream counted, rows the batch
+    counts, and rows DROPPED because they arrived after their window
+    was evicted. The oracle is the closed-form model of the pinned
+    watermark semantics (see streaming.late_arrival_audit_stream), so
+    the drop counts themselves are value-hashed, not just bounded —
+    the accounting a production pipeline's reconciliation job runs to
+    decide whether a lateness bound is costing data."""
+    from crm_etl_pipeline_spark.io import table
+
+    out = streaming.late_arrival_audit_stream(
+        spark, sf_dir, workdir=_workdir("lateaudit", sf_dir)
+    )
+    stream_counts = spark.read.parquet(out).select(
+        F.col("w.start").alias("day"), "n_stream"
+    )
+    batch_counts = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+    )
+    # the sink holds only finalized windows; inner join keeps exactly
+    # those, mirroring the oracle's wm_final emission filter
+    return stream_counts.join(batch_counts, "day").select(
+        "day",
+        "n_stream",
+        "n_batch",
+        (F.col("n_batch") - F.col("n_stream")).alias("n_late_dropped"),
+    )

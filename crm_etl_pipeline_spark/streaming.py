@@ -792,3 +792,64 @@ def rate_limit_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str:
     )
     q.awaitTermination()
     return out
+
+
+def late_arrival_audit_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str:
+    """Watermark late-data accounting (ST5/ST6 hardening): replay the
+    events fixture as THREE deterministic arrival files (md5 split of
+    event_id: < '6' / < 'b' / rest) processed one per micro-batch
+    (``maxFilesPerTrigger=1``, mtimes pin the order), through a 1-day
+    tumbling aggregation with a 1-hour watermark in APPEND mode, and
+    materialize the finalized windows.
+
+    Pinned semantics (measured on this Spark, and what the oracle
+    models): the watermark applied in batch N is max(event time through
+    batch N−1) − delay; a late row is DROPPED only when its window was
+    already evicted — i.e. window end ≤ the watermark applied in an
+    EARLIER batch; rows into still-live windows merge even when below
+    the current watermark. Windows emit when their end ≤ the final
+    watermark; the trailing partial day never finalizes and is absent
+    from the sink. With this split the batch-2 stragglers into pre-
+    eviction days are the measured loss.
+
+    Scale shape: identical to windowed_counts_stream (state keyed by
+    bounded day windows, partial aggregation map-side); the audit adds
+    no state — lost rows are measured by joining the sink against the
+    batch truth, which is exactly what a production pipeline's
+    reconciliation job does."""
+    import glob
+    import shutil
+
+    src = os.path.join(workdir, "arrivals")
+    os.makedirs(src, exist_ok=True)
+    # batch-read the fixture with the same ts normalization as the stream
+    from crm_etl_pipeline_spark.io import normalize_event_ts
+
+    batch = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    h = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    splits = [batch.filter(h < "6"), batch.filter((h >= "6") & (h < "b")), batch.filter(h >= "b")]
+    for i, part in enumerate(splits):
+        tmp = os.path.join(workdir, f"split{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(src, f"e{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(tmp, "*.parquet"))[0], dst)
+        # monotone mtimes = deterministic batch order for the file source
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    schema = spark.read.parquet(os.path.join(src, "e0.parquet")).schema
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_stream"))
+    )
+    out = os.path.join(workdir, "finalized")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_checkpoint")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
