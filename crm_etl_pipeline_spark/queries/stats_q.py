@@ -766,3 +766,138 @@ def chi_square_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chisq_term"),
         )
     )
+
+
+@query(
+    "winsorize_event_values",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           b.lo, b.hi,
+           least(greatest(e.value, b.lo), b.hi) AS value_winsorized,
+           e.value < b.lo OR e.value > b.hi AS clamped
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    """,
+    survey="§2.9 cleaning (percentile winsorization per group, exact interpolated bounds)",
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the standard tail-clamp before a numeric column
+    feeds model training: per event type, clamp values into the exact
+    interpolated [p01, p99] band. Both engines compute the SAME
+    interpolated percentile ((1−f)·a + f·b over sorted doubles, proven
+    bit-identical by value_percentiles) and the clamp is least/greatest
+    — so the winsorized values hash-match, row for row, at event grain.
+
+    Scale shape: one per-group exact percentile (in-group sort, groups
+    bounded by event-type cardinality — the approx_percentile sketch is
+    the documented escalation when they aren't), broadcast of the ≤5-row
+    bounds table back onto the scan, and a map-side clamp inside
+    codegen. No second data pass, no wide shuffle."""
+    events = table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("lo"),
+        F.percentile("value", 0.99).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return events.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        clamped.alias("value_winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clamped"
+        ),
+    )
+
+
+# log10(1 + 1/d) for d = 1..9; literals so no transcendental is ever
+# evaluated in either engine (ln/log10 are not correctly-rounded and
+# would drift the cross-engine hash — same reasoning as the linear-idf
+# note on tfidf_top_terms)
+_BENFORD = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829993,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+# e-notation forces DuckDB to parse each literal as a DOUBLE directly
+# (a plain decimal literal becomes DECIMAL(17,16) and its conversion to
+# double can land one ULP off the correctly-rounded value Spark holds)
+_BENFORD_SQL_CASE = "CASE first_digit " + " ".join(
+    f"WHEN '{d}' THEN {_BENFORD[d - 1]:.17e}" for d in range(1, 10)
+) + " END"
+
+
+@query(
+    "benford_price_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS first_digit
+      FROM orders
+    ), tot AS (
+      SELECT COUNT(*) AS n_total FROM digits
+    ), counted AS (
+      SELECT first_digit, COUNT(*) AS n_orders FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit, n_orders,
+           CAST(n_orders AS DOUBLE) / n_total AS share,
+           {_BENFORD_SQL_CASE} AS benford_expected,
+           CAST(n_orders AS DOUBLE) / n_total - {_BENFORD_SQL_CASE}
+             AS deviation
+    FROM counted, tot
+    """,
+    survey="§2.9 data-quality (Benford first-digit audit, literal expectations)",
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order prices — the classic
+    fabricated-data detector. The first digit comes from integer→string
+    conversion (floor → BIGINT → VARCHAR), never from float formatting
+    or log10, so both engines bucket identically; the Benford
+    expectations are nine compile-time literals. The fixture's uniform
+    price distribution FAILS Benford loudly (deviation on digit 1 is
+    ~−0.19), which is exactly the point: the audit output is the
+    evidence a DQ pipeline would alert on.
+
+    Scale shape: a 9-key groupBy (all partial map-side) + the
+    non-foldable scalar total; one scan, one tiny shuffle."""
+    digits = table(spark, sf_dir, "orders").select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .alias("first_digit")
+    )
+    counted = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = digits.agg(F.count(F.lit(1)).alias("n_total")).select(
+        "n_total",
+        F.least(F.greatest(F.col("n_total"), F.lit(1)), F.lit(1)).cast("int").alias("_k"),
+    )
+    bexp = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        bexp = F.when(F.col("first_digit") == str(d), F.lit(_BENFORD[d - 1])).otherwise(bexp)
+    share = F.col("n_orders").cast("double") / F.col("n_total")
+    return (
+        counted.withColumn(
+            "_k",
+            F.least(F.greatest(F.col("n_orders"), F.lit(1)), F.lit(1)).cast("int"),
+        )
+        .join(F.broadcast(tot), "_k")
+        .select(
+            "first_digit",
+            "n_orders",
+            share.alias("share"),
+            bexp.alias("benford_expected"),
+            (share - bexp).alias("deviation"),
+        )
+    )
