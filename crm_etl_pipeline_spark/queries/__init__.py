@@ -181,16 +181,55 @@ DRIVER_PRIORITY: list[str] = [
     # The 3 r3-verified queries (sample_stratified_hashrank,
     # version_counts_per_key, vocab_top_tokens) ceded their slots: an r3
     # row is within the two-round freshness tolerance, a missing row is not.
+    #
+    # Round-5 CONTINUATION rotation: 13 more operators landed after the
+    # window above was set (prefix_filter_setsim_join and
+    # streaming_rate_limit from the first r5 session; eleven from the
+    # continuation session). Each takes a slot from a query whose
+    # machinery a remaining in-window or r4-row twin covers:
+    # rate_limit_admission ceded to streaming_rate_limit: both check the
+    # SAME _ADMISSION_SQL oracle; the stateful applyInPandasWithState
+    # limiter is the stricter execution of the identical admission model.
+    # kmv_sketch_merge ceded to kmv_set_intersection: the union sketch IS
+    # the merge applied (inclusion-exclusion needs it per type pair), and
+    # the merge law stays pytest-green at HEAD.
+    # weighted_sample_allocation ceded to its PPS twin
+    # pps_systematic_sample (in window): same exact-weight prefix math,
+    # systematic variant is the stricter check.
+    # histogram_order_values ceded to histogram_equi_depth (in window):
+    # both exercise the scalar-attach + bucket algebra; equi-depth adds
+    # the exact-quantile boundary on top.
+    # embedding_standardize ceded to embedding_quantize_int8 (in window):
+    # identical per-dim exact aggregate + elementwise map shape.
+    # json_source_roundtrip ceded to csv_source_roundtrip (in window):
+    # the same schema-on-read roundtrip plumbing, one format apart.
+    # event_value_anomalies ceded to winsorize_event_values: the same
+    # per-type bounds-broadcast shape gets a first-ever row, and
+    # robust_outliers_mad (in window) covers outlier detection proper.
+    # cdc_apply_snapshot ceded to cdc_derive_changes (in window): inverse
+    # operators on the same op-typed changeset; the derive→apply
+    # roundtrip is pytest-proven (test_gateway_cdc).
+    # triangle_count ceded to copurchase_pagerank (in window): the
+    # co-purchase edge derivation is shared; the iterative kernel is the
+    # stricter half.
+    # embedding_kmeans ceded to kmeans_cluster_purity (in window), which
+    # composes the k-means oracle VERBATIM — its row re-verifies k-means.
+    # multimodal_byte_dedup ceded to boilerplate_line_removal: binary
+    # plumbing holds r4 rows (multimodal_manifest/features) and the
+    # hash-groupBy dedup shape rides in via dedup_incremental_new_docs.
+    # chunk_documents ceded to pack_training_sequences' r4 row: the same
+    # integer token-window math, bin-packing being the superset.
+    # dq_audit_orders ceded to the two NEW order-table audits in the
+    # window (shipping_delay_audit, benford_price_audit); its planted-rot
+    # path stays pytest-green at HEAD.
     "streaming_dlq_replay",
     "pii_redaction",
     "dedup_incremental_new_docs",
     "token_rarity_score",
     "repeated_span_mining",
     "bm25_topk_search",
-    "chunk_documents",
     "inverted_index_postings",
     "streaming_stream_stream_join",
-    "multimodal_byte_dedup",
     "partition_pruned_scan",
     "ann_ivf_persisted_index",
     "multimodal_decode_quarantine",
@@ -199,30 +238,20 @@ DRIVER_PRIORITY: list[str] = [
     "rfm_segmentation",
     "record_linkage_fuzzy",
     "gapfill_daily_user_revenue",
-    "event_value_anomalies",
-    "histogram_order_values",
-    "weighted_sample_allocation",
-    "embedding_standardize",
     "embedding_quantize_int8",
     "csv_source_roundtrip",
-    "json_source_roundtrip",
-    "embedding_kmeans",
     "copurchase_lift_topk",
     "event_transition_matrix",
-    "dq_audit_orders",
     "regional_supplier_volume",
     "streaming_moments_anomalies",
     "ols_frequency_monetary",
     "keyset_pagination_orders",
-    "cdc_apply_snapshot",
-    "kmv_sketch_merge",
     "global_rank_two_phase",
     "scd2_asof_snapshot",
     "histogram_equi_depth",
     "robust_outliers_mad",
     "copurchase_pagerank",
     "kmeans_cluster_purity",
-    "rate_limit_admission",
     "credential_rotation_schedule",
     "backoff_penalty_audit",
     "cdc_derive_changes",
@@ -230,8 +259,26 @@ DRIVER_PRIORITY: list[str] = [
     "pps_systematic_sample",
     "approx_distinct_selfcheck",
     "knn_label_disagreement",
-    "triangle_count",
-    # Queries registered after the 50-slot window filled queue for their
-    # first driver row next round (all pytest-oracle-green at HEAD):
-    # prefix_filter_setsim_join.
+    # first r5 session's late registrations
+    "prefix_filter_setsim_join",
+    "streaming_rate_limit",
+    # continuation-session operators (sketch filters, attribution,
+    # profiling, curation, streaming audit)
+    "bloom_semi_join_prune",
+    "countmin_heavy_hitters",
+    "kmv_set_intersection",
+    "attribution_last_touch",
+    "chi_square_segment_nation",
+    "shipping_delay_audit",
+    "mom_revenue_growth",
+    "boilerplate_line_removal",
+    "streaming_late_data_audit",
+    "winsorize_event_values",
+    "benford_price_audit",
+    # Ceded queries queue for their next driver row in round 6 (all
+    # pytest-oracle-green at HEAD): chunk_documents, multimodal_byte_dedup,
+    # embedding_kmeans, embedding_standardize, event_value_anomalies,
+    # histogram_order_values, weighted_sample_allocation,
+    # json_source_roundtrip, cdc_apply_snapshot, kmv_sketch_merge,
+    # rate_limit_admission, triangle_count, dq_audit_orders.
 ]
