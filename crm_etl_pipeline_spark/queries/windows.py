@@ -423,3 +423,56 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("mom_growth"),
     )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, ts, value, rn, value AS ewma
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             0.5 * o.value + 0.5 * r.ewma
+      FROM ordered o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ewma FROM r
+    """,
+    survey="§2.8 Arrow grouped map (per-user EWMA — sequential recursion, applyInPandas)",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (α = 0.5, adjust=False: s₁ = x₁, sₜ = ½xₜ + ½sₜ₋₁) — the grouped
+    sequential recursion that justifies the Arrow grouped-map path.
+    Unlike every other operator in the package, this one has NO
+    column-algebra form at the same rounding: the closed-form
+    Σ 2⁻ᵏxᵢ re-associates the additions and drifts the hash, so the
+    per-group recursion is executed literally — pandas ``ewm`` inside
+    ``applyInPandas`` on the Spark side, a recursive CTE running the
+    IDENTICAL IEEE sequence (products then one add per step, addition
+    commutes) on the oracle side. α = ½ keeps both multiplications
+    exact-scaling so the only rounding per step is the single add.
+
+    Scale shape: one shuffle on user_id, then each group streams
+    through an Arrow batch with O(n) state — the canonical "UDFs are
+    the slow path, but THIS is what they're for" operator; group size
+    is bounded by per-user activity, and the sort inside each group is
+    the same bounded in-group sort every window query pays."""
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def ewma(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma"] = pdf["value"].ewm(alpha=0.5, adjust=False).mean()
+        return pdf
+
+    return events.groupBy("user_id").applyInPandas(
+        ewma,
+        schema="user_id long, event_id long, ts timestamp, value double, ewma double",
+    )
