@@ -119,3 +119,14 @@ def test_mom_growth_first_month_null(spark):
     assert first_rows and all(
         r["prev_revenue"] is None and r["mom_growth"] is None for r in first_rows
     )
+
+
+def test_late_audit_idempotent_within_session(spark):
+    """A second invocation in the same process reuses the pid-scoped
+    workdir (arrival files + checkpoint already present): the converged
+    sink must be identical, and the fabrication must not be redone
+    under the live checkpoint."""
+    q = REGISTRY["streaming_late_data_audit"].fn
+    a = sorted(tuple(r) for r in q(spark, SF).collect())
+    b = sorted(tuple(r) for r in q(spark, SF).collect())
+    assert a == b
