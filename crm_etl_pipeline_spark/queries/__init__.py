@@ -280,6 +280,7 @@ DRIVER_PRIORITY: list[str] = [
     # embedding_kmeans, embedding_standardize, event_value_anomalies,
     # histogram_order_values, weighted_sample_allocation,
     # json_source_roundtrip, cdc_apply_snapshot, kmv_sketch_merge,
-    # rate_limit_admission, triangle_count, dq_audit_orders, and
-    # ewma_user_value (registered after this rotation).
+    # rate_limit_admission, triangle_count, dq_audit_orders, and the
+    # post-rotation registrations ewma_user_value, decile_gains_table,
+    # ab_test_conversion.
 ]

@@ -817,3 +817,235 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(3600.0)
         ).alias("avg_hours_to_convert"),
     )
+
+
+@query(
+    "decile_gains_table",
+    oracle="""
+    WITH cutoff AS (
+      SELECT CAST('2000-01-01' AS TIMESTAMP) AS c
+    ), hist AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS score
+      FROM orders, cutoff WHERE o_orderdate < c
+      GROUP BY o_custkey
+    ), resp AS (
+      SELECT DISTINCT o_custkey FROM orders, cutoff WHERE o_orderdate >= c
+    ), bounds AS (
+      SELECT quantile_cont(score,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+      FROM hist
+    ), scored AS (
+      SELECT h.o_custkey, h.score,
+             1 + len(list_filter(b.q, x -> x < h.score)) AS decile,
+             CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS responded
+      FROM hist h CROSS JOIN bounds b
+      LEFT JOIN resp r ON r.o_custkey = h.o_custkey
+    ), per_decile AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(SUM(responded) AS BIGINT) AS n_responders
+      FROM scored GROUP BY decile
+    ), tot AS (
+      SELECT CAST(SUM(n_customers) AS BIGINT) AS tot_n,
+             CAST(SUM(n_responders) AS BIGINT) AS tot_resp
+      FROM per_decile
+    )
+    SELECT decile, n_customers, n_responders,
+           CAST(n_responders AS DOUBLE) / n_customers AS response_rate,
+           (CAST(n_responders AS DOUBLE) / n_customers)
+             / (CAST(tot_resp AS DOUBLE) / tot_n) AS lift,
+           CAST(n_responders AS DOUBLE) / tot_resp AS capture_share
+    FROM per_decile, tot
+    """,
+    survey="§2.9 CRM analytics (decile gains/lift table from a backtested propensity score)",
+)
+def decile_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table — the standard evaluation of a targeting score:
+    customers are deciled by PRE-cutoff monetary value (decile 10 =
+    highest spenders) and scored against POST-cutoff response (any
+    order on/after 2000-01-01); per decile the table reports response
+    rate, lift over the base rate, and share of all responders
+    captured. The backtest split makes it an honest evaluation, not a
+    leak: the score never sees the response window.
+
+    Scale shape: NO window anywhere — the decile boundaries are ONE
+    exact-percentile aggregate (9 interpolated quantiles, the same
+    bit-identical machinery as value_percentiles) broadcast back to the
+    customer-grain frame, and assignment is a pure comparison count
+    against the 9-element array. This is the global-ntile escalation
+    the RFM docstring promises: at any corpus size the sort lives
+    inside one percentile aggregate, never a single-partition ntile.
+    Response marking is a user-key left join; the rest is a 10-key agg."""
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    orders = table(spark, sf_dir, "orders")
+    hist = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    resp = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("_r", F.lit(1))
+    )
+    bounds = hist.agg(
+        F.expr(
+            "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("q")
+    ).select(
+        "q",
+        F.least(F.greatest(F.size(F.col("q")), F.lit(1)), F.lit(1))
+        .cast("int")
+        .alias("_k"),
+    )
+    scored = (
+        # non-foldable always-1 key (scores are >= 900, a lit(1) would
+        # constant-fold and degrade the attach to a nested loop)
+        hist.withColumn(
+            "_k",
+            F.least(F.greatest(F.col("score"), F.lit(1.0)), F.lit(1.0)).cast("int"),
+        )
+        .join(F.broadcast(bounds), "_k")
+        .join(resp, "o_custkey", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.size(F.filter(F.col("q"), lambda x: x < F.col("score")))
+            ).alias("decile"),
+            F.coalesce(F.col("_r"), F.lit(0)).alias("responded"),
+        )
+    )
+    per_decile = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("responded").alias("n_responders"),
+    )
+    tot = per_decile.agg(
+        F.sum("n_customers").alias("tot_n"),
+        F.sum("n_responders").alias("tot_resp"),
+    ).select(
+        "tot_n",
+        "tot_resp",
+        F.least(F.greatest(F.col("tot_n"), F.lit(1)), F.lit(1)).cast("int").alias("_k"),
+    )
+    rate = F.col("n_responders").cast("double") / F.col("n_customers")
+    base = F.col("tot_resp").cast("double") / F.col("tot_n")
+    return (
+        per_decile.withColumn(
+            "_k",
+            F.least(F.greatest(F.col("n_customers"), F.lit(1)), F.lit(1)).cast("int"),
+        )
+        .join(F.broadcast(tot), "_k")
+        .select(
+            "decile",
+            "n_customers",
+            "n_responders",
+            rate.alias("response_rate"),
+            (rate / base).alias("lift"),
+            (F.col("n_responders").cast("double") / F.col("tot_resp")).alias(
+                "capture_share"
+            ),
+        )
+    )
+
+
+@query(
+    "ab_test_conversion",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM users
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS zscore,
+           abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+    FROM agg
+    """,
+    survey="§2.9 experimentation (hash-assigned A/B split, two-proportion z-test)",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are assigned to variants by the
+    deterministic md5 hash split every experimentation platform uses
+    (first hex < '8' → A, half the space), conversion is
+    made-a-purchase, and the two-proportion z-test statistic is
+    computed from exact integer counts (conversion = a purchase of
+    value >= 150, which splits the fixture's users ~45/55 — 'any
+    purchase' converts everyone here and degenerates the variance) — sqrt IS correctly rounded per
+    IEEE-754 (the stats_q module note), so even the z-score
+    hash-matches. Under a hash split of homogeneous traffic the test
+    should NOT reject: the readout showing |z| < 1.96 is the A/A
+    sanity check experimentation teams run before trusting a platform.
+
+    Scale shape: one user-grain conditional aggregate (partial
+    map-side), then a single global agg over user rows and pure
+    arithmetic — no window, no join, two tiny shuffles end to end."""
+    users = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+            ).otherwise("B"),
+        )
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("zscore"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
