@@ -466,3 +466,80 @@ def cdc_derive_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("old_ts") != F.col("new_ts"))
         )
     )
+
+
+@query(
+    "session_path_trigrams",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), grams AS (
+      SELECT event_type || '>' || LEAD(event_type, 1) OVER s
+                        || '>' || LEAD(event_type, 2) OVER s AS trigram
+      FROM sessions
+      WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT trigram, COUNT(*) AS n_paths
+    FROM grams WHERE trigram IS NOT NULL
+    GROUP BY trigram
+    ORDER BY n_paths DESC, trigram LIMIT 20
+    """,
+    survey="§2.9 CRM analytics (clickstream path mining: top session trigrams, L1/window machinery)",
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 20 most frequent 3-step event-type
+    paths occurring INSIDE a 30-minute-gap session (the sessionization
+    query's exact boundary rule, so the two operators agree on what a
+    session is). Trigrams come from two leads over the (user, session)
+    window — lead returns NULL past the session edge, so no path ever
+    crosses a session boundary by construction rather than by filter.
+
+    Scale shape: the same bounded per-user windows sessionization pays
+    (one shuffle on user_id; the concat-lead adds no extra exchange
+    because the second window partitions by a prefix-compatible key),
+    then a trigram-key groupBy whose cardinality is at most
+    |event_types|³ = 125 — partial aggregation collapses everything
+    map-side, and top-20 compiles to TakeOrderedAndProject (no global
+    window). Ties break on the trigram string in both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessions = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+    )
+    s = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    trigram = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(s),
+        F.lead("event_type", 2).over(s),
+    )
+    grams = sessions.select(
+        trigram.alias("trigram"),
+        F.lead("event_type", 2).over(s).alias("_l2"),
+    ).filter(F.col("_l2").isNotNull())
+    return (
+        grams.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("trigram"))
+        .limit(20)
+    )
