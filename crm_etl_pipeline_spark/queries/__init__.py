@@ -282,5 +282,5 @@ DRIVER_PRIORITY: list[str] = [
     # json_source_roundtrip, cdc_apply_snapshot, kmv_sketch_merge,
     # rate_limit_admission, triangle_count, dq_audit_orders, and the
     # post-rotation registrations ewma_user_value, decile_gains_table,
-    # ab_test_conversion, session_path_trigrams.
+    # ab_test_conversion, session_path_trigrams, orc_source_roundtrip.
 ]

@@ -121,3 +121,23 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
         .select([f.name for f in _EVENTS_SCHEMA.fields])
     )
+
+
+@query(
+    "orc_source_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    survey="S1 source formats (ORC columnar reader; binary round-trip fidelity)",
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract over ORC — the other columnar store a warehouse
+    inherits (Hive estates land ORC the way this engine lands parquet).
+    Being a typed binary format there is no timestamp-format or quoting
+    knob to get wrong; what the hash certifies instead is type-system
+    fidelity across the ORC writer/reader pair (µs timestamps survive
+    intact, doubles bit-exact, strings raw). Unlike the text sources,
+    ORC serves as well as ingests: predicate pushdown and column
+    pruning work as they do on parquet, so a mixed parquet/ORC estate
+    keeps the same plans."""
+    path = os.path.join(_workdir("orc", sf_dir), "events_orc")
+    _export_subset(spark, sf_dir).write.mode("overwrite").orc(path)
+    return spark.read.schema(_EVENTS_SCHEMA).orc(path)
