@@ -270,7 +270,13 @@ DRIVER_PRIORITY: list[str] = [
     "attribution_last_touch",
     "chi_square_segment_nation",
     "shipping_delay_audit",
-    "mom_revenue_growth",
+    # mom_revenue_growth ceded its slot to ewma_user_value late in the
+    # continuation session: the lag-window-on-pre-agg shape is the least
+    # novel machinery of the batch (running_revenue / lag_order_gap_days
+    # carry the same windowed-lag plan and it stays pytest-green at
+    # HEAD), while ewma is the ONLY query on the batch grouped-Arrow
+    # applyInPandas surface — which otherwise has no driver row at all.
+    "ewma_user_value",
     "boilerplate_line_removal",
     "streaming_late_data_audit",
     "winsorize_event_values",
@@ -281,6 +287,7 @@ DRIVER_PRIORITY: list[str] = [
     # histogram_order_values, weighted_sample_allocation,
     # json_source_roundtrip, cdc_apply_snapshot, kmv_sketch_merge,
     # rate_limit_admission, triangle_count, dq_audit_orders, and the
-    # post-rotation registrations ewma_user_value, decile_gains_table,
-    # ab_test_conversion, session_path_trigrams, orc_source_roundtrip.
+    # post-rotation registrations mom_revenue_growth (ceded to ewma),
+    # decile_gains_table, ab_test_conversion, session_path_trigrams,
+    # orc_source_roundtrip.
 ]
