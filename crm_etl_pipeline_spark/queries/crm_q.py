@@ -1049,3 +1049,109 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "interpolate_daily_user_value",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS obs
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY user_id
+    ), cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ), joined AS (
+      SELECT c.user_id, c.day, d.obs
+      FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    ), anchored AS (
+      SELECT user_id, day, obs,
+             last_value(obs IGNORE NULLS) OVER wback AS prev_v,
+             last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wback AS prev_day,
+             first_value(obs IGNORE NULLS) OVER wfwd AS next_v,
+             first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wfwd AS next_day
+      FROM joined
+      WINDOW wback AS (PARTITION BY user_id ORDER BY day
+                       ROWS UNBOUNDED PRECEDING),
+             wfwd AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day, obs,
+           CASE WHEN obs IS NOT NULL THEN obs
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(day - prev_day AS DOUBLE)
+                        / CAST(next_day - prev_day AS DOUBLE)) END
+             AS interpolated,
+           obs IS NOT NULL AS was_observed
+    FROM anchored
+    """,
+    survey="§2.9 CRM analytics (linear interpolation backfill between observations)",
+)
+def interpolate_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation backfill — the metric-series repair step
+    LOCF (gapfill_daily_user_revenue) is too blunt for: every missing
+    day inside a user's [first, last] purchase span gets the straight-
+    line value between its surrounding observations. Calendar ends are
+    observed by construction (the span IS min..max of observed days),
+    so the interpolant is total: observed days pass through exactly,
+    interior gaps divide a strictly positive day span (0/0 cannot
+    occur). The arithmetic is one fixed IEEE sequence — anchors cast to
+    double BEFORE the windows so both engines interpolate identical
+    bits.
+
+    Scale shape: same as gapfill — per-user calendar explode stays
+    partition-local after one user-key shuffle, the four anchor columns
+    are two ignore-nulls windows (forward and backward) over bounded
+    per-user partitions, and no second shuffle exists because all four
+    windows share the (user_id, day) ordering."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("obs"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    wback = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("obs").isNotNull(), F.col("day"))
+    anchored = joined.select(
+        "user_id",
+        "day",
+        "obs",
+        F.last("obs", ignorenulls=True).over(wback).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(wback).alias("prev_day"),
+        F.first("obs", ignorenulls=True).over(wfwd).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(wfwd).alias("next_day"),
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")).cast("double") / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    ).cast("double")
+    interp = F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    )
+    return anchored.select(
+        "user_id",
+        "day",
+        "obs",
+        interp.alias("interpolated"),
+        F.col("obs").isNotNull().alias("was_observed"),
+    )
