@@ -289,5 +289,6 @@ DRIVER_PRIORITY: list[str] = [
     # rate_limit_admission, triangle_count, dq_audit_orders, and the
     # post-rotation registrations mom_revenue_growth (ceded to ewma),
     # decile_gains_table, ab_test_conversion, session_path_trigrams,
-    # orc_source_roundtrip, interpolate_daily_user_value.
+    # orc_source_roundtrip, interpolate_daily_user_value,
+    # wap_publish_roundtrip.
 ]

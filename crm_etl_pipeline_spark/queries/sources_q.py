@@ -141,3 +141,42 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_workdir("orc", sf_dir), "events_orc")
     _export_subset(spark, sf_dir).write.mode("overwrite").orc(path)
     return spark.read.schema(_EVENTS_SCHEMA).orc(path)
+
+
+@query(
+    "wap_publish_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    survey="sink protocol (write-audit-publish: staged write, audit gate, atomic manifest flip)",
+)
+def wap_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink-side twin of the source roundtrips: export 500 events
+    through the full write-audit-publish protocol (stage → audit the
+    staged bytes → atomic manifest flip) and return what a reader
+    resolves through the manifest. The hash certifies the published
+    bytes equal the parquet truth; the audit gate ran for real (a
+    row-count floor and an event_id non-null check against the staged
+    files). The failure paths — audit rejection leaving the old version
+    live, instant metadata-only rollback — are exercised in
+    tests/test_wap.py."""
+    from crm_etl_pipeline_spark import wap
+
+    root = os.path.join(_workdir("wap", sf_dir), "events_wap")
+    published, _, failures = wap.publish(
+        spark,
+        _export_subset(spark, sf_dir),
+        root,
+        audits=[
+            ("row_count", lambda d: (d.count() > 0, "empty batch")),
+            (
+                "event_id_not_null",
+                lambda d: (
+                    d.filter(F.col("event_id").isNull()).count() == 0,
+                    "null event_id",
+                ),
+            ),
+        ],
+    )
+    assert published, f"audits failed: {failures}"
+    return wap.read_published(spark, root).select(
+        [f.name for f in _EVENTS_SCHEMA.fields]
+    )
