@@ -290,5 +290,5 @@ DRIVER_PRIORITY: list[str] = [
     # post-rotation registrations mom_revenue_growth (ceded to ewma),
     # decile_gains_table, ab_test_conversion, session_path_trigrams,
     # orc_source_roundtrip, interpolate_daily_user_value,
-    # wap_publish_roundtrip.
+    # wap_publish_roundtrip, pearson_correlation_matrix.
 ]

@@ -901,3 +901,89 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (share - bexp).alias("deviation"),
         )
     )
+
+
+@query(
+    "pearson_correlation_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+             SUM(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+             SUM(CAST(l_discount AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS sdd,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS sqd,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS spd
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+             AS corr_qty_price,
+           (n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+             / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                * sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+             AS corr_qty_disc,
+           (n * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+             / (sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                * sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+             AS corr_price_disc
+    FROM m
+    """,
+    survey="§2.9 profiling (exact-moment Pearson correlation matrix per group)",
+)
+def pearson_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of (quantity, price, discount) per
+    return flag, from ONE pass of exact DECIMAL sufficient statistics
+    (the OLS/z-score moment machinery extended to the full 3×3 matrix).
+    Everything is rational in exact decimals until the final doubles;
+    sqrt is correctly rounded, so the correlations hash-match — unlike
+    Spark's builtin corr(), whose streaming co-moment accumulation
+    order is engine-specific and cannot be oracle-checked bit-for-bit.
+
+    Scale shape: a single partial-aggregating groupBy on ≤ 3 flags
+    carrying 10 mergeable sums — the sufficient-statistic pattern that
+    turns any covariance-family computation into one map-side-collapsed
+    scan at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        num = n * F.col(sxy).cast("double") - F.col(sx).cast("double") * F.col(sy).cast("double")
+        dx = F.sqrt(n * F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(sx).cast("double"))
+        dy = F.sqrt(n * F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(sy).cast("double"))
+        return num / (dx * dy)
+
+    return m.select(
+        "l_returnflag",
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )
