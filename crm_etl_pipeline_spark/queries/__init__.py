@@ -290,5 +290,6 @@ DRIVER_PRIORITY: list[str] = [
     # post-rotation registrations mom_revenue_growth (ceded to ewma),
     # decile_gains_table, ab_test_conversion, session_path_trigrams,
     # orc_source_roundtrip, interpolate_daily_user_value,
-    # wap_publish_roundtrip, pearson_correlation_matrix.
+    # wap_publish_roundtrip, pearson_correlation_matrix,
+    # abc_pareto_classification.
 ]

@@ -987,3 +987,102 @@ def pearson_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
     )
+
+
+_ABC_BUCKETS = 32
+
+
+@query(
+    "abc_pareto_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT SUM(r) AS total FROM rev
+    ), c AS (
+      SELECT l_partkey, CAST(r AS DOUBLE) AS revenue,
+             CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(total AS DOUBLE) AS cum_share
+      FROM rev, tot
+    )
+    SELECT l_partkey, revenue, cum_share,
+           CASE WHEN cum_share <= 0.80 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    survey="§2.9 profiling (ABC/Pareto classification via two-phase global cumulative share)",
+)
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (the 80/15/5 Pareto split): every
+    part gets its exact global cumulative revenue share in descending
+    revenue order, WITHOUT a single-partition sort — the two-phase
+    pattern of global_rank_two_phase extended from ranks to prefix
+    SUMS: (1) parts bucket by revenue range (scalar-attached equi-width
+    boundaries, deterministic so the oracle can replay the semantics);
+    (2) exact DECIMAL prefix sums inside each bounded bucket partition;
+    (3) the 32 per-bucket totals prefix-sum (descending) into offsets
+    on a constant-keyed 32-row window — the entire serial section;
+    (4) cum = offset + in-bucket prefix, still exact DECIMAL, one
+    double division at the edge. The ORACLE runs the naive global
+    window — the hash match proves the decomposition. Ties cannot
+    straddle buckets (equal revenue ⇒ equal bucket), so the composed
+    order equals the naive (revenue DESC, partkey) order exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    rd = F.col("r").cast("double")
+    ext = rev.agg(
+        F.min(rd).alias("lo"), F.max(rd).alias("hi"), F.sum("r").alias("total")
+    )
+    # revenues are positive (extendedprice > 0), so lo >= 1 keys the attach
+    ext = ext.select(
+        "lo", "hi", "total",
+        F.least(F.greatest(F.col("lo"), F.lit(1.0)), F.lit(1.0)).cast("int").alias("_k"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_ABC_BUCKETS))
+    bucket = F.least(
+        F.floor((rd - F.col("lo")) / width), F.lit(_ABC_BUCKETS - 1)
+    ).cast("int")
+    bucketed = (
+        rev.withColumn(
+            "_k", F.least(F.greatest(rd, F.lit(1.0)), F.lit(1.0)).cast("int")
+        )
+        .join(F.broadcast(ext), "_k")
+        .select("l_partkey", "r", F.col("total").alias("total"), bucket.alias("b"))
+    )
+    in_bucket = (
+        Window.partitionBy("b")
+        .orderBy(F.col("r").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_prefix = bucketed.withColumn("local_cum", F.sum("r").over(in_bucket))
+    totals = bucketed.groupBy("b").agg(F.sum("r").alias("r_b"))
+    # 32-row descending prefix over a constant-but-non-foldable key:
+    # buckets ABOVE b (higher revenue) contribute the offset
+    pw = (
+        Window.partitionBy(F.least(F.col("b") + 1, F.lit(1)))
+        .orderBy(F.col("b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "b", F.coalesce(F.sum("r_b").over(pw), F.lit(0).cast("decimal(18,2)")).alias("offset")
+    )
+    cum_share = (
+        (F.col("offset") + F.col("local_cum")).cast("double") / F.col("total").cast("double")
+    )
+    return (
+        with_prefix.join(F.broadcast(offsets), "b")
+        .select(
+            "l_partkey",
+            F.col("r").cast("double").alias("revenue"),
+            cum_share.alias("cum_share"),
+            F.when(cum_share <= 0.80, "A")
+            .when(cum_share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
