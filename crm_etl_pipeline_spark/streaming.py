@@ -842,7 +842,17 @@ def late_arrival_audit_stream(spark: SparkSession, sf_dir: str, workdir: str) ->
             tmp = os.path.join(workdir, f"split{i}")
             part.coalesce(1).write.mode("overwrite").parquet(tmp)
             dst = os.path.join(src, f"e{i}.parquet")
-            shutil.copy(glob.glob(os.path.join(tmp, "*.parquet"))[0], dst)
+            written = glob.glob(os.path.join(tmp, "*.parquet"))
+            # a degenerate/tiny fixture can leave an md5 split empty, and
+            # an empty write produces a directory with no part files —
+            # fail with the cause, not an IndexError three frames deep
+            if not written:
+                raise ValueError(
+                    f"arrival split {i} of {sf_dir}/events.parquet is empty: "
+                    "the md5 thirds need a fixture with enough events to "
+                    "populate every arrival file"
+                )
+            shutil.copy(written[0], dst)
             # monotone mtimes = deterministic batch order for the file source
             os.utime(dst, (1_000_000_000 + i * 100,) * 2)
     schema = spark.read.parquet(os.path.join(src, "e0.parquet")).schema

@@ -52,6 +52,31 @@ def current_version(table_root: str) -> int | None:
         return None
 
 
+def _next_version(table_root: str) -> int:
+    """1 + the highest version number that exists ON DISK — published
+    (``vN``), staged (``_staging_vN``), or rejected (``_rejected/vN``,
+    with or without an attempt suffix).
+
+    The manifest pointer is NOT the allocator: after ``rollback(1)`` the
+    pointer reads 1 while ``v2`` is still retained on disk, so
+    ``current_version()+1`` would re-allocate 2 and the final
+    ``os.rename`` would collide with the retained directory. Rejected
+    versions count too, so two consecutive audit-rejected publishes get
+    distinct numbers and distinct forensics reports."""
+    taken = [0]
+    for entry in os.listdir(table_root) if os.path.isdir(table_root) else []:
+        for prefix in ("v", "_staging_v"):
+            if entry.startswith(prefix) and entry[len(prefix):].isdigit():
+                taken.append(int(entry[len(prefix):]))
+    rejected_root = os.path.join(table_root, "_rejected")
+    if os.path.isdir(rejected_root):
+        for entry in os.listdir(rejected_root):
+            core = entry.removeprefix("v").split(".")[0]
+            if entry.startswith("v") and core.isdigit():
+                taken.append(int(core))
+    return max(taken) + 1
+
+
 def publish(
     spark: SparkSession,
     df: DataFrame,
@@ -67,7 +92,7 @@ def publish(
     come back to the caller.
     """
     os.makedirs(table_root, exist_ok=True)
-    version = (current_version(table_root) or 0) + 1
+    version = _next_version(table_root)
     staged = os.path.join(table_root, f"_staging_v{version}")
     df.write.mode("overwrite").parquet(staged)
 
