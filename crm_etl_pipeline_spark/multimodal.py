@@ -18,15 +18,19 @@ Spark-first design:
 Codec status: WAV (RIFF/PCM), BMP, PNG, and MP4 are all decoded FOR
 REAL — ``fabricate_media`` emits genuine RIFF/BMP/PNG/ISO-BMFF byte
 streams (PNG IDAT is a true zlib stream built with the stdlib; the MP4
-is a complete ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/mdat box tree) and
+is a complete ftyp/moov/mvhd/trak/tkhd/mdia/mdhd box tree with a
+genuine stbl sample table — stsd/stts/stsz/stco — plus mdat) and
 ``decode_media`` parses the actual containers (RIFF chunk walk,
 BITMAPINFOHEADER, PNG chunk walk with CRC verification + full zlib
 inflate + scanline check, ISO-BMFF box walk handling 32/64-bit and
 to-end box sizes), with a closed-form DuckDB oracle proving
 decode(fabricate(x)) recovers the parameters
 (queries/multimodal_q.py:multimodal_real_decode). No codec stubs
-remain; SAMPLE decoding of mp4 tracks (entropy-coded video frames)
-is out of scope — container metadata is what the manifest/feature
+remain; mp4 SAMPLE decoding stops at the seek plan —
+``mp4_sample_offsets`` resolves stsz/stco to exact per-sample byte
+ranges (what a range-read stage fetches from a multi-GB mdat), while
+entropy-decoding the fetched video frames stays out of scope —
+container metadata and read plans are what the manifest/feature
 pipeline consumes. The Spark-side plumbing — schema, Arrow batching,
 UDF signature, partition behavior — is identical for every format.
 """
@@ -216,22 +220,34 @@ def _png_bytes(doc_id: int) -> bytes:
     return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+#: Fixed sample-table geometry of the fabricated MP4s: 8 uniform-size
+#: samples in one chunk whose data starts at byte 392 (ftyp 24 + moov
+#: 360 + mdat header 8). Uniform size + single chunk keep EVERY header
+#: box fixed-size, so the file length stays closed-form in doc_id.
+MP4_N_SAMPLES = 8
+MP4_CHUNK_OFFSET = 392
+
+
 def _mp4_bytes(doc_id: int) -> bytes:
     """A complete, valid ISO-BMFF (MP4) file: ftyp('isom') +
-    moov(mvhd + trak(tkhd + mdia(mdhd))) + mdat. Every box carries its
+    moov(mvhd + trak(tkhd + mdia(mdhd + minf(stbl)))) + mdat, where the
+    sample table is genuine: stsd, stts (two runs summing exactly to
+    the media duration), stsz (8 uniform samples of 8 + doc_id % 16
+    bytes), stco (one chunk at file offset 392). Every box carries its
     real big-endian size; tkhd width/height are genuine 16.16 fixed
     point. Parameters are closed-form in doc_id: width =
     16 + doc_id % 32, height = 16 + (13·doc_id) % 32, duration =
     1000 + doc_id % 9000 ticks at the 90 kHz movie timescale, mdat
-    payload 64 + doc_id % 128 bytes. All header boxes are fixed-size
-    (ftyp 24, moov 256), so the file is exactly 352 + doc_id % 128
+    payload 8·(8 + doc_id % 16) bytes. All header boxes are fixed-size
+    (ftyp 24, moov 360), so the file is exactly 456 + 8·(doc_id % 16)
     bytes — the closed form the oracle checks."""
     import struct
 
     w = 16 + doc_id % 32
     h = 16 + (13 * doc_id) % 32
     duration = 1000 + doc_id % 9000
-    n_data = 64 + doc_id % 128
+    sample_size = 8 + doc_id % 16
+    n_data = MP4_N_SAMPLES * sample_size
     matrix = struct.pack(
         ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
     )  # unity transform
@@ -268,8 +284,30 @@ def _mp4_bytes(doc_id: int) -> bytes:
         struct.pack(">IIIII", 0, 0, 0, MP4_TIMESCALE, duration)
         + struct.pack(">HH", 0x55C4, 0),
     )
+    # sample table, all fixed-size boxes:
+    # stsd with no entries (16 B) — the fixture carries no codec config;
+    # stts as two runs that sum EXACTLY to the media duration (32 B);
+    # stsz uniform → no per-sample table (20 B); stco one chunk (20 B)
+    delta = duration // MP4_N_SAMPLES
+    stsd = box(b"stsd", struct.pack(">II", 0, 0))
+    stts = box(
+        b"stts",
+        struct.pack(
+            ">IIIIII",
+            0,
+            2,
+            MP4_N_SAMPLES - 1,
+            delta,
+            1,
+            duration - (MP4_N_SAMPLES - 1) * delta,
+        ),
+    )
+    stsz = box(b"stsz", struct.pack(">III", 0, sample_size, MP4_N_SAMPLES))
+    stco = box(b"stco", struct.pack(">III", 0, 1, MP4_CHUNK_OFFSET))
+    stbl = box(b"stbl", stsd + stts + stsz + stco)
+    mdia = box(b"mdia", mdhd + box(b"minf", stbl))
     mdat = box(b"mdat", bytes((doc_id + i) % 256 for i in range(n_data)))
-    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + box(b"mdia", mdhd))) + mdat
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia)) + mdat
 
 
 def fabricate_media(docs: DataFrame) -> DataFrame:
@@ -425,6 +463,101 @@ def _parse_mp4(b: bytes):
                         w, h = wfix >> 16, hfix >> 16
     assert timescale is not None and w is not None, "mp4 missing mvhd/tkhd"
     return w, h, timescale, duration
+
+
+def _parse_mp4_samples(b: bytes):
+    """Walk moov→trak→mdia→minf→stbl and resolve the sample table to
+    per-sample (offset, size) pairs: stsz supplies sizes (uniform
+    ``sample_size`` or the v0 per-sample table), stco/co64 supply chunk
+    base offsets (32- and 64-bit spec forms), and samples lay out
+    back-to-back within their chunk. With no stsc box every sample sits
+    in the first chunk (the fabricated single-chunk layout; real files
+    with stsc would distribute runs of samples across chunks — that
+    refinement only changes which base offset a sample adds to)."""
+    import struct
+
+    assert len(b) >= 12 and b[4:8] == b"ftyp", "not an ISO-BMFF stream"
+    sizes: list[int] | None = None
+    chunk_offsets: list[int] = []
+
+    def walk_stbl(s: int, e: int) -> None:
+        nonlocal sizes, chunk_offsets
+        for btype, cs, ce in _mp4_boxes(b, s, e):
+            if btype == b"stsz":
+                uniform, count = struct.unpack_from(">II", b, cs + 4)
+                if uniform:
+                    sizes = [uniform] * count
+                else:
+                    sizes = list(struct.unpack_from(f">{count}I", b, cs + 12))
+            elif btype == b"stco":
+                (count,) = struct.unpack_from(">I", b, cs + 4)
+                chunk_offsets = list(struct.unpack_from(f">{count}I", b, cs + 8))
+            elif btype == b"co64":
+                (count,) = struct.unpack_from(">I", b, cs + 4)
+                chunk_offsets = list(struct.unpack_from(f">{count}Q", b, cs + 8))
+
+    for btype, s, e in _mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for t1, s1, e1 in _mp4_boxes(b, s, e):
+            if t1 != b"trak":
+                continue
+            for t2, s2, e2 in _mp4_boxes(b, s1, e1):
+                if t2 != b"mdia":
+                    continue
+                for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                    if t3 != b"minf":
+                        continue
+                    for t4, s4, e4 in _mp4_boxes(b, s3, e3):
+                        if t4 == b"stbl":
+                            walk_stbl(s4, e4)
+    assert sizes is not None and chunk_offsets, "mp4 missing stsz/stco"
+    out, pos = [], chunk_offsets[0]
+    for idx, size in enumerate(sizes):
+        assert pos + size <= len(b), "sample table points past end of file"
+        out.append((idx, pos, size))
+        pos += size
+    return out
+
+
+#: per-sample seek plan produced by mp4_sample_offsets
+MP4_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_idx", IntegerType()),
+        StructField("byte_offset", LongType()),
+        StructField("sample_size", IntegerType()),
+    ]
+)
+
+
+def mp4_sample_offsets(media: DataFrame) -> DataFrame:
+    """The MP4 counterpart of frame_offsets: instead of a synthetic
+    fixed-stride grid, the seek plan comes from the container's own
+    sample table (stsz sizes × stco chunk bases) — one row per video
+    sample with its exact byte offset and size, resolved without
+    touching (let alone entropy-decoding) the sample payloads. This is
+    how a real frame-sampling stage plans reads over video at scale:
+    parse KBs of moov headers, then range-read just the wanted samples
+    from the multi-GB mdat. Arrow-batched mapInPandas over the binary
+    payloads; non-MP4 rows are filtered before Python."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (int(doc_id), idx, off, size)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for idx, off, size in _parse_mp4_samples(bytes(payload))
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_SAMPLE_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("mime") == "video/mp4").mapInPandas(
+        extract, MP4_SAMPLE_SCHEMA
+    )
 
 
 def _decode_one(doc_id, mime: str, b: bytes) -> tuple:

@@ -60,7 +60,7 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
                 WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
-                ELSE 352 + doc_id % 128
+                ELSE 456 + 8 * (doc_id % 16)
                 END AS INT) AS n_bytes,
            CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 4 AS INT)
@@ -98,7 +98,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
                 WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
-                ELSE 352 + doc_id % 128
+                ELSE 456 + 8 * (doc_id % 16)
                 END AS INT) AS n_bytes,
            CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 4 AS INT)

@@ -76,15 +76,15 @@ def test_unknown_mime_raises(spark):
 def test_fabricated_mp4_is_valid():
     """MP4 sanity independent of our parser: box magics and closed-form
     fields at their FIXED offsets for the fabricated layout (ftyp 24 +
-    moov hdr 8 → mvhd payload @40, trak→tkhd payload @156), plus the
-    closed-form total length the oracle relies on."""
+    moov hdr 8 → mvhd payload @40, trak→tkhd payload @156, mdat @384),
+    plus the closed-form total length the oracle relies on."""
     import struct
 
     from crm_etl_pipeline_spark import multimodal
 
     for doc_id in (3, 7, 11, 127, 351, 499):
         b = multimodal._mp4_bytes(doc_id)
-        assert len(b) == 352 + doc_id % 128
+        assert len(b) == 456 + 8 * (doc_id % 16)
         assert b[4:8] == b"ftyp" and b[8:12] == b"isom"
         assert b[28:32] == b"moov" and b[36:40] == b"mvhd"
         ts, dur = struct.unpack_from(">II", b, 52)
@@ -93,8 +93,14 @@ def test_fabricated_mp4_is_valid():
         wfix, hfix = struct.unpack_from(">II", b, 232)  # tkhd dims (16.16)
         assert wfix == (16 + doc_id % 32) << 16
         assert hfix == (16 + (13 * doc_id) % 32) << 16
-        mdat_size = struct.unpack_from(">I", b, 280)[0]
-        assert b[284:288] == b"mdat" and mdat_size == 8 + 64 + doc_id % 128
+        mdat_size = struct.unpack_from(">I", b, 384)[0]
+        assert b[388:392] == b"mdat"
+        assert mdat_size == 8 + multimodal.MP4_N_SAMPLES * (8 + doc_id % 16)
+        # the stts runs must sum exactly to the media duration
+        # (stbl payload @296: stsd 16 B, then stts box @312 → entries @328)
+        assert b[316:320] == b"stts"
+        n1, d1, n2, d2 = struct.unpack_from(">IIII", b, 328)
+        assert n1 * d1 + n2 * d2 == dur and n1 + n2 == multimodal.MP4_N_SAMPLES
 
 
 def test_mp4_64bit_largesize_and_to_end_boxes(spark):
@@ -106,10 +112,10 @@ def test_mp4_64bit_largesize_and_to_end_boxes(spark):
     from crm_etl_pipeline_spark import multimodal
 
     b = multimodal._mp4_bytes(10)
-    moov = b[24:280]
+    moov = b[24:384]
     # rewrite moov as a largesize box and make mdat run to end-of-file
     moov64 = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov[8:])) + moov[8:]
-    mdat0 = struct.pack(">I", 0) + b"mdat" + b[288:]
+    mdat0 = struct.pack(">I", 0) + b"mdat" + b[392:]
     rewritten = b[:24] + moov64 + mdat0
     row = spark.createDataFrame(
         [(10, "video/mp4", bytearray(rewritten))],
@@ -117,6 +123,82 @@ def test_mp4_64bit_largesize_and_to_end_boxes(spark):
     )
     out = multimodal.decode_media(row).collect()[0]
     assert out.width == 16 + 10 % 32 and out.sample_rate == multimodal.MP4_TIMESCALE
+
+
+def test_mp4_sample_offsets_closed_form(spark):
+    """Fabricate-then-resolve closed form for the sample-table walk:
+    every mp4 doc yields exactly MP4_N_SAMPLES rows whose offsets are
+    chunk_base + i·size with size = 8 + doc_id % 16 — and every
+    resolved (offset, size) range lies inside the mdat payload."""
+    from crm_etl_pipeline_spark import multimodal
+
+    docs = table(spark, SF_DIR, "documents").limit(200)
+    media = multimodal.fabricate_media(docs)
+    plan = multimodal.mp4_sample_offsets(media).collect()
+    assert plan
+    by_doc: dict[int, list] = {}
+    for r in plan:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        assert doc_id % 4 == 3  # only the mp4 rows of the mime rotation
+        size = 8 + doc_id % 16
+        assert len(rows) == multimodal.MP4_N_SAMPLES
+        for r in sorted(rows, key=lambda r: r.sample_idx):
+            assert r.sample_size == size
+            assert r.byte_offset == multimodal.MP4_CHUNK_OFFSET + r.sample_idx * size
+        # the final sample ends exactly at end-of-file (single-chunk mdat)
+        assert multimodal.MP4_CHUNK_OFFSET + multimodal.MP4_N_SAMPLES * size == 456 + 8 * (
+            doc_id % 16
+        )
+
+
+def test_mp4_sample_offsets_per_sample_stsz_and_co64(spark):
+    """The walk must also handle the spec's variable-size form (stsz
+    sample_size == 0 with a per-sample table) and 64-bit chunk offsets
+    (co64): rewrite a fabricated file's stbl accordingly and expect the
+    same seek plan."""
+    import struct
+
+    from crm_etl_pipeline_spark import multimodal
+
+    doc_id = 7
+    b = multimodal._mp4_bytes(doc_id)
+    size = 8 + doc_id % 16
+    n = multimodal.MP4_N_SAMPLES
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    # variable stsz listing the uniform sizes explicitly + co64 chunk base
+    stsz = box(
+        b"stsz", struct.pack(">III", 0, 0, n) + struct.pack(f">{n}I", *([size] * n))
+    )
+    co64 = box(b"co64", struct.pack(">II", 0, 1) + struct.pack(">Q", multimodal.MP4_CHUNK_OFFSET))
+    # rebuild: keep ftyp/mvhd/tkhd/mdhd, swap the stbl leaves
+    stsd = box(b"stsd", struct.pack(">II", 0, 0))
+    dur = 1000 + doc_id % 9000
+    delta = dur // n
+    stts = box(b"stts", struct.pack(">IIIIII", 0, 2, n - 1, delta, 1, dur - (n - 1) * delta))
+    stbl = box(b"stbl", stsd + stts + stsz + co64)
+    mvhd = b[32:140]
+    tkhd = b[148:240]
+    mdhd = b[248:280]
+    mdia = box(b"mdia", mdhd + box(b"minf", stbl))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    rewritten = b[:24] + moov + b[384:]
+    row = spark.createDataFrame(
+        [(doc_id, "video/mp4", bytearray(rewritten))],
+        "doc_id long, mime string, payload binary",
+    )
+    plan = sorted(
+        multimodal.mp4_sample_offsets(row).collect(), key=lambda r: r.sample_idx
+    )
+    assert len(plan) == n
+    # the plan follows the container's DECLARED chunk base (co64 still
+    # points at 392; the rewrite grew moov, which the walk must not care
+    # about — it reads the declaration, not the byte layout around it)
+    for i, r in enumerate(plan):
+        assert r.sample_size == size
+        assert r.byte_offset == multimodal.MP4_CHUNK_OFFSET + i * size
 
 
 def test_frame_offsets_cover_payload(spark):

@@ -106,6 +106,78 @@ def gen_events(rng: np.random.Generator, n: int, n_users: int) -> pa.Table:
     )
 
 
+def write_events_chunked(
+    rng: np.random.Generator, n: int, n_users: int, path: str, chunk: int = 5_000_000
+) -> int:
+    """Stream the events table to ``path`` one row-group at a time —
+    the round-5 blocker for the sf100 streaming decade was THIS table
+    (a 100 M-row build of gen_events materializes ~8 GB of Python
+    json strings at once). Only the int64 timestamp array is ever
+    whole-table resident (800 MB at sf100 — needed because the fixture
+    contract is a GLOBALLY sorted ts column, and per-chunk sorting
+    would leave batch boundaries unordered); every other column,
+    including the Python-string props, is generated and released per
+    chunk. Same distributions as gen_events, same seed discipline."""
+    t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
+    span = 30 * 24 * 3600 * 10**9
+    ts_us = np.sort(t0 + rng.integers(0, span, n)) // 1000
+    types = np.array(["signup", "click", "purchase", "error", "view"])
+    writer: pq.ParquetWriter | None = None
+    try:
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            m = end - start
+            tbl = pa.table(
+                {
+                    "event_id": pa.array(np.arange(start, end), pa.int64()),
+                    "ts": pa.array(ts_us[start:end]).cast(pa.timestamp("us")),
+                    "user_id": pa.array(rng.integers(0, n_users, m), pa.int64()),
+                    "event_type": pa.array(types[rng.integers(0, 5, m)]),
+                    "value": pa.array(np.round(rng.uniform(0, 560, m), 2), pa.float64()),
+                    "props": pa.array(
+                        [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, m)]
+                    ),
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(path, tbl.schema)
+            writer.write_table(tbl)
+            print(f"events: chunk rows [{start}, {end}) -> {path}")
+    finally:
+        if writer is not None:
+            writer.close()
+    return n
+
+
+def write_customer_chunked(
+    rng: np.random.Generator, n: int, path: str, chunk: int = 5_000_000
+) -> int:
+    """Chunked twin of gen_customer for the top decade (15 M c_name
+    Python strings would otherwise peak at a few GB)."""
+    segs = np.array(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"])
+    writer: pq.ParquetWriter | None = None
+    try:
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            m = end - start
+            tbl = pa.table(
+                {
+                    "c_custkey": pa.array(np.arange(start + 1, end + 1), pa.int64()),
+                    "c_name": pa.array([f"Customer#{i:09d}" for i in range(start + 1, end + 1)]),
+                    "c_nationkey": pa.array(rng.integers(0, 25, m), pa.int32()),
+                    "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, m), 2), pa.float64()),
+                    "c_mktsegment": pa.array(segs[rng.integers(0, 5, m)]),
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(path, tbl.schema)
+            writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+    return n
+
+
 def gen_orders(rng: np.random.Generator, n: int, n_cust: int) -> pa.Table:
     """Orders shaped like the driver fixture (10 orders/customer, dates
     spanning 1995-2001) so the CRM-analytics family (cohort/RFM) can be
@@ -183,11 +255,25 @@ def main(sf: float, outdir: str, only: set[str] | None = None) -> None:
         "orders": lambda: gen_orders(rng, int(1_500_000 * sf), int(150_000 * sf)),
         "lineitem": lambda: gen_lineitem(rng, int(1_500_000 * sf)),
     }
-    # `only` exists for the top decade: a 100M-row events table is not
-    # generatable in reasonable time/memory, and the document-corpus
-    # queries need only documents+embeddings
+    # Chunked writers kick in past 20 M rows (events) / 5 M (customer):
+    # the monolithic builders materialize per-row Python strings, which
+    # at sf100 would peak at ~8 GB for events.props alone. `only`
+    # restricts a run to the tables its query family reads.
+    chunked = {
+        "events": lambda path: write_events_chunked(
+            rng, int(1_000_000 * sf), int(15_000 * sf), path
+        ),
+        "customer": lambda path: write_customer_chunked(rng, int(150_000 * sf), path),
+    }
+    thresholds = {"events": 20_000_000, "customer": 5_000_000}
     for name, build in builders.items():
         if only and name not in only:
+            continue
+        path = f"{outdir}/{name}.parquet"
+        n_target = int({"events": 1_000_000, "customer": 150_000}.get(name, 0) * sf)
+        if name in chunked and n_target > thresholds[name]:
+            n = chunked[name](path)
+            print(f"{name}: {n} rows (chunked) -> {path}")
             continue
         tbl = build()
         pq.write_table(tbl, f"{outdir}/{name}.parquet", store_schema=True)
