@@ -39,6 +39,48 @@ HEADLINE = [
     "curation_pipeline",
 ]
 
+# Tier 2 (new in round 6): the post-round-1 operator surface. Tier 1
+# stays byte-identical so totals remain comparable across every round;
+# tier 2 gives the ~70% of the registry added since its own regression
+# band (the round-5 verdict's gap: a perf regression in pagerank or BM25
+# was previously invisible to the bench gate). Heavier iterative
+# operators run with fewer repeats (1 warm + min-of-3 vs 3 + min-of-5)
+# to bound bench wall-time; min-of-N is still the noise-robust
+# estimator either way.
+TIER2 = [
+    "copurchase_pagerank",
+    "dedup_components",
+    "global_rank_two_phase",
+    "boilerplate_line_removal",
+    "bm25_topk_search",
+    "rate_limit_admission",
+    "abc_pareto_classification",
+    "prefix_filter_setsim_join",
+]
+
+
+def _time_tier(reg, spark: object, sf_dir: str, names: list[str], warmups: int, reps: int) -> dict[str, float]:
+    # warm-up: JVM JIT + parquet footer cache (one pass is not enough
+    # for the codegen-heavy queries — C2 compilation of the generated
+    # aggregate methods lands on the second/third execution)
+    for _ in range(warmups):
+        for name in names:
+            reg[name].fn(spark, sf_dir).count()
+    timings: dict[str, float] = {}
+    for name in names:
+        # min of N timed runs: the machine hosting the bench shares
+        # CPU, so a single sample can be 2-3x off (observed; r3 recorded
+        # +14-27% drift on untouched sub-second queries with min-of-3);
+        # min is the standard noise-robust estimator for a deterministic
+        # workload
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            reg[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+    return timings
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,35 +88,17 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("crm-etl-pipeline-bench")
     reg = load_all()
-    names = [n for n in HEADLINE if n in reg]
-    timings: dict[str, float] = {}
-    # warm-up ×3: JVM JIT + parquet footer cache (one pass is not enough
-    # for the codegen-heavy queries — C2 compilation of the generated
-    # aggregate methods lands on the second/third execution)
-    for _ in range(3):
-        for name in names:
-            reg[name].fn(spark, sf_dir).count()
-    total = 0.0
-    for name in names:
-        # min of five timed runs: the machine hosting the bench shares
-        # CPU, so a single sample can be 2-3x off (observed; r3 recorded
-        # +14-27% drift on untouched sub-second queries with min-of-3);
-        # min is the standard noise-robust estimator for a deterministic
-        # workload
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            reg[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        total += best
+    tier1 = _time_tier(reg, spark, sf_dir, [n for n in HEADLINE if n in reg], 3, 5)
+    tier2 = _time_tier(reg, spark, sf_dir, [n for n in TIER2 if n in reg], 1, 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(total, 4),
+                "value": round(sum(tier1.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": tier1,
+                "tier2": tier2,
+                "tier2_total": round(sum(tier2.values()), 4),
                 "sf": sf,
             }
         )
