@@ -588,6 +588,13 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # the edge list appears once per unrolled iteration plus the degree
+    # aggregate, but needs NO explicit materialization: distinct() ends
+    # the subtree in an Exchange, which ReuseExchange dedupes across the
+    # whole unrolled DAG (A/B-measured at sf0.1: an explicit
+    # reliable_checkpoint changes nothing). Contrast
+    # prefix_filter_setsim_join, whose shared shingle subtree ends in a
+    # projection and therefore DOES need the explicit cut.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n = deg.agg(F.count(F.lit(1)).alias("nn")).select(
         "nn", F.least(F.col("nn"), F.lit(1)).cast("int").alias("_k")

