@@ -130,3 +130,54 @@ def test_late_audit_idempotent_within_session(spark):
     a = sorted(tuple(r) for r in q(spark, SF).collect())
     b = sorted(tuple(r) for r in q(spark, SF).collect())
     assert a == b
+
+
+def test_gk_selfcheck_survives_nulls(spark, tmp_path):
+    """NULL symmetry of the GK self-check (approx_value_percentiles):
+    percentile_approx ranks only non-null values and a NULL event_type
+    group would survive a bare GROUP BY but drop from the sketch
+    equi-join — so the query filters BOTH engines identically. Plant
+    NULL values and NULL event_types into the fixture and the all-TRUE
+    contract (and the cross-engine group/count agreement) must hold."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fixture = pq.read_table(f"{SF}/events.parquet")
+    out = str(tmp_path / "nullbearing")
+    os.makedirs(out, exist_ok=True)
+    ts = fixture.column("ts")[:1].cast(fixture.schema.field("ts").type)
+    planted = pa.table(
+        {
+            "event_id": pa.array([20_000_000, 20_000_001, 20_000_002], pa.int64()),
+            "ts": pa.concat_arrays([ts.combine_chunks()] * 3),
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            # a NULL-value row in a real group, a NULL-type row with a
+            # real value, and a row that is NULL in both
+            "event_type": pa.array(["purchase", None, None]),
+            "value": pa.array([None, 123.45, None], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([fixture, planted.select(fixture.column_names)]),
+        f"{out}/events.parquet",
+    )
+    rows = REGISTRY["approx_value_percentiles"].fn(spark, out).collect()
+    assert rows and all(r.p50_ok and r.p90_ok and r.p99_ok for r in rows)
+    assert all(r.event_type is not None for r in rows)
+    # cross-engine: same groups, same non-null counts on the SAME file
+    # (fresh connection — the session `duck` fixture's views must not
+    # be rebound mid-suite)
+    import duckdb
+
+    con = duckdb.connect()
+    oracle = dict(
+        con.execute(
+            f"SELECT event_type, COUNT(*) FROM read_parquet('{out}/events.parquet') "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    assert {r.event_type: r.n for r in rows} == oracle
