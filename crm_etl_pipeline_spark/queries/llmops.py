@@ -1102,6 +1102,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = gated.select(
         "doc_id", "lang", "n_tokens", F.sha2(normalized, 256).alias("content_hash")
     )
+    # `hashed` feeds both the keep-aggregate and the semi-join probe;
+    # the subtree ends in a projection (scan + gates + sha256), which
+    # ReuseExchange cannot share, so without a lineage cut the corpus
+    # is scanned and hashed twice per action. Same fix as
+    # prefix_filter_setsim_join (A/B-measured −26% at sf0.1).
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
+    hashed = reliable_checkpoint(hashed)
     keep = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
     survivors = hashed.join(keep.select("doc_id"), "doc_id", "left_semi")
     first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
