@@ -97,7 +97,11 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ext AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     ), bucketed AS (
-      SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / {_N_BUCKETS}.0)),
+      -- divisor guarded for the degenerate all-equal extent (-> bucket 0);
+      -- edge arithmetic below keeps the TRUE width (multiplication only)
+      SELECT CAST(least(floor((o_totalprice - lo) /
+                        (CASE WHEN hi = lo THEN 1.0
+                              ELSE (hi - lo) / {_N_BUCKETS}.0 END)),
                         {_N_BUCKETS - 1}) AS BIGINT) AS bucket,
              lo, hi, o_totalprice
       FROM orders, ext
@@ -129,7 +133,15 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo", "hi",
         F.least(F.greatest(F.col("lo"), F.lit(1.0)), F.lit(1.0)).cast("int").alias("_k"),
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(_N_BUCKETS))
+    # divisor guarded for the degenerate all-equal extent: hi == lo
+    # would otherwise raise DIVIDE_BY_ZERO under ANSI (and DuckDB's
+    # NaN-is-greatest least() would silently pick bucket 19) — with the
+    # guard every row lands in bucket 0 in BOTH engines, and the edge
+    # arithmetic below keeps the true zero width (multiplication only,
+    # no division), so bucket_lo == bucket_hi == lo
+    width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / F.lit(float(_N_BUCKETS))
+    )
     bucket = F.least(
         F.floor((F.col("o_totalprice") - F.col("lo")) / width),
         F.lit(_N_BUCKETS - 1),

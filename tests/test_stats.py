@@ -221,3 +221,39 @@ class TestPpsSystematicSample:
             .collect()[0][0]
         )
         assert sample_mean > pop_mean
+
+
+def test_histogram_degenerate_extent_agrees(spark, tmp_path):
+    """All-equal order values collapse the extent to width 0: under
+    ANSI the unguarded bucket division raised DIVIDE_BY_ZERO in Spark
+    while DuckDB's NaN-is-greatest least() silently picked bucket 19 —
+    a crash on one engine and a wrong answer on the other. With the
+    symmetric divisor guard every row lands in bucket 0 with
+    bucket_lo == bucket_hi == the single value, in BOTH engines."""
+    import duckdb
+    import pyarrow as pa
+
+    fixture = pq.read_table(f"{SF_DIR}/orders.parquet")
+    flat = fixture.set_column(
+        fixture.column_names.index("o_totalprice"),
+        "o_totalprice",
+        pa.array([42.5] * fixture.num_rows, pa.float64()),
+    )
+    out = str(tmp_path / "flat")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(flat, f"{out}/orders.parquet")
+
+    rows = REGISTRY["histogram_order_values"].fn(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.bucket == 0 and r.n_orders == fixture.num_rows
+    assert r.bucket_lo == 42.5 and r.bucket_hi == 42.5
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{out}/orders.parquet')"
+    )
+    o = con.execute(REGISTRY["histogram_order_values"].oracle).fetchall()
+    con.close()
+    spark_rows = sorted(tuple(r) for r in rows)
+    assert spark_rows == sorted(o)
