@@ -983,14 +983,18 @@ def decile_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_a, n_b, conv_a, conv_b,
            CAST(conv_a AS DOUBLE) / n_a AS rate_a,
            CAST(conv_b AS DOUBLE) / n_b AS rate_b,
-           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           -- pooled variance is 0 when nobody or everybody converts;
+           -- both rates are then equal, so z = 0 is the exact limit
+           CASE WHEN conv_a + conv_b IN (0, n_a + n_b) THEN 0.0
+                ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
              / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)) AS zscore,
-           abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                    * (1.0 / n_a + 1.0 / n_b)) END AS zscore,
+           CASE WHEN conv_a + conv_b IN (0, n_a + n_b) THEN FALSE
+                ELSE abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
              / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+                    * (1.0 / n_a + 1.0 / n_b))) > 1.96 END AS significant
     FROM agg
     """,
     survey="§2.9 experimentation (hash-assigned A/B split, two-proportion z-test)",
@@ -1043,8 +1047,20 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
-    z = (rate_a - rate_b) / F.sqrt(
-        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    # degenerate-conversion guard: pooled ∈ {0, 1} (nobody/everybody
+    # converts) zeroes the pooled variance — and also equalizes the two
+    # rates, so z = 0 is the exact limit, not a convention. Unguarded,
+    # ANSI Spark raises DIVIDE_BY_ZERO and DuckDB emits NaN.
+    degenerate = (F.col("conv_a") + F.col("conv_b") == 0) | (
+        F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(degenerate, F.lit(0.0)).otherwise(
+        (rate_a - rate_b)
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        )
     )
     return agg.select(
         "n_a",

@@ -52,8 +52,10 @@ _SAMPLE_BUDGET = 100
       FROM moments
     )
     SELECT event_id, e.event_type, value,
-           (value - mean_val) / sd_val AS zscore,
-           abs((value - mean_val) / sd_val) > 3.0 AS is_anomaly
+           CASE WHEN sd_val = 0 THEN 0.0
+                ELSE (value - mean_val) / sd_val END AS zscore,
+           CASE WHEN sd_val = 0 THEN FALSE
+                ELSE abs((value - mean_val) / sd_val) > 3.0 END AS is_anomaly
     FROM events e JOIN stats s ON e.event_type = s.event_type
     """,
     survey="§2.9 profiling (per-group z-score outlier detection from exact moments)",
@@ -78,7 +80,14 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_val"),
         F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean).alias("sd_val"),
     )
-    z = (F.col("value") - F.col("mean_val")) / F.col("sd_val")
+    # zero-dispersion guard: a population with sd == 0 (all values
+    # equal) has nothing measurably deviating — z is defined 0 and no
+    # row is anomalous, in BOTH engines (unguarded, ANSI Spark raises
+    # DIVIDE_BY_ZERO while DuckDB emits NaN z-scores — crash on one
+    # engine, divergent answer on the other)
+    z = F.when(F.col("sd_val") == 0, F.lit(0.0)).otherwise(
+        (F.col("value") - F.col("mean_val")) / F.col("sd_val")
+    )
     return (
         events.join(F.broadcast(stats), "event_type")
         .select(
@@ -575,8 +584,10 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.event_type, med
     )
     SELECT event_id, e.event_type, value,
-           (value - med) / (1.4826 * mad) AS robust_z,
-           abs((value - med) / (1.4826 * mad)) > 3.0 AS is_outlier
+           CASE WHEN mad = 0 THEN 0.0
+                ELSE (value - med) / (1.4826 * mad) END AS robust_z,
+           CASE WHEN mad = 0 THEN FALSE
+                ELSE abs((value - med) / (1.4826 * mad)) > 3.0 END AS is_outlier
     FROM events e JOIN mad ON e.event_type = mad.event_type
     """,
     survey="§2.9 profiling (MAD robust outliers — median-based twin of the z-score detector)",
@@ -601,7 +612,12 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "med")
         .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
     )
-    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    # zero-dispersion guard (same contract as event_value_anomalies):
+    # MAD == 0 — a majority-identical population — defines robust_z = 0
+    # and flags nothing, identically in both engines
+    rz = F.when(F.col("mad") == 0, F.lit(0.0)).otherwise(
+        (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    )
     return (
         events.join(F.broadcast(mad), "event_type")
         .select(

@@ -237,8 +237,10 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM moments
     )
     SELECT event_id, e.event_type, value,
-           (value - mean_val) / sd_val AS zscore,
-           abs((value - mean_val) / sd_val) > 3.0 AS is_anomaly
+           CASE WHEN sd_val = 0 THEN 0.0
+                ELSE (value - mean_val) / sd_val END AS zscore,
+           CASE WHEN sd_val = 0 THEN FALSE
+                ELSE abs((value - mean_val) / sd_val) > 3.0 END AS is_anomaly
     FROM events e JOIN stats s ON e.event_type = s.event_type
     """,
     survey="ST1-ST3 + §2.9 profiling (incremental moment state across micro-batches → converged z-scores)",
@@ -260,7 +262,11 @@ def streaming_moments_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_val"),
         F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean).alias("sd_val"),
     )
-    z = (F.col("value") - F.col("mean_val")) / F.col("sd_val")
+    # zero-dispersion guard, identical to the batch twin
+    # event_value_anomalies: sd == 0 defines z = 0 and flags nothing
+    z = F.when(F.col("sd_val") == 0, F.lit(0.0)).otherwise(
+        (F.col("value") - F.col("mean_val")) / F.col("sd_val")
+    )
     return (
         table(spark, sf_dir, "events")
         .join(F.broadcast(stats), "event_type")

@@ -257,3 +257,69 @@ def test_histogram_degenerate_extent_agrees(spark, tmp_path):
     con.close()
     spark_rows = sorted(tuple(r) for r in rows)
     assert spark_rows == sorted(o)
+
+
+def test_zero_dispersion_zscores_agree(spark, tmp_path):
+    """Zero-dispersion guard across the z-score family: with every
+    event value identical, sigma / MAD / the pooled A/B variance all
+    collapse to 0 — unguarded, ANSI Spark raised DIVIDE_BY_ZERO while
+    DuckDB silently emitted NaN z-scores (crash on one engine, wrong
+    answer on the other). The contract is z = 0 / flag nothing, and it
+    must hold BIT-FOR-BIT in both engines on the same file."""
+    import duckdb
+    import math
+
+    import pyarrow as pa
+
+    fixture = pq.read_table(f"{SF_DIR}/events.parquet")
+    flat = fixture.set_column(
+        fixture.column_names.index("value"),
+        "value",
+        pa.array([7.5] * fixture.num_rows, pa.float64()),
+    )
+    out = str(tmp_path / "flatev")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(flat, f"{out}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}/events.parquet')"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        if isinstance(v, bool):
+            return str(v).lower()
+        return str(v)
+
+    for name in (
+        "event_value_anomalies",
+        "robust_outliers_mad",
+        "ab_test_conversion",
+    ):
+        q = REGISTRY[name]
+        df = q.fn(spark, out)
+        cols = sorted(df.columns)
+        s = sorted(
+            "|".join(canon(r[c]) for c in cols) for r in df.collect()
+        )
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted(
+            "|".join(canon(row[i]) for i in perm) for row in res.fetchall()
+        )
+        assert s == o, f"{name} diverges on zero-dispersion input"
+        # and the guard's semantics: nothing flagged, zero z everywhere
+        flag = {"ab_test_conversion": "significant"}.get(name)
+        rows = df.collect()
+        if flag:
+            assert all(not r[flag] for r in rows)
+        else:
+            zcol = "zscore" if name == "event_value_anomalies" else "robust_z"
+            flagcol = "is_anomaly" if name == "event_value_anomalies" else "is_outlier"
+            assert all(r[zcol] == 0.0 and not r[flagcol] for r in rows)
+    con.close()
