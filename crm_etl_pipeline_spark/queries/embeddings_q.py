@@ -685,7 +685,9 @@ _OUT_DIMS = 8  # output the first 8 dims (stats still span all 64)
       FROM stats
     )
     SELECT vec_id, q.i - 1 AS dim,
-           (CAST(xq AS DOUBLE) / {_MOMENT_SCALE} - mean_val) / sd_val AS z
+           CASE WHEN sd_val = 0 THEN 0.0
+                ELSE (CAST(xq AS DOUBLE) / {_MOMENT_SCALE} - mean_val) / sd_val
+           END AS z
     FROM q JOIN s ON q.i = s.i WHERE q.i <= {_OUT_DIMS}
     """,
     survey="§2.9 similarity search (per-dimension z-score feature standardization)",
@@ -729,9 +731,13 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             - mean * mean
         ).alias("sd_val"),
     )
-    z = (
-        F.col("xq").cast("double") / F.lit(float(_MOMENT_SCALE)) - F.col("mean_val")
-    ) / F.col("sd_val")
+    # zero-dispersion guard (same contract as the z-score family): a
+    # constant dimension has sd == 0 and standardizes to 0 in both
+    # engines instead of ANSI DIVIDE_BY_ZERO / DuckDB NaN
+    z = F.when(F.col("sd_val") == 0, F.lit(0.0)).otherwise(
+        (F.col("xq").cast("double") / F.lit(float(_MOMENT_SCALE)) - F.col("mean_val"))
+        / F.col("sd_val")
+    )
     return (
         q.filter(F.col("dim") < _OUT_DIMS)
         .join(F.broadcast(s), "dim")
@@ -750,8 +756,12 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i, MIN(xq) AS mn, MAX(xq) AS mx FROM q GROUP BY i
     )
     SELECT vec_id, q.i - 1 AS dim,
-           CAST(least(CAST(FLOOR((xq - mn) * 255.0 / (mx - mn)) AS BIGINT), 255) - 128
-                AS INTEGER) AS q8
+           -- a constant dimension has no dynamic range: quantize to
+           -- midcode 0 instead of dividing by (mx - mn) = 0
+           CASE WHEN mx = mn THEN 0
+                ELSE CAST(least(CAST(FLOOR((xq - mn) * 255.0 / (mx - mn)) AS BIGINT),
+                                255) - 128 AS INTEGER)
+           END AS q8
     FROM q JOIN ext ON q.i = ext.i WHERE q.i <= {_OUT_DIMS}
     """,
     survey="§2.9 similarity search (per-dimension int8 vector quantization)",
@@ -776,14 +786,21 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xq"),
     )
     ext = q.groupBy("dim").agg(F.min("xq").alias("mn"), F.max("xq").alias("mx"))
-    q8 = (
-        F.least(
-            F.floor(
-                (F.col("xq") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))
-            ).cast("bigint"),
-            F.lit(255).cast("bigint"),
-        )
-        - 128
+    # zero-range guard: a constant dimension (mx == mn) carries no
+    # information — quantize it to midcode 0 in both engines instead of
+    # ANSI DIVIDE_BY_ZERO / DuckDB NaN from the affine map's divisor
+    q8 = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        (
+            F.least(
+                F.floor(
+                    (F.col("xq") - F.col("mn"))
+                    * F.lit(255.0)
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("bigint"),
+                F.lit(255).cast("bigint"),
+            )
+            - 128
+        ).cast("int")
     ).cast("int")
     return (
         q.filter(F.col("dim") < _OUT_DIMS)

@@ -323,3 +323,61 @@ def test_zero_dispersion_zscores_agree(spark, tmp_path):
             flagcol = "is_anomaly" if name == "event_value_anomalies" else "is_outlier"
             assert all(r[zcol] == 0.0 and not r[flagcol] for r in rows)
     con.close()
+
+
+def test_constant_dim_embeddings_agree(spark, tmp_path):
+    """Zero-range guard for the vector feature pipeline: a constant
+    dimension has sd == 0 (standardize) and mx == mn (quantize) —
+    unguarded, ANSI Spark raised DIVIDE_BY_ZERO while DuckDB emitted
+    NaN. Contract: standardize to z = 0, quantize to midcode 0, and
+    both engines must agree bit-for-bit on a planted constant dim
+    (plus a planted all-zero vector, which exercises the norm paths of
+    the ANN family — those were already guarded)."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+
+    fixture = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vecs = fixture.column("embedding").to_pylist()
+    dim = len(vecs[0])
+    vecs[0] = [0.0] * dim
+    for v in vecs:
+        v[3] = 0.25
+    planted = fixture.set_column(
+        fixture.column_names.index("embedding"),
+        "embedding",
+        pa.array(vecs, pa.list_(pa.float32())),
+    )
+    out = str(tmp_path / "constdim")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(planted, f"{out}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{out}/embeddings.parquet')"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    for name, col, expect in (
+        ("embedding_standardize", "z", 0.0),
+        ("embedding_quantize_int8", "q8", 0),
+    ):
+        q = REGISTRY[name]
+        df = q.fn(spark, out)
+        cols = sorted(df.columns)
+        rows = df.collect()
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in rows)
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+        assert s == o, f"{name} diverges on a constant dimension"
+        assert all(r[col] == expect for r in rows if r.dim == 3)
+    con.close()
