@@ -79,8 +79,11 @@ def _scalar_attach(df: DataFrame, scalar: DataFrame, probe_key) -> DataFrame:
       UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
     )
     SELECT stage_idx, stage_name, users_reached,
-           CAST(users_reached AS DOUBLE) / (SELECT COUNT(*) FROM s1)
-             AS conv_from_first
+           -- an empty funnel (zero stage-1 users) converts nobody:
+           -- every stage reads 0.0, not 0/0
+           CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0.0
+                ELSE CAST(users_reached AS DOUBLE) / (SELECT COUNT(*) FROM s1)
+           END AS conv_from_first
     FROM counts
     """,
     survey="§2.9 CRM analytics (strict ordered conversion funnel over the activity stream)",
@@ -114,19 +117,32 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_reached",
         )
         counts = row if counts is None else counts.unionByName(row)
+    # _k must stay 1 even when the funnel is EMPTY: least(_u1, 1) reads
+    # 0 with zero stage-1 users, silently dropping all four stage rows
+    # at the scalar-attach equi-join (observed vs the oracle on a
+    # clickstream-only corpus) — greatest-then-least pins it to 1 while
+    # staying non-foldable (the BNLJ-avoidance convention)
     first = (
         stage_first[0]
         .agg(F.count(F.lit(1)).alias("_u1"))
-        .select("_u1", F.least(F.col("_u1"), F.lit(1)).cast("int").alias("_k"))
+        .select(
+            "_u1",
+            F.least(F.greatest(F.col("_u1"), F.lit(1)), F.lit(1)).cast("int").alias("_k"),
+        )
     )
     out = _scalar_attach(
         counts, first, F.least(F.col("stage_idx"), F.lit(1)).cast("int")
+    )
+    # empty-funnel guard: zero stage-1 users means 0.0 conversion
+    # everywhere, not 0/0 (ANSI crash / NaN divergence)
+    conv = F.when(F.col("_u1") == 0, F.lit(0.0)).otherwise(
+        F.col("users_reached").cast("double") / F.col("_u1")
     )
     return out.select(
         "stage_idx",
         "stage_name",
         "users_reached",
-        (F.col("users_reached").cast("double") / F.col("_u1")).alias("conv_from_first"),
+        conv.alias("conv_from_first"),
     )
 
 

@@ -158,3 +158,36 @@ def test_triangle_count_on_planted_clique(spark, tmp_path):
     )
     got = {r["part"]: r["n_triangles"] for r in triangle_count(spark, str(tmp_path)).collect()}
     assert got == {10: 3, 20: 3, 30: 3, 40: 3}
+
+
+def test_funnel_empty_first_stage(spark, tmp_path):
+    """A corpus with no signup events must still read out the full
+    4-stage funnel — all zeros with 0.0 conversion — in BOTH engines.
+    Before the guard, least(_u1, 1) read 0 and the scalar-attach
+    equi-join silently dropped every stage row (Spark returned an
+    EMPTY funnel while the oracle returned four rows), and the
+    conversion ratio was 0/0."""
+    import duckdb
+
+    out = _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01T10:00:00", 1, "click", 5.0),
+            (2, "2024-01-01T11:00:00", 1, "view", 0.0),
+            (3, "2024-01-02T09:00:00", 2, "click", 7.0),
+        ],
+    )
+    rows = sorted(
+        REGISTRY["funnel_conversion"].fn(spark, out).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage_idx for r in rows] == [1, 2, 3, 4]
+    assert all(r.users_reached == 0 and r.conv_from_first == 0.0 for r in rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}/events.parquet')"
+    )
+    o = sorted(con.execute(REGISTRY["funnel_conversion"].oracle).fetchall())
+    con.close()
+    assert sorted(tuple(r) for r in rows) == o
