@@ -234,7 +234,13 @@ def weighted_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("_kk"),
     )
-    share = F.col("rev").cast("double") / F.col("total").cast("double")
+    # zero-mass guard: with all order values 0 the revenue total is 0
+    # and every share is 0 (allocating nothing), instead of ANSI
+    # DIVIDE_BY_ZERO — DuckDB's NaN share path reaches the same empty
+    # sample via ceil(NaN) never admitting a rank
+    share = F.when(
+        F.col("total") > 0, F.col("rev").cast("double") / F.col("total").cast("double")
+    ).otherwise(F.lit(0.0))
     alloc = (
         seg.withColumn("_kk", F.least(F.length("c_mktsegment"), F.lit(1)).cast("int"))
         .join(F.broadcast(tot), "_kk")
@@ -708,8 +714,19 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_k", F.least(F.col("w_cents"), F.lit(1)).cast("int"))
         .join(F.broadcast(tot), "_k")
     )
-    lo = F.expr(f"cum_before * {_PPS_K} DIV total")
-    hi = F.expr(f"(cum_before + w_cents) * {_PPS_K} DIV total")
+    # zero-mass guard: a population whose weights sum to 0 has no PPS
+    # sample (every inclusion probability is 0) — lo == hi drops all
+    # rows instead of ANSI DIV-by-zero. Reachable: zero-value orders
+    # drop individually at the w_cents >= 1 attach key, but an ALL-zero
+    # load makes the total itself 0 while tot's _k (least(0,1) = 0)
+    # still matches the rows' _k. DuckDB reaches the same empty result
+    # via NULL integer division.
+    lo = F.when(
+        F.col("total") > 0, F.expr(f"cum_before * {_PPS_K} DIV total")
+    ).otherwise(F.lit(0))
+    hi = F.when(
+        F.col("total") > 0, F.expr(f"(cum_before + w_cents) * {_PPS_K} DIV total")
+    ).otherwise(F.lit(0))
     return (
         cum.filter(hi > lo)
         .select(

@@ -381,3 +381,37 @@ def test_constant_dim_embeddings_agree(spark, tmp_path):
         assert s == o, f"{name} diverges on a constant dimension"
         assert all(r[col] == expect for r in rows if r.dim == 3)
     con.close()
+
+
+def test_zero_mass_sampling_is_empty(spark, tmp_path):
+    """Sampling designs over a population whose weights sum to zero:
+    the PPS systematic draw and the proportional allocation both define
+    the empty sample (every inclusion probability is 0) — previously
+    ANSI Spark crashed on the total-weight division while DuckDB
+    reached empty through NULL/NaN arithmetic. Both engines must agree
+    on the same file."""
+    import duckdb
+
+    import pyarrow as pa
+
+    fixture = pq.read_table(f"{SF_DIR}/orders.parquet")
+    zeroed = fixture.set_column(
+        fixture.column_names.index("o_totalprice"),
+        "o_totalprice",
+        pa.array([0.0] * fixture.num_rows, pa.float64()),
+    )
+    out = str(tmp_path / "zeroorders")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(zeroed, f"{out}/orders.parquet")
+    os.symlink(f"{SF_DIR}/customer.parquet", f"{out}/customer.parquet")
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')"
+        )
+    for name in ("pps_systematic_sample", "weighted_sample_allocation"):
+        q = REGISTRY[name]
+        assert q.fn(spark, out).count() == 0, f"{name} must sample nothing"
+        assert len(con.execute(q.oracle).fetchall()) == 0
+    con.close()
