@@ -875,9 +875,13 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT decile, n_customers, n_responders,
            CAST(n_responders AS DOUBLE) / n_customers AS response_rate,
-           (CAST(n_responders AS DOUBLE) / n_customers)
-             / (CAST(tot_resp AS DOUBLE) / tot_n) AS lift,
-           CAST(n_responders AS DOUBLE) / tot_resp AS capture_share
+           -- zero responders across the whole backtest leave lift and
+           -- capture undefined: convention 0.0 (no lift, no capture)
+           CASE WHEN tot_resp = 0 THEN 0.0
+                ELSE (CAST(n_responders AS DOUBLE) / n_customers)
+                  / (CAST(tot_resp AS DOUBLE) / tot_n) END AS lift,
+           CASE WHEN tot_resp = 0 THEN 0.0
+                ELSE CAST(n_responders AS DOUBLE) / tot_resp END AS capture_share
     FROM per_decile, tot
     """,
     survey="§2.9 CRM analytics (decile gains/lift table from a backtested propensity score)",
@@ -957,6 +961,15 @@ def decile_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.col("n_responders").cast("double") / F.col("n_customers")
     base = F.col("tot_resp").cast("double") / F.col("tot_n")
+    # zero-responder guard: a backtest where nobody in the scored
+    # population responds (e.g. each customer has exactly one order, so
+    # history and response windows never share a customer) leaves lift
+    # and capture undefined — convention 0.0 in both engines instead of
+    # ANSI DIVIDE_BY_ZERO / DuckDB NaN
+    lift = F.when(F.col("tot_resp") == 0, F.lit(0.0)).otherwise(rate / base)
+    capture = F.when(F.col("tot_resp") == 0, F.lit(0.0)).otherwise(
+        F.col("n_responders").cast("double") / F.col("tot_resp")
+    )
     return (
         per_decile.withColumn(
             "_k",
@@ -968,10 +981,8 @@ def decile_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "n_responders",
             rate.alias("response_rate"),
-            (rate / base).alias("lift"),
-            (F.col("n_responders").cast("double") / F.col("tot_resp")).alias(
-                "capture_share"
-            ),
+            lift.alias("lift"),
+            capture.alias("capture_share"),
         )
     )
 

@@ -385,10 +385,17 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM percust GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
-           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+           -- zero x-variance (every customer the same order count)
+           -- leaves the slope undefined: convention slope = 0,
+           -- intercept = mean(y), r2 = 0 (also when y is constant)
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN sy / n
+                ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           END AS intercept,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+                ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
     FROM moments
     """,
     survey="§2.9 profiling (closed-form one-feature OLS from exact sufficient statistics)",
@@ -402,8 +409,10 @@ def ols_frequency_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB: the data pass produces mergeable sufficient statistics
     (two shuffles: customer grain, then 5 segment keys) and the solve
     is O(1) — no gradient loop touches the data. Degenerate segments
-    (zero frequency variance) would yield NULL/NaN identically in both
-    engines."""
+    (zero frequency variance — e.g. every customer placing exactly one
+    order) have no defined slope: convention slope = 0, intercept =
+    mean(y), r² = 0, guarded identically in both engines (unguarded,
+    ANSI Spark raises DIVIDE_BY_ZERO while DuckDB emits NaN)."""
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     percust = (
@@ -425,16 +434,21 @@ def ols_frequency_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x == 0, F.lit(0.0)).otherwise(
+        (n * sxy - sx * sy) / var_x
+    )
+    intercept = F.when(var_x == 0, sy / n).otherwise((sy - slope * sx) / n)
+    r2 = F.when((var_x == 0) | (var_y == 0), F.lit(0.0)).otherwise(
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (var_x * var_y)
+    )
     return moments.select(
         "c_mktsegment",
         "n",
         slope.alias("slope"),
-        ((sy - slope * sx) / n).alias("intercept"),
-        (
-            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-        ).alias("r2"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
     )
 
 

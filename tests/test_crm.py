@@ -191,3 +191,55 @@ def test_funnel_empty_first_stage(spark, tmp_path):
     o = sorted(con.execute(REGISTRY["funnel_conversion"].oracle).fetchall())
     con.close()
     assert sorted(tuple(r) for r in rows) == o
+
+
+def test_one_order_per_customer_degenerates_cleanly(spark, tmp_path):
+    """A one-order-per-customer load makes the OLS regressor constant
+    (zero x-variance) and empties the gains table's response window
+    (history and response never share a customer): previously ANSI
+    Spark raised DIVIDE_BY_ZERO on both while DuckDB emitted NaN.
+    Convention — OLS slope 0 / intercept mean(y) / r2 0, gains lift
+    and capture 0.0 — must hold bit-for-bit in both engines."""
+    import math
+
+    import duckdb
+
+    fixture = pq.read_table("/root/testdata/sf0.01/orders.parquet")
+    seen: set = set()
+    keep = []
+    for i, ck in enumerate(fixture.column("o_custkey").to_pylist()):
+        if ck not in seen:
+            seen.add(ck)
+            keep.append(i)
+    one = fixture.take(pa.array(keep, pa.int64()))
+    out = str(tmp_path / "oneorder")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(one, f"{out}/orders.parquet")
+    os.symlink("/root/testdata/sf0.01/customer.parquet", f"{out}/customer.parquet")
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')"
+        )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    for name in ("ols_frequency_monetary", "decile_gains_table"):
+        q = REGISTRY[name]
+        df = q.fn(spark, out)
+        cols = sorted(df.columns)
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+        assert s == o, f"{name} diverges on the one-order-per-customer load"
+    ols = {r.c_mktsegment: r for r in REGISTRY["ols_frequency_monetary"].fn(spark, out).collect()}
+    assert all(r.slope == 0.0 and r.r2 == 0.0 for r in ols.values())
+    con.close()
