@@ -83,7 +83,9 @@ def test_sweep_reclaims_old_roots_despite_live_pid(tmp_path, monkeypatch):
     old.mkdir()
     stale = 2 * tmpdirs.STALE_AGE_S
     os.utime(old, (os.path.getmtime(old) - stale,) * 2)
-    fresh = tmp_path / f"crm_etl_bucketed_{os.getppid()}"  # alive + fresh
+    # our own pid: certainly alive, and never 1 (getppid() IS 1 when the
+    # test runner is reparented to init, colliding with `old` above)
+    fresh = tmp_path / f"crm_etl_bucketed_{os.getpid()}"
     fresh.mkdir()
     tmpdirs._sweep_family("crm_etl_bucketed")
     assert not old.exists(), "age-gated sweep should reclaim the old root"
