@@ -987,16 +987,16 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            (n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
-             / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-                * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+             / NULLIF(sqrt(greatest(0, n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)))
+                * sqrt(greatest(0, n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 0)
              AS corr_qty_price,
            (n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
-             / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-                * sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+             / NULLIF(sqrt(greatest(0, n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)))
+                * sqrt(greatest(0, n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 0)
              AS corr_qty_disc,
            (n * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
-             / (sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
-                * sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+             / NULLIF(sqrt(greatest(0, n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                * sqrt(greatest(0, n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 0)
              AS corr_price_disc
     FROM m
     """,
@@ -1014,7 +1014,11 @@ def pearson_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a single partial-aggregating groupBy on ≤ 3 flags
     carrying 10 mergeable sums — the sufficient-statistic pattern that
     turns any covariance-family computation into one map-side-collapsed
-    scan at 100 TB."""
+    scan at 100 TB.
+
+    Degenerate contract: a zero-variance (constant) column makes every
+    correlation involving it NULL — symmetric in both engines via
+    try_divide / NULLIF with the sqrt argument clamped at 0."""
     li = table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("decimal(18,2)")
     p = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -1033,11 +1037,17 @@ def pearson_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def corr(sxy, sx, sy, sxx, syy):
+        # a constant column collapses its variance term to 0 (and double
+        # rounding of the exact decimal moments can leave it a hair
+        # NEGATIVE): clamp the sqrt argument at 0 in both engines
+        # (DuckDB's sqrt RAISES on negatives) and define the
+        # zero-variance correlation as NULL — try_divide here, NULLIF in
+        # the oracle — instead of ANSI DIVIDE_BY_ZERO
         n = F.col("n")
         num = n * F.col(sxy).cast("double") - F.col(sx).cast("double") * F.col(sy).cast("double")
-        dx = F.sqrt(n * F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(sx).cast("double"))
-        dy = F.sqrt(n * F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(sy).cast("double"))
-        return num / (dx * dy)
+        dx = F.sqrt(F.greatest(F.lit(0.0), n * F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(sx).cast("double")))
+        dy = F.sqrt(F.greatest(F.lit(0.0), n * F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(sy).cast("double")))
+        return F.try_divide(num, dx * dy)
 
     return m.select(
         "l_returnflag",

@@ -415,3 +415,57 @@ def test_zero_mass_sampling_is_empty(spark, tmp_path):
         assert q.fn(spark, out).count() == 0, f"{name} must sample nothing"
         assert len(con.execute(q.oracle).fetchall()) == 0
     con.close()
+
+
+def test_constant_column_correlation_is_null(spark, tmp_path):
+    """Zero-variance guard for the correlation matrix: a constant
+    column makes its variance term 0 (and double rounding of the exact
+    decimal moments can leave it a hair negative) — unguarded, ANSI
+    Spark raised DIVIDE_BY_ZERO while DuckDB's sqrt raises outright on
+    a negative argument. A 0.0 constant keeps every moment exactly
+    zero in doubles, so this pins the NULL branch deterministically
+    (a nonzero constant can leave a tiny rounding residual, where the
+    contract is just cross-engine bit-equality), bit-for-bit in both
+    engines on the same file."""
+    import duckdb
+    import math
+
+    import pyarrow as pa
+
+    fixture = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    flat = fixture.set_column(
+        fixture.column_names.index("l_discount"),
+        "l_discount",
+        pa.array([0.0] * fixture.num_rows, pa.float64()),
+    )
+    out = str(tmp_path / "flatdisc")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(flat, f"{out}/lineitem.parquet")
+
+    q = REGISTRY["pearson_correlation_matrix"]
+    rows = q.fn(spark, out).collect()
+    assert rows, "per-flag output must survive the degenerate column"
+    for r in rows:
+        assert r.corr_qty_disc is None and r.corr_price_disc is None
+        # the untouched pair keeps a real correlation
+        assert r.corr_qty_price is not None and abs(r.corr_qty_price) <= 1.0
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{out}/lineitem.parquet')"
+    )
+    res = con.execute(q.oracle)
+    names = [d[0] for d in res.description]
+    perm = [names.index(c) for c in sorted(names)]
+    o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+    con.close()
+    cols = sorted(c for c in rows[0].asDict())
+    s = sorted("|".join(canon(r[c]) for c in cols) for r in rows)
+    assert s == o, "constant-column correlations diverge across engines"
