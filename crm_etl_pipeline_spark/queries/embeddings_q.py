@@ -97,14 +97,24 @@ def embedding_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# a zero-norm (all-zero) vector has no direction: its dot with anything
+# is 0, so the unguarded ratio is 0/0 — ANSI DIVIDE_BY_ZERO in Spark,
+# engine-specific NaN/NULL in DuckDB. Define cosine = 0.0 there
+# (rank-neutral, below every similarity threshold) symmetrically:
+# COALESCE/NULLIF in SQL, coalesce/try_divide in Spark.
 _COS_SQL = (
-    "CAST(dotq AS DOUBLE) / (SQRT(CAST(qn2 AS DOUBLE)) * SQRT(CAST(cn2 AS DOUBLE)))"
+    "COALESCE(CAST(dotq AS DOUBLE)"
+    " / NULLIF(SQRT(CAST(qn2 AS DOUBLE)) * SQRT(CAST(cn2 AS DOUBLE)), 0), 0.0)"
 )
 
 
 def _cos_col() -> Column:
-    return F.col("dotq").cast("double") / (
-        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    return F.coalesce(
+        F.try_divide(
+            F.col("dotq").cast("double"),
+            F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")),
+        ),
+        F.lit(0.0),
     )
 
 
@@ -310,8 +320,9 @@ _PERT_DIM = 10  # outside the 8 sign-bucket dims → clone lands in the same buc
       SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk FROM e
     ), scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-             CAST({_fixed_dot_sql('a.vd', 'b.vd')} AS DOUBLE)
-               / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cosine
+             COALESCE(CAST({_fixed_dot_sql('a.vd', 'b.vd')} AS DOUBLE)
+               / NULLIF(SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)), 0), 0.0)
+               AS cosine
       FROM ranked a
       JOIN ranked b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       JOIN sizes s ON s.bucket = a.bucket
@@ -373,8 +384,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     p = buckets.select("bucket", F.explode(pair_array).alias("p"))
-    cosine = F.col("dotq").cast("double") / (
-        F.sqrt(F.col("p.n2a").cast("double")) * F.sqrt(F.col("p.n2b").cast("double"))
+    # zero-norm guard: cosine = 0.0, same contract as _cos_col()
+    cosine = F.coalesce(
+        F.try_divide(
+            F.col("dotq").cast("double"),
+            F.sqrt(F.col("p.n2a").cast("double")) * F.sqrt(F.col("p.n2b").cast("double")),
+        ),
+        F.lit(0.0),
     )
     return (
         p.withColumn("dotq", _fixed_dot(F.col("p.va"), F.col("p.vb")))

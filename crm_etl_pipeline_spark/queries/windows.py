@@ -381,7 +381,8 @@ def percent_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS prev_revenue,
            (revenue - LAG(revenue) OVER (PARTITION BY c_mktsegment
                                          ORDER BY month))
-             / LAG(revenue) OVER (PARTITION BY c_mktsegment ORDER BY month)
+             / NULLIF(LAG(revenue) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY month), 0)
              AS mom_growth
     FROM monthly
     """,
@@ -421,7 +422,9 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "revenue",
         prev.alias("prev_revenue"),
-        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+        # a zero-revenue prior month leaves growth undefined — NULL,
+        # like the first month (try_divide / NULLIF symmetrically)
+        F.try_divide(F.col("revenue") - prev, prev).alias("mom_growth"),
     )
 
 

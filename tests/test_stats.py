@@ -469,3 +469,83 @@ def test_constant_column_correlation_is_null(spark, tmp_path):
     cols = sorted(c for c in rows[0].asDict())
     s = sorted("|".join(canon(r[c]) for c in cols) for r in rows)
     assert s == o, "constant-column correlations diverge across engines"
+
+
+def test_zero_norm_vector_cosine_is_zero(spark, tmp_path):
+    """Zero-norm guard for the cosine family: an all-zero embedding has
+    no direction — its dot with anything is 0, so the unguarded ratio
+    was 0/0 (ANSI DIVIDE_BY_ZERO in Spark, engine-specific NaN/NULL in
+    DuckDB). The contract is cosine = 0.0 (rank-neutral, below every
+    similarity threshold), bit-for-bit in both engines."""
+    import duckdb
+    import math
+
+    import pyarrow as pa
+
+    fixture = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    embs = fixture.column("embedding").to_pylist()
+    embs[0] = [0.0] * len(embs[0])
+    zeroed = fixture.set_column(
+        fixture.column_names.index("embedding"),
+        "embedding",
+        pa.array(embs, fixture.schema.field("embedding").type),
+    )
+    out = str(tmp_path / "zerovec")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(zeroed, f"{out}/embeddings.parquet")
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{out}/embeddings.parquet')"
+    )
+    for name in ("ann_cosine_topk", "embedding_near_dup"):
+        q = REGISTRY[name]
+        df = q.fn(spark, out)
+        cols = sorted(df.columns)
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+        assert s == o, f"{name} diverges on a zero-norm vector"
+    con.close()
+
+
+def test_zero_revenue_month_growth_is_null(spark, tmp_path):
+    """Zero-denominator guard for month-over-month growth: with every
+    order price 0.0 each month's revenue is 0, so every growth ratio
+    was 0/0 — the contract is NULL (undefined, like the first month),
+    identical in both engines."""
+    import duckdb
+
+    import pyarrow as pa
+
+    fixture = pq.read_table(f"{SF_DIR}/orders.parquet")
+    zeroed = fixture.set_column(
+        fixture.column_names.index("o_totalprice"),
+        "o_totalprice",
+        pa.array([0.0] * fixture.num_rows, pa.float64()),
+    )
+    out = str(tmp_path / "zrev")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(zeroed, f"{out}/orders.parquet")
+    os.symlink(f"{SF_DIR}/customer.parquet", f"{out}/customer.parquet")
+
+    q = REGISTRY["mom_revenue_growth"]
+    rows = q.fn(spark, out).collect()
+    assert rows and all(r.mom_growth is None for r in rows)
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')"
+        )
+    o = con.execute(q.oracle).fetchall()
+    con.close()
+    assert len(o) == len(rows) and all(row[-1] is None for row in o)
