@@ -269,7 +269,12 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .select(
             "event_id",
-            F.regexp_extract(F.col("props"), r'"k": (-?\d+)', 1).cast("long").alias("k_value"),
+            # no-match yields '' — try_cast(NULL) mirrors the oracle's
+            # TRY_CAST instead of an ANSI CAST_INVALID_INPUT crash on a
+            # malformed payload
+            F.regexp_extract(F.col("props"), r'"k": (-?\d+)', 1)
+            .try_cast("long")
+            .alias("k_value"),
         )
     )
 
@@ -277,12 +282,24 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "props_from_json_typed",
     oracle="""
+    WITH parsed AS (
+      -- mirror Spark's PERMISSIVE from_json(LongType): malformed JSON,
+      -- a missing key, a non-integral value (quoted "12", 1.5, or an
+      -- out-of-range number) are ALL NULL — never an error and never a
+      -- string/double coercion (raw json_extract CAST crashes on the
+      -- first and coerces the others)
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                   AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT')
+                  THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events GROUP BY event_type
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM parsed GROUP BY event_type
     """,
     survey="T4,T6,T8 (schema-on-read JSON parse via from_json; typed struct access)",
 )

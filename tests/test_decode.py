@@ -112,3 +112,63 @@ def test_decode_never_throws(spark, values, ftype):
         assert out.calc_number is not None
     # quarantine is a flag, never an exception
     assert out.known == (ftype in decode.KNOWN_TYPES)
+
+
+def test_malformed_props_payloads_never_throw(spark, tmp_path):
+    """The props extractors must treat webhook-payload garbage the way
+    the reference treats bad payloads — skipped (NULL), never fatal
+    (`PodioApiWrapper.py:91-94`). A corpus of malformed/mistyped JSON
+    (truncated, empty, quoted numbers, int64 overflow, floats) crashed
+    the unguarded ANSI cast in props_json_extract and the oracle's raw
+    json_extract CAST in props_from_json_typed; both now agree
+    cross-engine, and Spark's type-strict from_json semantics (a quoted
+    "12" is NULL, not 12) are mirrored by the oracle's json_type
+    guard."""
+    import math
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crm_etl_pipeline_spark.registry import load_all
+
+    registry = load_all()
+    fixture = pq.read_table("/root/testdata/sf0.01/events.parquet")
+    opts = ["{not json", "", '{"k":', "null", "[]", '{"a":1}',
+            '{"k":"12"}', '{"k": 99999999999999999999}', '{"k": 1.5}',
+            '{"k": -7}']
+    vals = [opts[i % len(opts)] for i in range(fixture.num_rows)]
+    garbage = fixture.set_column(
+        fixture.column_names.index("props"), "props", pa.array(vals, pa.string())
+    )
+    out = str(tmp_path / "badprops")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(garbage, f"{out}/events.parquet")
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}/events.parquet')"
+    )
+    for name in ("props_json_extract", "props_from_json_typed"):
+        q = registry[name]
+        df = q.fn(spark, out)
+        cols = sorted(df.columns)
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+        assert s == o, f"{name} diverges on malformed props"
+    con.close()
+    # the type-strict branch is really exercised: only the -7 slice of
+    # the garbage corpus survives as a number
+    typed = {r.event_type: r for r in registry["props_from_json_typed"].fn(spark, out).collect()}
+    assert all(r.min_k in (None, -7) and r.max_k in (None, -7) for r in typed.values())
