@@ -1,0 +1,245 @@
+"""Degenerate-input sweep: run division/sqrt/emptiness-sensitive queries
+on mutated copies of the sf0.01 tables and compare full canonicalized
+output Spark-vs-DuckDB (the FIXTURES.md §6 methodology).
+
+Each probe copies (symlinks) the sf0.01 fixture directory, rewrites one
+table with a degenerate shape — constant/zero columns, empty or
+all-unique text, zero-norm vectors, single-row tables, malformed JSON —
+and asserts both engines produce identical canonical rows (or both
+fail). Crashes/divergences print loudly; "OK" means bit-agreement.
+
+Run from the repo root:  python tools/degenerate_probe.py
+(~10 min; needs an otherwise-idle Spark, like any measurement run).
+
+Findings to date (all fixed, each with a pinned regression test):
+pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
+malformed-JSON crash + quoted-number oracle coercion.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import shutil
+import sys
+import traceback
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from crm_etl_pipeline_spark.registry import load_all  # noqa: E402
+from crm_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+REGISTRY = load_all()
+
+
+def make_fixture(name, mutations):
+    """Copy sf0.01 into /tmp/deg_<name>, applying {table: fn(Table)->Table}."""
+    out = f"/tmp/deg_{name}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in TABLES:
+        src = f"{SF_DIR}/{t}.parquet"
+        if t in mutations:
+            pq.write_table(mutations[t](pq.read_table(src)), f"{out}/{t}.parquet")
+        else:
+            os.symlink(src, f"{out}/{t}.parquet")
+    return out
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def compare(spark, qname, fixture_dir):
+    q = REGISTRY[qname]
+    try:
+        df = q.fn(spark, fixture_dir)
+        cols = sorted(df.columns)
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+    except Exception as e:  # noqa: BLE001 - report, don't abort the sweep
+        return f"SPARK CRASH: {type(e).__name__}: {str(e)[:300]}"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fixture_dir}/{t}.parquet')"
+        )
+    try:
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+    except Exception as e:  # noqa: BLE001
+        con.close()
+        return f"ORACLE CRASH: {type(e).__name__}: {str(e)[:300]}"
+    con.close()
+    if s != o:
+        diff = [(a, b) for a, b in zip(s, o) if a != b][:2]
+        return f"DIVERGE rows={len(s)}/{len(o)} first={diff}"
+    return f"OK rows={len(s)}"
+
+
+def const_col(col, val, typ=pa.float64()):
+    def f(tbl):
+        return tbl.set_column(
+            tbl.column_names.index(col), col, pa.array([val] * tbl.num_rows, typ)
+        )
+
+    return f
+
+
+def one_row(tbl):
+    return tbl.slice(0, 1)
+
+
+def unique_docs(tbl):
+    ids = tbl.column("doc_id").to_pylist()
+    txt = pa.array([f"unique document body {i} zz{i * 7} qq{i * 13}" for i in ids])
+    return tbl.set_column(tbl.column_names.index("text"), "text", txt)
+
+
+def single_user_events(tbl):
+    uid = tbl.column("user_id")[0].as_py()
+    return tbl.filter(pc.equal(tbl.column("user_id"), uid))
+
+
+def single_month_orders(tbl):
+    dates = tbl.column("o_orderdate")
+    pinned = [
+        datetime.datetime(1995, 6, min(d.as_py().day, 28)) for d in dates
+    ]
+    return tbl.set_column(
+        tbl.column_names.index("o_orderdate"), "o_orderdate", pa.array(pinned, dates.type)
+    )
+
+
+def zero_first_vec(tbl):
+    embs = tbl.column("embedding").to_pylist()
+    embs[0] = [0.0] * len(embs[0])
+    return tbl.set_column(
+        tbl.column_names.index("embedding"),
+        "embedding",
+        pa.array(embs, tbl.schema.field("embedding").type),
+    )
+
+
+def garbage_props(tbl):
+    opts = [
+        "{not json", "", '{"k":', "null", "[]", '{"a":1}',
+        '{"k":"12"}', '{"k": 99999999999999999999}', '{"k": 1.5}', '{"k": -7}',
+    ]
+    vals = [opts[i % len(opts)] for i in range(tbl.num_rows)]
+    return tbl.set_column(
+        tbl.column_names.index("props"), "props", pa.array(vals, pa.string())
+    )
+
+
+def singleton_lineitem(tbl):
+    return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
+
+
+def all_constant_lineitem(tbl):
+    for col, val in (("l_quantity", 1.0), ("l_extendedprice", 10.0), ("l_discount", 0.0)):
+        tbl = const_col(col, val)(tbl)
+    return tbl
+
+
+PROBES = [
+    ("pearson_all_const", {"lineitem": all_constant_lineitem},
+     ["pearson_correlation_matrix"]),
+    ("flat_orders", {"orders": const_col("o_totalprice", 42.5)},
+     ["histogram_equi_depth", "rfm_segmentation", "benford_price_audit",
+      "mom_revenue_growth", "decile_gains_table", "abc_pareto_classification"]),
+    ("zero_prices", {"orders": const_col("o_totalprice", 0.0)},
+     ["mom_revenue_growth", "decile_gains_table", "histogram_equi_depth",
+      "abc_pareto_classification", "rfm_segmentation"]),
+    ("empty_docs", {"documents": const_col("text", "", pa.string())},
+     ["bm25_topk_search", "token_rarity_score", "chunk_documents",
+      "text_stats", "inverted_index_postings", "boilerplate_line_removal"]),
+    ("unique_docs", {"documents": unique_docs},
+     ["minhash_near_dup", "simhash_near_dup", "dedup_components",
+      "prefix_filter_setsim_join", "exact_dedup_documents", "ngram_jaccard_verify"]),
+    ("singleton_orders", {"lineitem": singleton_lineitem},
+     ["copurchase_pagerank", "copurchase_lift_topk", "triangle_count"]),
+    ("empty_names", {"customer": const_col("c_name", "", pa.string())},
+     ["record_linkage_fuzzy"]),
+    ("tiny_embeddings", {"embeddings": lambda t: t.slice(0, 3)},
+     ["knn_label_disagreement", "embedding_kmeans", "kmeans_cluster_purity",
+      "ann_cosine_topk", "embedding_standardize", "embedding_quantize_int8"]),
+    ("zero_vec", {"embeddings": zero_first_vec},
+     ["ann_cosine_topk", "embedding_near_dup", "ann_lsh_bucketed",
+      "ann_ivf_probe", "ann_ivf_nprobe2", "embedding_norm_topk"]),
+    ("single_event", {"events": one_row},
+     ["sessionization", "session_window_builtin", "session_path_trigrams",
+      "event_transition_matrix", "ewma_user_value", "funnel_conversion",
+      "attribution_last_touch", "asof_join_latest_order",
+      "range_join_clicks_before_purchase", "fifo_head",
+      "gapfill_daily_user_revenue", "interpolate_daily_user_value",
+      "scd2_current_view", "scd2_asof_snapshot", "cdc_derive_changes",
+      "cdc_apply_snapshot", "event_dedup_last_write_wins",
+      "version_counts_per_key", "incremental_agg_merge",
+      "countmin_heavy_hitters", "approx_distinct_selfcheck",
+      "kmv_set_intersection", "approx_value_percentiles"]),
+    ("single_user", {"events": single_user_events},
+     ["sessionization", "session_window_builtin", "session_path_trigrams",
+      "event_transition_matrix", "ewma_user_value", "funnel_conversion",
+      "attribution_last_touch", "asof_join_latest_order",
+      "range_join_clicks_before_purchase", "fifo_head",
+      "gapfill_daily_user_revenue", "interpolate_daily_user_value"]),
+    ("single_month", {"orders": single_month_orders},
+     ["mom_revenue_growth", "cohort_retention", "keyset_pagination_orders"]),
+    ("bad_props", {"events": garbage_props},
+     ["props_json_extract", "props_from_json_typed"]),
+    ("one_lineitem", {"lineitem": one_row},
+     ["rollup_revenue", "cube_lineitem_flags", "pivot_status_by_priority",
+      "grouping_sets_region_segment"]),
+    ("one_customer", {"customer": one_row},
+     ["catalog_tree", "catalog_drift", "catalog_fields_tree",
+      "composite_key_roundtrip", "hidden_field_projection",
+      "return_type_fallback", "rfm_segmentation", "chi_square_segment_nation"]),
+    ("one_order", {"orders": one_row},
+     ["join_left_missing", "join_semi", "join_anti", "join_fk_enrichment",
+      "bloom_semi_join_prune", "regional_supplier_volume",
+      "latest_order_per_customer", "topk_orders_by_revenue"]),
+]
+
+
+def main():
+    spark = get_spark("degenerate-probe")
+    failures = 0
+    for name, muts, qnames in PROBES:
+        d = make_fixture(name, muts)
+        for qn in qnames:
+            if qn not in REGISTRY:
+                print(f"[{name}] {qn}: NOT REGISTERED")
+                failures += 1
+                continue
+            try:
+                result = compare(spark, qn, d)
+            except Exception:  # noqa: BLE001
+                result = f"HARNESS ERROR\n{traceback.format_exc()[:400]}"
+            if not result.startswith("OK"):
+                failures += 1
+            print(f"[{name}] {qn}: {result}", flush=True)
+    print(f"\nsweep done: {failures} non-OK probe(s)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
