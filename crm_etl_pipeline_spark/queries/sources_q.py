@@ -91,14 +91,47 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the raw rows — the oracle reads the parquet truth, so the
     hash certifies header handling, explicit-schema typing, µs
     timestamp format, double shortest-repr round-trip, and quoting of
-    the embedded-JSON props column."""
+    the embedded-JSON props column.
+
+    Three options close the lossy corners of the CSV default config
+    (found by the degenerate sweep, tools/degenerate_probe.py):
+    a distinct ``nullValue`` token keeps NULL and the empty string
+    apart (both map to "" by default, collapsing '' to NULL on read),
+    ``emptyValue`` on read restores the quoted empty field, and
+    ``multiLine`` honors quoted embedded newlines, which otherwise
+    split one row into two. The writer also must keep
+    ``ignoreLeading/TrailingWhiteSpace`` OFF — they default to true on
+    WRITE only (read defaults are false), silently trimming
+    whitespace-framed values. multiLine makes a file non-splittable by
+    line — the honest cost of newline-bearing text in CSV (no escape
+    exists in the format); at scale that means one task per file, which
+    is another reason these readers are INGEST-only and serving stays
+    on parquet.
+
+    Residual (inherent to the connector, not fixed here): a data value
+    exactly equal to the nullValue sentinel still collapses to NULL on
+    read — Spark's CSV parser nullifies the token even when quoted, so
+    no sentinel disambiguates. Arbitrary binary-ish text belongs in the
+    JSON/ORC roundtrips, which are exact."""
     path = os.path.join(_workdir("csv", sf_dir), "events_csv")
     _export_subset(spark, sf_dir).write.mode("overwrite").options(
-        header=True, timestampFormat=_TS_FMT
+        header=True,
+        timestampFormat=_TS_FMT,
+        nullValue="\\N",
+        ignoreLeadingWhiteSpace=False,
+        ignoreTrailingWhiteSpace=False,
     ).csv(path)
-    return spark.read.options(header=True, timestampFormat=_TS_FMT).schema(
-        _EVENTS_SCHEMA
-    ).csv(path)
+    return (
+        spark.read.options(
+            header=True,
+            timestampFormat=_TS_FMT,
+            nullValue="\\N",
+            emptyValue="",
+            multiLine=True,
+        )
+        .schema(_EVENTS_SCHEMA)
+        .csv(path)
+    )
 
 
 @query(

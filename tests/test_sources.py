@@ -1,0 +1,59 @@
+"""Row-grain fidelity of the text-source roundtrips on adversarial
+text — the corners the CSV default config silently loses (found by
+tools/degenerate_probe.py): embedded newlines, quotes, delimiters,
+whitespace framing, unicode, and the NULL-vs-empty distinction."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crm_etl_pipeline_spark.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.01"
+REGISTRY = load_all()
+
+# deliberately NO literal '\N' here: a data value equal to the CSV
+# nullValue sentinel collapses to NULL on read — inherent to the Spark
+# CSV parser (it nullifies the token even when quoted), documented in
+# csv_source_roundtrip's docstring; JSON/ORC carry it exactly
+NASTY = ['{"k": 1}', "line1\nline2", "with,comma", 'with"quote', "with'sq",
+         "back\\slash", "unié中文", None, "", "\ttab", " lead sp", "trail sp "]
+
+
+def test_text_roundtrips_survive_adversarial_props(spark, tmp_path):
+    fixture = pq.read_table(f"{SF_DIR}/events.parquet")
+    vals = [NASTY[i % len(NASTY)] for i in range(fixture.num_rows)]
+    nasty = fixture.set_column(
+        fixture.column_names.index("props"), "props", pa.array(vals, pa.string())
+    )
+    out = str(tmp_path / "nasty")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(nasty, f"{out}/events.parquet")
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}/events.parquet')"
+    )
+    for name in ("csv_source_roundtrip", "json_source_roundtrip", "orc_source_roundtrip"):
+        q = REGISTRY[name]
+        df = q.fn(spark, out)
+        cols = sorted(df.columns)
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+        assert s == o, f"{name} loses adversarial text in the roundtrip"
+    con.close()

@@ -150,6 +150,17 @@ def garbage_props(tbl):
     )
 
 
+def adversarial_props(tbl):
+    # no literal '\N': a value equal to the CSV nullValue sentinel
+    # collapses on read — inherent to the connector (see sources_q)
+    opts = ['{"k": 1}', "line1\nline2", "with,comma", 'with"quote', "with'sq",
+            "back\\slash", "unié中文", None, "", "\ttab", " lead sp", "trail sp "]
+    vals = [opts[i % len(opts)] for i in range(tbl.num_rows)]
+    return tbl.set_column(
+        tbl.column_names.index("props"), "props", pa.array(vals, pa.string())
+    )
+
+
 def singleton_lineitem(tbl):
     return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
 
@@ -206,6 +217,8 @@ PROBES = [
      ["mom_revenue_growth", "cohort_retention", "keyset_pagination_orders"]),
     ("bad_props", {"events": garbage_props},
      ["props_json_extract", "props_from_json_typed"]),
+    ("nasty_text", {"events": adversarial_props},
+     ["csv_source_roundtrip", "json_source_roundtrip", "orc_source_roundtrip"]),
     ("one_lineitem", {"lineitem": one_row},
      ["rollup_revenue", "cube_lineitem_flags", "pivot_status_by_priority",
       "grouping_sets_region_segment"]),
