@@ -1737,8 +1737,8 @@ CHUNK_W, CHUNK_S = 32, 24
     "chunk_documents",
     oracle=f"""
     WITH sized AS (
-      SELECT doc_id, string_split(text, ' ') AS t,
-             len(string_split(text, ' ')) AS n
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t,
+             len(string_split(COALESCE(text, ''), ' ')) AS n
       FROM documents
     ), counted AS (
       SELECT doc_id, t, n,
@@ -1772,8 +1772,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout bounded by n/S, and slice/concat_ws are codegen'd array ops,
     so the whole operator pipelines inside the parquet scan stage.
     Chunk provenance (doc_id, chunk_id) is carried for the downstream
-    dedup-then-train join-back."""
-    t = _tokens()
+    dedup-then-train join-back. A NULL text reads as the empty document
+    (COALESCE in both engines) — one empty chunk, the same shape an
+    empty string produces, instead of Spark silently dropping the doc
+    while the oracle emits a NULL-text chunk."""
+    t = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     sized = table(spark, sf_dir, "documents").select(
         "doc_id", t.alias("t"), F.size(t).alias("n")
     )
@@ -2024,8 +2027,8 @@ _BOILER = (
                              THEN '{_BOILER[0]}'
                              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < 'b'
                              THEN '{_BOILER[1]}'
-                             ELSE '{_BOILER[2]}' END) || chr(10) || text
-                  ELSE text END AS text
+                             ELSE '{_BOILER[2]}' END) || chr(10) || COALESCE(text, '')
+                  ELSE COALESCE(text, '') END AS text
       FROM documents
     ), lines AS (
       SELECT doc_id, o AS pos, arr[o] AS line
@@ -2079,10 +2082,14 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hex2 < "b", F.lit(_BOILER[1]))
         .otherwise(F.lit(_BOILER[2]))
     )
+    # NULL text reads as the empty document (symmetric COALESCE in the
+    # oracle): unguarded, Spark's concat/posexplode silently dropped
+    # NULL-text docs while the oracle kept them at zero lines
+    txt = F.coalesce(F.col("text"), F.lit(""))
     fab = docs.select(
         "doc_id",
-        F.when(hex1 < "5", F.concat(boiler, F.lit("\n"), F.col("text")))
-        .otherwise(F.col("text"))
+        F.when(hex1 < "5", F.concat(boiler, F.lit("\n"), txt))
+        .otherwise(txt)
         .alias("text"),
     )
     lines = fab.select(

@@ -435,7 +435,7 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), r AS (
       SELECT user_id, event_id, ts, value, rn, value AS ewma
       FROM ordered WHERE rn = 1
@@ -465,9 +465,17 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an Arrow batch with O(n) state — the canonical "UDFs are
     the slow path, but THIS is what they're for" operator; group size
     is bounded by per-user activity, and the sort inside each group is
-    the same bounded in-group sort every window query pays."""
-    events = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+    the same bounded in-group sort every window query pays.
+
+    NULL observations are excluded from the series in BOTH engines
+    (symmetric IS NOT NULL): pandas ewm carries state past a NaN while
+    the recursive CTE's NULL would poison every later step of that
+    user's series — neither is the contract; an unobserved value simply
+    isn't part of the average."""
+    events = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
     )
 
     def ewma(pdf):

@@ -150,6 +150,18 @@ def garbage_props(tbl):
     )
 
 
+def null_every_10th(col):
+    def f(tbl):
+        vals = tbl.column(col).to_pylist()
+        vals = [None if i % 10 == 3 else v for i, v in enumerate(vals)]
+        return tbl.set_column(
+            tbl.column_names.index(col), col,
+            pa.array(vals, tbl.schema.field(col).type),
+        )
+
+    return f
+
+
 def adversarial_props(tbl):
     # no literal '\N': a value equal to the CSV nullValue sentinel
     # collapses on read — inherent to the connector (see sources_q)
@@ -219,6 +231,17 @@ PROBES = [
      ["props_json_extract", "props_from_json_typed"]),
     ("nasty_text", {"events": adversarial_props},
      ["csv_source_roundtrip", "json_source_roundtrip", "orc_source_roundtrip"]),
+    ("null_values", {"events": null_every_10th("value")},
+     ["event_value_anomalies", "robust_outliers_mad", "winsorize_event_values",
+      "approx_value_percentiles", "incremental_agg_merge", "ewma_user_value",
+      "interpolate_daily_user_value", "cdc_apply_snapshot"]),
+    ("null_types", {"events": null_every_10th("event_type")},
+     ["event_type_routing", "event_transition_matrix", "funnel_conversion",
+      "countmin_heavy_hitters", "approx_distinct_selfcheck",
+      "version_counts_per_key"]),
+    ("null_text", {"documents": null_every_10th("text")},
+     ["text_stats", "token_rarity_score", "chunk_documents", "bm25_topk_search",
+      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal"]),
     ("one_lineitem", {"lineitem": one_row},
      ["rollup_revenue", "cube_lineitem_flags", "pivot_status_by_priority",
       "grouping_sets_region_segment"]),
