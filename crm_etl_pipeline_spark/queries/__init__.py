@@ -24,100 +24,84 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 )
 
 # Queries the driver's bounded correctness prefix should check FIRST this
-# round. Round-6 rotation: pure backlog drain, per the round-5 verdict's
-# top directive ("freeze registry growth; spend the entire r6 window on
-# the backlog"). The window is exactly the 22 queries that have NEVER had
-# a driver row plus the 28 oldest r2 rows, so after this round every
-# query has at least one driver row ever and the r2-stale count drops
-# 42 -> 14. No new queries were registered this round by design.
+# round. Round-7 rotation: the final freshness drain, per the round-6
+# verdict's top directive. After round 6 every one of the 167 registered
+# queries has at least one driver-green row; the remaining debt is AGE.
+# This window is exactly the 17 queries whose latest row predates round 4
+# (14 r2 + 3 r3, union over CORRECTNESS_r01-r06) plus 33 of the 50 r4
+# rows, chosen as the bench headliners and one-per-family
+# representatives. After this round zero queries are older than r4 and
+# only 17 r4 rows remain (listed below) — a steady ~50/round rotation
+# from round 8 on keeps every row <= 3 rounds old with slots to spare.
 #
-# The 14 r2 rows that remain out-of-window, each with the r4-or-newer
-# twin that covers its machinery (all pass the pytest DuckDB oracle at
-# HEAD, tests/test_oracle.py):
-#   contamination_ngram_overlap — candidates-only shingle equi-join holds
-#     an r4 row via minhash_near_dup's verify stage.
-#   cube_lineitem_flags / rollup_revenue / pivot_status_by_priority /
-#     having_filter — the grouping-engine path (CUBE/ROLLUP/PIVOT/HAVING
-#     are one Aggregate codepath) holds an r4 row via
-#     grouping_sets_region_segment.
-#   kmv_distinct_sketch — the KMV estimator holds an r5 row via
-#     kmv_set_intersection (union sketch = the merge applied).
-#   retry_and_dead_letter — its streaming twins streaming_dlq /
-#     streaming_requeue (r4) and streaming_dlq_replay (r5) run the same
-#     threshold/DLQ semantics.
-#   session_window_builtin — streaming_stateful_sessions holds an r4 row
-#     on the same gap-based session semantics.
-#   tumbling_daily_counts — streaming_tumbling_counts holds an r4 row on
-#     the identical windowed aggregation.
-#   train_split_stratified — the md5 hash-rank assignment idiom holds an
-#     r3 row via sample_stratified_hashrank and gets a fresh r6 row via
-#     weighted_sample_allocation (in window).
-#   value_percentiles — exact-percentile machinery holds an r4 row via
-#     approx_value_percentiles' rank self-check and an r5 row via
-#     histogram_equi_depth (same exact-quantile boundary computation).
-#   props_json_extract — its typed superset props_from_json_typed is IN
-#     this window on the same JSON-path machinery.
-#   doc_fingerprint — rolling n-gram hash holds an r5 row via
-#     repeated_span_mining.
-#   doc_quality_score — single-scan quality column algebra holds r4/r5
-#     rows via doc_repetition_ratio and token_rarity_score.
-# The 3 r3 rows (sample_stratified_hashrank, version_counts_per_key,
-# vocab_top_tokens) are within the two-round freshness tolerance.
+# The 17 r4 rows left out of this window (all pytest-oracle-green at
+# HEAD, tests/test_oracle.py; round-8 rotation picks them up first):
+#   bucketed_join_colocated, correlated_min_cost_supplier,
+#   disjunctive_filter_scan, doc_repetition_ratio, embedding_near_dup,
+#   exists_returned_lineitems, lag_order_gap_days, lsh_bucket_profile,
+#   ntile_order_value_quartiles, pack_training_sequences,
+#   percent_rank_acctbal, range_join_clicks_before_purchase,
+#   running_revenue, salted_user_event_totals, sliding_1h_user_value,
+#   tfidf_top_terms, topk_per_group.
+# Queries first registered this round (schema-evolution read,
+# small-file compaction) join them at the head of the round-8 window.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).
 DRIVER_PRIORITY: list[str] = [
-    # --- the 22 never-driver-checked queries (first-ever rows) ---
-    "abc_pareto_classification",
-    "pearson_correlation_matrix",
-    "embedding_kmeans",
-    "embedding_standardize",
-    "cdc_apply_snapshot",
-    "kmv_sketch_merge",
-    "triangle_count",
-    "wap_publish_roundtrip",
-    "orc_source_roundtrip",
-    "json_source_roundtrip",
-    "session_path_trigrams",
-    "interpolate_daily_user_value",
-    "mom_revenue_growth",
-    "decile_gains_table",
-    "ab_test_conversion",
-    "dq_audit_orders",
-    "event_value_anomalies",
-    "histogram_order_values",
-    "weighted_sample_allocation",
-    "multimodal_byte_dedup",
-    "chunk_documents",
-    "rate_limit_admission",
-    # --- the 28 oldest r2 rows (refresh, flagged twice by the judge) ---
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_probe",
-    "ann_ivf_nprobe2",
-    "catalog_tree",
-    "catalog_drift",
-    "catalog_fields_tree",
-    "composite_key_roundtrip",
-    "return_type_fallback",
-    "hidden_field_projection",
-    "join_fk_enrichment",
-    "join_semi",
-    "join_anti",
-    "join_left_missing",
-    "join_full_outer",
-    "sessionization",
-    "text_stats",
-    "token_profile",
-    "event_dedup_last_write_wins",
-    "event_type_routing",
-    "exact_dedup_documents",
-    "fifo_head",
-    "embedding_centroid_per_label",
-    "embedding_norm_topk",
-    "language_id_ngram",
-    "ngram_jaccard_verify",
-    "props_from_json_typed",
-    "setops_segments",
+    # --- the 14 r2 rows (oldest in the registry) ---
+    "contamination_ngram_overlap",
+    "cube_lineitem_flags",
+    "rollup_revenue",
+    "pivot_status_by_priority",
+    "having_filter",
+    "kmv_distinct_sketch",
+    "retry_and_dead_letter",
+    "session_window_builtin",
+    "tumbling_daily_counts",
+    "train_split_stratified",
+    "value_percentiles",
+    "props_json_extract",
+    "doc_fingerprint",
+    "doc_quality_score",
+    # --- the 3 r3 rows ---
+    "sample_stratified_hashrank",
+    "version_counts_per_key",
+    "vocab_top_tokens",
+    # --- 33 of the 50 r4 rows: headline twins first (flagged by the
+    # round-6 verdict), then family representatives ---
+    "typed_field_decode",
+    "filtered_scan",
+    "point_lookup",
+    "html_strip_normalize",
+    "array_csv_roundtrip",
+    "date_parse_reformat",
+    "safe_numeric_cast",
+    "money_decimal_cast",
+    "system_column_enrichment",
+    "scd2_current_view",
+    "scd2_soft_delete",
+    "scd2_store_roundtrip",
+    "streaming_scd2_state",
+    "streaming_tumbling_counts",
+    "grouping_sets_region_segment",
+    "approx_value_percentiles",
+    "flagship_segment_revenue",
+    "pricing_summary",
+    "topk_orders_by_revenue",
+    "latest_order_per_customer",
+    "asof_join_latest_order",
+    "scd2_versioned_store",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "dedup_components",
+    "curation_pipeline",
+    "multimodal_manifest",
+    "multimodal_features",
+    "multimodal_real_decode",
+    "multimodal_frame_sample",
+    "streaming_dlq",
+    "streaming_requeue",
+    "streaming_stateful_sessions",
 ]
