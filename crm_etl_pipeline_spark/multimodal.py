@@ -471,9 +471,12 @@ def _parse_mp4_samples(b: bytes):
     ``sample_size`` or the v0 per-sample table), stco/co64 supply chunk
     base offsets (32- and 64-bit spec forms), and samples lay out
     back-to-back within their chunk. With no stsc box every sample sits
-    in the first chunk (the fabricated single-chunk layout; real files
-    with stsc would distribute runs of samples across chunks — that
-    refinement only changes which base offset a sample adds to)."""
+    in the first chunk (the fabricated single-chunk layout). Files with
+    more than one chunk offset (which would need the stsc run-length
+    map to place samples) are REJECTED with an assertion rather than
+    silently mis-seeked — supporting them only changes which base
+    offset a sample adds to, but until implemented the parser refuses
+    the layout instead of returning a wrong plan."""
     import struct
 
     assert len(b) >= 12 and b[4:8] == b"ftyp", "not an ISO-BMFF stream"
@@ -512,6 +515,14 @@ def _parse_mp4_samples(b: bytes):
                         if t4 == b"stbl":
                             walk_stbl(s4, e4)
     assert sizes is not None and chunk_offsets, "mp4 missing stsz/stco"
+    # the back-to-back layout below is only valid when every sample
+    # lives in one chunk; a spec-valid multi-chunk file (stco/co64 with
+    # >1 entry, distributed via stsc) must fail loudly rather than
+    # yield wrong byte offsets for every sample past the first chunk
+    assert len(chunk_offsets) == 1, (
+        f"unsupported multi-chunk mp4 layout ({len(chunk_offsets)} chunks); "
+        "single-chunk stco required for the back-to-back seek plan"
+    )
     out, pos = [], chunk_offsets[0]
     for idx, size in enumerate(sizes):
         assert pos + size <= len(b), "sample table points past end of file"

@@ -999,25 +999,31 @@ def decile_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ), agg AS (
       SELECT
-        CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT)
-          AS conv_a,
-        CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT)
-          AS conv_b
+        CAST(COALESCE(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_a,
+        CAST(COALESCE(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_b,
+        CAST(COALESCE(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END), 0)
+          AS BIGINT) AS conv_a,
+        CAST(COALESCE(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END), 0)
+          AS BIGINT) AS conv_b
       FROM users
     )
     SELECT n_a, n_b, conv_a, conv_b,
-           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
-           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           -- empty arm: 0/0 reads out as NULL (symmetric with Spark's
+           -- try_divide), and z / significant are NULL below
+           CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0) AS rate_a,
+           CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0) AS rate_b,
            -- pooled variance is 0 when nobody or everybody converts;
            -- both rates are then equal, so z = 0 is the exact limit
-           CASE WHEN conv_a + conv_b IN (0, n_a + n_b) THEN 0.0
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                WHEN conv_a + conv_b IN (0, n_a + n_b) THEN 0.0
                 ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
              / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                     * (1.0 / n_a + 1.0 / n_b)) END AS zscore,
-           CASE WHEN conv_a + conv_b IN (0, n_a + n_b) THEN FALSE
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                WHEN conv_a + conv_b IN (0, n_a + n_b) THEN FALSE
                 ELSE abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
              / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
@@ -1038,6 +1044,13 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches. Under a hash split of homogeneous traffic the test
     should NOT reject: the readout showing |z| < 1.96 is the A/A
     sanity check experimentation teams run before trusting a platform.
+
+    Degenerate contracts (symmetric Spark/oracle): an EMPTY ARM
+    (n_a or n_b = 0 — tiny or single-user corpora where the hash
+    split leaves one side unpopulated) yields NULL for that arm's
+    rate, the z-score, and the significance flag (try_divide /
+    NULLIF); counts are COALESCEd to 0 so a fully empty events table
+    still returns one all-zero row with NULL readouts.
 
     Scale shape: one user-grain conditional aggregate (partial
     map-side), then a single global agg over user rows and pure
@@ -1060,17 +1073,28 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = users.agg(
-        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
-        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)).alias(
-            "conv_a"
-        ),
-        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)).alias(
-            "conv_b"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)), F.lit(0)
+        ).alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)), F.lit(0)
+        ).alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)),
+            F.lit(0),
+        ).alias("conv_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)),
+            F.lit(0),
+        ).alias("conv_b"),
     )
-    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
-    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    # empty-arm guard: with n_a = 0 or n_b = 0 there is no comparison to
+    # read out — that arm's rate is 0/0 and the z term's 1/n diverges.
+    # Contract (symmetric with the oracle's NULLIF): the empty arm's rate,
+    # the z-score, and the significance flag are all NULL.
+    rate_a = F.try_divide(F.col("conv_a").cast("double"), F.col("n_a"))
+    rate_b = F.try_divide(F.col("conv_b").cast("double"), F.col("n_b"))
+    empty_arm = (F.col("n_a") == 0) | (F.col("n_b") == 0)
     pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
@@ -1081,12 +1105,16 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate = (F.col("conv_a") + F.col("conv_b") == 0) | (
         F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")
     )
-    z = F.when(degenerate, F.lit(0.0)).otherwise(
-        (rate_a - rate_b)
-        / F.sqrt(
-            pooled
-            * (F.lit(1.0) - pooled)
-            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    z = (
+        F.when(empty_arm, F.lit(None).cast("double"))
+        .when(degenerate, F.lit(0.0))
+        .otherwise(
+            (rate_a - rate_b)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            )
         )
     )
     return agg.select(

@@ -201,6 +201,51 @@ def test_mp4_sample_offsets_per_sample_stsz_and_co64(spark):
         assert r.byte_offset == multimodal.MP4_CHUNK_OFFSET + i * size
 
 
+def test_mp4_multi_chunk_layout_rejected():
+    """A spec-valid multi-chunk file (stco with >1 entry) needs the
+    stsc run-length map to place samples; the back-to-back plan the
+    parser builds would be silently WRONG for every sample past the
+    first chunk. The parser must refuse the layout loudly instead."""
+    import struct
+
+    import pytest
+
+    from crm_etl_pipeline_spark import multimodal
+
+    doc_id = 7
+    b = multimodal._mp4_bytes(doc_id)
+    size = 8 + doc_id % 16
+    n = multimodal.MP4_N_SAMPLES
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    stsz = box(b"stsz", struct.pack(">III", 0, size, n))
+    # TWO chunk offsets — both inside the file, so without the guard the
+    # walk would happily emit a (wrong) plan from the first base only
+    stco = box(
+        b"stco",
+        struct.pack(">II", 0, 2)
+        + struct.pack(">II", multimodal.MP4_CHUNK_OFFSET, multimodal.MP4_CHUNK_OFFSET + 4 * size),
+    )
+    stsd = box(b"stsd", struct.pack(">II", 0, 0))
+    dur = 1000 + doc_id % 9000
+    delta = dur // n
+    stts = box(
+        b"stts",
+        struct.pack(">IIIIII", 0, 2, n - 1, delta, 1, dur - (n - 1) * delta),
+    )
+    stbl = box(b"stbl", stsd + stts + stsz + stco)
+    mvhd = b[32:140]
+    tkhd = b[148:240]
+    mdhd = b[248:280]
+    mdia = box(b"mdia", mdhd + box(b"minf", stbl))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    rewritten = b[:24] + moov + b[384:]
+    with pytest.raises(AssertionError, match="multi-chunk"):
+        multimodal._parse_mp4_samples(rewritten)
+
+
 def test_frame_offsets_cover_payload(spark):
     media = _media(spark)
     frames = multimodal.frame_offsets(media, chunk_bytes=256)

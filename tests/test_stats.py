@@ -325,6 +325,65 @@ def test_zero_dispersion_zscores_agree(spark, tmp_path):
     con.close()
 
 
+def test_ab_empty_arm_reads_null(spark, tmp_path):
+    """Empty-arm guard for the A/B readout: with a single user the md5
+    hash split leaves one variant unpopulated, so that arm's rate is
+    0/0 and the z term's 1/n diverges — unguarded, ANSI Spark raised
+    DIVIDE_BY_ZERO while the DuckDB oracle emitted NULL/NaN. The
+    contract: the empty arm's rate, the z-score, and the significance
+    flag are all NULL, counts are 0, and BOTH engines agree
+    bit-for-bit — including on a fully empty events table (one
+    all-zero row, NULL readouts)."""
+    import duckdb
+
+    fixture = pq.read_table(f"{SF_DIR}/events.parquet")
+    uid = fixture.column("user_id")[0].as_py()
+    import pyarrow.compute as pc
+
+    cases = {
+        "oneuser": fixture.filter(pc.equal(fixture.column("user_id"), uid)),
+        "noevents": fixture.slice(0, 0),
+    }
+    q = REGISTRY["ab_test_conversion"]
+    for label, tbl in cases.items():
+        out = str(tmp_path / label)
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(tbl, f"{out}/events.parquet")
+        rows = q.fn(spark, out).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # at least one arm is empty in both cases
+        assert r["n_a"] == 0 or r["n_b"] == 0
+        assert r["zscore"] is None and r["significant"] is None
+        if r["n_a"] == 0:
+            assert r["rate_a"] is None
+        if r["n_b"] == 0:
+            assert r["rate_b"] is None
+        cols = sorted(rows[0].asDict().keys())
+
+        # order-insensitive canonical compare, same method as the sweep
+        def canon(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, float):
+                return "NaN" if math.isnan(v) else repr(v)
+            if isinstance(v, bool):
+                return str(v).lower()
+            return str(v)
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}/events.parquet')"
+        )
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+        con.close()
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in rows)
+        assert s == o, f"ab_test_conversion diverges on {label}"
+
+
 def test_constant_dim_embeddings_agree(spark, tmp_path):
     """Zero-range guard for the vector feature pipeline: a constant
     dimension has sd == 0 (standardize) and mx == mn (quantize) —

@@ -218,13 +218,15 @@ PROBES = [
       "cdc_apply_snapshot", "event_dedup_last_write_wins",
       "version_counts_per_key", "incremental_agg_merge",
       "countmin_heavy_hitters", "approx_distinct_selfcheck",
-      "kmv_set_intersection", "approx_value_percentiles"]),
+      "kmv_set_intersection", "approx_value_percentiles",
+      "ab_test_conversion"]),
     ("single_user", {"events": single_user_events},
      ["sessionization", "session_window_builtin", "session_path_trigrams",
       "event_transition_matrix", "ewma_user_value", "funnel_conversion",
       "attribution_last_touch", "asof_join_latest_order",
       "range_join_clicks_before_purchase", "fifo_head",
-      "gapfill_daily_user_revenue", "interpolate_daily_user_value"]),
+      "gapfill_daily_user_revenue", "interpolate_daily_user_value",
+      "ab_test_conversion"]),
     ("single_month", {"orders": single_month_orders},
      ["mom_revenue_growth", "cohort_retention", "keyset_pagination_orders"]),
     ("bad_props", {"events": garbage_props},

@@ -117,7 +117,12 @@ def write_events_chunked(
     contract is a GLOBALLY sorted ts column, and per-chunk sorting
     would leave batch boundaries unordered); every other column,
     including the Python-string props, is generated and released per
-    chunk. Same distributions as gen_events, same seed discipline."""
+    chunk. Matches gen_events in DISTRIBUTIONS only, not exact seeded
+    values: the chunked builder interleaves RNG draws per chunk
+    (user/type/value/props) while gen_events draws whole-column, so the
+    same sf+seed yields different row values depending on which side of
+    the chunking threshold a table lands — fine for scaling curves,
+    which compare shapes, never rows across the threshold."""
     t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
     span = 30 * 24 * 3600 * 10**9
     ts_us = np.sort(t0 + rng.integers(0, span, n)) // 1000
