@@ -751,7 +751,10 @@ def rate_limit_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str:
 
     src = os.path.join(workdir, "chunks")
     ev = table(spark, sf_dir, "events").select("event_id", "ts")
-    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    # MAX over an empty table is NULL — an empty fixture still re-lays
+    # (four empty) chunks so the stream drains to an empty ledger
+    # instead of crashing on None arithmetic
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
     step = (hi + 4) // 4
     for i in range(4):
         (

@@ -246,6 +246,36 @@ def test_mp4_multi_chunk_layout_rejected():
         multimodal._parse_mp4_samples(rewritten)
 
 
+def test_quarantine_zero_byte_and_truncated_blobs(spark):
+    """The quarantine decoder's claim on the sweep's mutated fixtures:
+    zero-byte payloads, bare magic numbers, truncated headers, and
+    plain garbage each cost ONE flagged row — never the task — while a
+    healthy payload in the same batch still decodes through the real
+    parser."""
+    healthy = multimodal._wav_bytes(4)  # doc_id 4 → audio/wav slot
+    bad = [
+        (100, "audio/wav", b""),                      # zero-byte
+        (101, "image/bmp", b"BM"),                    # magic only
+        (102, "image/png", b"\x89PNG\r\n\x1a\n"),     # signature, no chunks
+        (103, "video/mp4", b"\x00\x00\x00\x08ftyp"),  # 8-byte ISO-BMFF stub
+        (104, "audio/wav", healthy[:10]),             # truncated header
+        (105, "image/png", b"\xde\xad\xbe\xef" * 8),  # garbage
+    ]
+    rows = spark.createDataFrame(
+        [(4, "audio/wav", bytearray(healthy))]
+        + [(i, m, bytearray(p)) for i, m, p in bad],
+        "doc_id long, mime string, payload binary",
+    )
+    out = {r.doc_id: r for r in multimodal.decode_media_quarantined(rows).collect()}
+    assert len(out) == 7
+    assert not out[4].is_corrupt and out[4].n_bytes == len(healthy)
+    for doc_id, _, payload in bad:
+        r = out[doc_id]
+        assert r.is_corrupt, f"doc {doc_id} should be quarantined"
+        assert r.n_bytes == len(payload)
+        assert r.width is None and r.height is None
+
+
 def test_frame_offsets_cover_payload(spark):
     media = _media(spark)
     frames = multimodal.frame_offsets(media, chunk_bytes=256)

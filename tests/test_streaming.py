@@ -297,6 +297,23 @@ def test_read_dlq_missing_path_returns_empty(spark, tmp_path):
     assert "failed_attempts" in df.columns and "event_id" in df.columns
 
 
+def test_rate_limit_stream_empty_fixture(spark, tmp_path):
+    """An EMPTY events table must drain to an empty decision ledger,
+    not crash: MAX(event_id) over zero rows is NULL, and the chunk
+    re-lay arithmetic did None + int before the guard (found by the
+    round-7 degenerate sweep's empty_events probe)."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF_DIR}/events.parquet").slice(0, 0)
+    fixture = str(tmp_path / "fixture")
+    import os
+
+    os.makedirs(fixture)
+    pq.write_table(src, f"{fixture}/events.parquet")
+    out = streaming.rate_limit_stream(spark, fixture, str(tmp_path / "wd"))
+    assert spark.read.parquet(out).count() == 0
+
+
 def test_compaction_racing_append_loses_nothing(spark, tmp_path):
     """Compaction racing a micro-batch append: versions appended to the
     log AFTER compact_store snapshotted it must survive, and serving

@@ -13,7 +13,13 @@ Run from the repo root:  python tools/degenerate_probe.py
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
-malformed-JSON crash + quoted-number oracle coercion.
+malformed-JSON crash + quoted-number oracle coercion; round 7 extended
+the sweep to the streaming/multimodal/gateway/WAP families and found
+the rate-limit stream's None+int crash on an empty events table
+(tests/test_streaming.py::test_rate_limit_stream_empty_fixture) and
+the A/B readout's empty-arm DIVIDE_BY_ZERO
+(tests/test_stats.py::test_ab_empty_arm_reads_null); the WAP roundtrip
+gained its designed empty-batch-rejection contract.
 """
 
 from __future__ import annotations
@@ -177,6 +183,36 @@ def singleton_lineitem(tbl):
     return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
 
 
+def empty_table(tbl):
+    return tbl.slice(0, 0)
+
+
+def one_document(tbl):
+    # doc_id 0: mime rotation slot 0 AND doc_id % 10 == 0 — the single
+    # payload is also the quarantine query's corrupt one
+    return tbl.slice(0, 1)
+
+
+def no_error_events(tbl):
+    # retype every 'error' event: the DLQ/retry family sees zero
+    # failures end to end (empty dead-letter store, zero requeues)
+    et = tbl.column("event_type").to_pylist()
+    et = ["view" if v == "error" else v for v in et]
+    return tbl.set_column(
+        tbl.column_names.index("event_type"), "event_type",
+        pa.array(et, pa.string()),
+    )
+
+
+def all_error_events(tbl):
+    # every event dead-letters eventually; the SCD2 pipeline processes
+    # nothing (no update/create types survive the ingest filter)
+    return tbl.set_column(
+        tbl.column_names.index("event_type"), "event_type",
+        pa.array(["error"] * tbl.num_rows, pa.string()),
+    )
+
+
 def all_constant_lineitem(tbl):
     for col, val in (("l_quantity", 1.0), ("l_extendedprice", 10.0), ("l_discount", 0.0)):
         tbl = const_col(col, val)(tbl)
@@ -255,6 +291,41 @@ PROBES = [
      ["join_left_missing", "join_semi", "join_anti", "join_fk_enrichment",
       "bloom_semi_join_prune", "regional_supplier_volume",
       "latest_order_per_customer", "topk_orders_by_revenue"]),
+    # --- round-7 extension: streaming / multimodal / gateway / WAP ---
+    ("no_error_events", {"events": no_error_events},
+     ["streaming_dlq", "streaming_requeue", "streaming_dlq_replay",
+      "retry_and_dead_letter", "backoff_penalty_audit"]),
+    ("all_error_events", {"events": all_error_events},
+     ["streaming_dlq", "streaming_requeue", "streaming_scd2_state",
+      "retry_and_dead_letter", "backoff_penalty_audit",
+      "event_type_routing", "funnel_conversion"]),
+    ("single_event_stream", {"events": one_row},
+     ["streaming_scd2_state", "streaming_tumbling_counts",
+      "streaming_stateful_sessions", "streaming_moments_anomalies",
+      "streaming_rate_limit", "streaming_stream_stream_join",
+      "streaming_late_data_audit", "streaming_dlq",
+      "rate_limit_admission", "credential_rotation_schedule",
+      "backoff_penalty_audit", "wap_publish_roundtrip"]),
+    ("empty_events", {"events": empty_table},
+     ["streaming_scd2_state", "streaming_tumbling_counts",
+      "streaming_stateful_sessions", "streaming_moments_anomalies",
+      "streaming_rate_limit", "streaming_dlq", "streaming_requeue",
+      "streaming_late_data_audit", "rate_limit_admission",
+      "credential_rotation_schedule", "backoff_penalty_audit",
+      "wap_publish_roundtrip", "csv_source_roundtrip",
+      "json_source_roundtrip", "orc_source_roundtrip",
+      "ab_test_conversion", "fifo_head", "event_dedup_last_write_wins"]),
+    ("empty_documents", {"documents": empty_table},
+     ["multimodal_manifest", "multimodal_features",
+      "multimodal_real_decode", "multimodal_frame_sample",
+      "multimodal_byte_dedup", "multimodal_decode_quarantine",
+      "pii_redaction", "pack_training_sequences", "curation_pipeline",
+      "chunk_documents"]),
+    ("one_document", {"documents": one_document},
+     ["multimodal_manifest", "multimodal_features",
+      "multimodal_real_decode", "multimodal_frame_sample",
+      "multimodal_byte_dedup", "multimodal_decode_quarantine",
+      "pii_redaction", "pack_training_sequences"]),
 ]
 
 
