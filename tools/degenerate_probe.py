@@ -9,7 +9,9 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~10 min; needs an otherwise-idle Spark, like any measurement run).
+(~20 min at 26 probe batches / ~175 query runs; needs an
+otherwise-idle Spark, like any measurement run). Last full run at
+round-7 HEAD: 175/175 OK.
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
