@@ -262,17 +262,20 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what this layout avoids."""
     root = os.path.join(_workdir("evolve", sf_dir), "items")
     cust = table(spark, sf_dir, "customer")
+    # one generation = one snap=N partition directory, each written
+    # with overwrite so the query is idempotent within a session (a
+    # re-run replaces its own generation instead of appending
+    # duplicates — the "entry() called twice" hazard)
     # snapshot 1: original schema — field label 'name'
     (
         cust.filter(F.col("c_custkey") % 2 == 0)
         .select(
             F.col("c_custkey").alias("item_id"),
-            F.lit(1).cast("int").alias("snap"),
             F.col("c_name").alias("name"),
             F.col("c_acctbal").alias("value"),
         )
-        .write.mode("append")
-        .parquet(root)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "snap=1"))
     )
     # snapshot 2: after the drift — 'name' renamed to 'full_name',
     # 'priority' added (the catalog diff reports exactly this mapping)
@@ -280,14 +283,15 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_custkey") % 2 == 1)
         .select(
             F.col("c_custkey").alias("item_id"),
-            F.lit(2).cast("int").alias("snap"),
             F.col("c_name").alias("full_name"),
             F.col("c_acctbal").alias("value"),
             (F.col("c_custkey") % 5).cast("int").alias("priority"),
         )
-        .write.mode("append")
-        .parquet(root)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "snap=2"))
     )
+    # partition discovery types snap as int; mergeSchema unions the
+    # two generations' footers
     merged = spark.read.option("mergeSchema", "true").parquet(root)
     return merged.select(
         "item_id",

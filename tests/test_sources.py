@@ -70,6 +70,10 @@ def test_schema_evolution_merges_without_rewriting_old_files(spark, tmp_path):
     df = reg["schema_evolution_read"].fn(spark, SF_DIR)
     assert set(df.columns) == {"item_id", "snap", "display_name", "value", "priority"}
     rows = df.collect()
+    # idempotency pin: a second run in the same session must replace
+    # its own generations, not append duplicates
+    again = reg["schema_evolution_read"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
     snap1 = [r for r in rows if r.snap == 1]
     snap2 = [r for r in rows if r.snap == 2]
     assert snap1 and snap2
@@ -85,8 +89,9 @@ def test_schema_evolution_merges_without_rewriting_old_files(spark, tmp_path):
             break
     if root:  # workdir naming is pid-scoped; census only when visible
         schemas = {
-            tuple(papq.read_schema(os.path.join(root, f)).names)
-            for f in os.listdir(root)
+            tuple(papq.read_schema(os.path.join(dp, f)).names)
+            for dp, _, fs in os.walk(root)
+            for f in fs
             if f.endswith(".parquet")
         }
         assert len(schemas) == 2  # neither generation was rewritten
