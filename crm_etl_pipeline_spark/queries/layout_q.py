@@ -93,7 +93,15 @@ def scd2_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the is_current partition (streaming.compact_store docstring;
     the compact-vs-racing-append interaction is tested in
     tests/test_streaming.py)."""
+    import shutil
+
     wd = _workdir("compact", sf_dir)
+    # self-contained per invocation: a re-run in the same session
+    # rebuilds the 9-generation log from scratch instead of appending
+    # 9 more generations onto the previous run's (dropDuplicates would
+    # keep the RESULT identical, but the log under measurement would
+    # silently grow per call)
+    shutil.rmtree(wd, ignore_errors=True)
     log = os.path.join(wd, "log")
     store = os.path.join(wd, "store")
     # 9 per-batch appends: the base load, then the updates in 8 chunks

@@ -165,3 +165,19 @@ def test_compaction_shrinks_file_count_and_preserves_history(spark, tmp_path):
     # 9 append generations × task files vs one rewrite
     assert n_log > n_store, (n_log, n_store)
     assert n_log >= 9  # the log really is per-batch small files
+
+
+def test_compaction_query_rerun_is_self_contained(spark):
+    """A second invocation in one session must rebuild its 9-generation
+    log from scratch (not append 9 more generations) and return the
+    identical history."""
+    from crm_etl_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    first = sorted(
+        tuple(r) for r in reg["scd2_compact_small_files"].fn(spark, SF_DIR).collect()
+    )
+    second = sorted(
+        tuple(r) for r in reg["scd2_compact_small_files"].fn(spark, SF_DIR).collect()
+    )
+    assert first == second
