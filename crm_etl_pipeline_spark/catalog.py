@@ -128,3 +128,33 @@ def read_evolving(spark, *paths: str) -> DataFrame:
     partition directory and let the catalog drive explicit casts.
     """
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def rename_mapping(drift: DataFrame) -> DataFrame:
+    """Distill a drift report (``drift_diff`` keyed on field_id with a
+    ``field_label`` attr) into the (old_label → new_label) pairs a
+    store reader needs: fields whose id survived but whose label
+    changed — the reference's rename case (`README.md:18`). Added and
+    dropped fields need no mapping (mergeSchema already NULLs/retains
+    them)."""
+    return drift.filter(
+        (F.col("status") == "changed")
+        & ~F.col("old_field_label").eqNullSafe(F.col("new_field_label"))
+        & F.col("old_field_label").isNotNull()
+        & F.col("new_field_label").isNotNull()
+    ).select("field_id", "old_field_label", "new_field_label")
+
+
+def unify_renamed(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Apply a rename mapping to a ``read_evolving`` frame: each
+    (old, new) label pair that surfaced as two mergeSchema columns
+    collapses into the NEW name via COALESCE (new wins where both
+    generations somehow carry a value) and the old column drops. This
+    is the automatic consumer of ``rename_mapping`` — detect with
+    drift_diff, distill, apply — so a rename needs zero hand-written
+    projection code and zero bytes rewritten in the store."""
+    out = df
+    for old, new in pairs:
+        if old in out.columns and new in out.columns:
+            out = out.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+    return out

@@ -251,6 +251,11 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file footers union into one schema, files missing a column
     yield NULL for it — and the drift mapping from the catalog diff
     (old label → new label) becomes one COALESCE projection. The
+    detect → distill → apply loop is automated by
+    ``catalog.drift_diff`` → ``catalog.rename_mapping`` →
+    ``catalog.unify_renamed`` (tests/test_sources.py proves the
+    automated path reproduces this query's projection); the oracle
+    needs the mapping inline, which is why it is spelled here. The
     oracle recomputes both generations closed-form from the customer
     truth and UNIONs them, so the hash certifies no row or value was
     lost across the evolution.

@@ -95,3 +95,56 @@ def test_schema_evolution_merges_without_rewriting_old_files(spark, tmp_path):
             if f.endswith(".parquet")
         }
         assert len(schemas) == 2  # neither generation was rewritten
+
+
+def test_drift_mapping_drives_the_evolution_read(spark, tmp_path):
+    """Detect → distill → apply, end to end with no hand-written
+    projection: drift_diff over the two catalog generations reports the
+    rename, rename_mapping distills the (old, new) label pair, and
+    unify_renamed applies it to the mergeSchema read — reproducing
+    exactly what schema_evolution_read hand-codes."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.catalog import (
+        drift_diff,
+        read_evolving,
+        rename_mapping,
+        unify_renamed,
+    )
+    from crm_etl_pipeline_spark.io import table
+
+    # the two catalog generations around the drift: field 7 renamed
+    # name -> full_name, field 9 (priority) added
+    old_cat = spark.createDataFrame(
+        [(7, "name", "text"), (8, "value", "number")],
+        "field_id long, field_label string, field_type string",
+    )
+    new_cat = spark.createDataFrame(
+        [(7, "full_name", "text"), (8, "value", "number"), (9, "priority", "number")],
+        "field_id long, field_label string, field_type string",
+    )
+    pairs = [
+        (r.old_field_label, r.new_field_label)
+        for r in rename_mapping(
+            drift_diff(old_cat, new_cat, "field_id", ["field_label", "field_type"])
+        ).collect()
+    ]
+    assert pairs == [("name", "full_name")]
+
+    # two store generations written under those catalogs
+    cust = table(spark, SF_DIR, "customer").limit(200)
+    g1, g2 = str(tmp_path / "snap=1"), str(tmp_path / "snap=2")
+    cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("item_id"), F.col("c_name").alias("name")
+    ).write.parquet(g1)
+    cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("item_id"),
+        F.col("c_name").alias("full_name"),
+        (F.col("c_custkey") % 5).cast("int").alias("priority"),
+    ).write.parquet(g2)
+
+    unified = unify_renamed(read_evolving(spark, str(tmp_path)), pairs)
+    rows = unified.collect()
+    assert "name" not in unified.columns and "full_name" in unified.columns
+    assert all(r.full_name is not None for r in rows)
+    assert {r.snap for r in rows} == {1, 2}
