@@ -69,6 +69,13 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_lineitem_flags",
+    # HAVING n > 0 pins the empty-relation contract: the SQL standard
+    # (and DuckDB) emit the grand-total grouping-set row with COUNT 0
+    # over an empty input, while Spark's cube emits nothing — the
+    # symmetric filter makes "cube of empty is empty" the contract in
+    # both engines and is a no-op on any non-empty input (every
+    # materialized cell has n >= 1). Found by the empty_lineitem sweep
+    # probe.
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -77,11 +84,15 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(l_linestatus) AS INT) AS g_ls
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
     survey="A-family (cube)",
 )
 def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 2^2 grouping combinations in one pass (Expand operator)."""
+    """All 2^2 grouping combinations in one pass (Expand operator).
+    Empty-relation contract: cube of empty is empty (see oracle
+    comment; Spark already behaves this way, the filter keeps the
+    declared semantics engine-symmetric)."""
     return (
         table(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -91,6 +102,7 @@ def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
         )
+        .filter(F.col("n") > 0)
     )
 
 

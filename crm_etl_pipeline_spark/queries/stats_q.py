@@ -265,15 +265,18 @@ def weighted_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_audit_orders",
     oracle="""
     WITH scan AS (
+      -- COALESCE(SUM, 0): over an EMPTY load SUM is NULL in both
+      -- engines; the contract is 0 violations / 0 checked / passed
+      -- (found by the empty_orders sweep probe)
       SELECT COUNT(*) AS n,
              COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
-             SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
-                      THEN 1 ELSE 0 END) AS bad_price,
-             SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+             COALESCE(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                      THEN 1 ELSE 0 END), 0) AS bad_price,
+             COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
                        OR o_orderdate >= TIMESTAMP '2010-01-01'
-                       OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS bad_date,
-             SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                       OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS bad_status
+                       OR o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS bad_date,
+             COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                       OR o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS bad_status
       FROM orders
     ), fk AS (
       SELECT COUNT(*) AS orphans FROM orders o
@@ -305,28 +308,38 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch."""
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
+    # coalesce(sum, 0): empty-load contract — see oracle comment
     scan = orders.agg(
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_keys"),
-        F.sum(
-            F.when(
-                (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull(), 1
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("bad_price"),
-        F.sum(
-            F.when(
-                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
-                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp"))
-                | F.col("o_orderdate").isNull(),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                    | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp"))
+                    | F.col("o_orderdate").isNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("bad_date"),
-        F.sum(
-            F.when(
-                ~F.col("o_orderstatus").isin("O", "F", "P")
-                | F.col("o_orderstatus").isNull(),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~F.col("o_orderstatus").isin("O", "F", "P")
+                    | F.col("o_orderstatus").isNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("bad_status"),
     )
     orphans = (
@@ -341,10 +354,14 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_checked"),
         )
 
-    # fk row needs both frames: attach orphans to the scan row via the
-    # non-foldable broadcast key (n >= 1 on any non-empty load)
+    # fk row needs both frames: attach orphans to the scan row via a
+    # non-foldable broadcast key that is 1 on EVERY load — including an
+    # empty one, where least(n, 1) used to read 0 and silently dropped
+    # the fk rule row (empty_orders sweep probe)
     fk_row = (
-        scan.withColumn("_k", F.least(F.col("n"), F.lit(1)).cast("int"))
+        scan.withColumn(
+            "_k", F.least(F.greatest(F.col("n"), F.lit(1)), F.lit(1)).cast("int")
+        )
         .join(
             F.broadcast(
                 orphans.withColumn(

@@ -608,3 +608,45 @@ def test_zero_revenue_month_growth_is_null(spark, tmp_path):
     o = con.execute(q.oracle).fetchall()
     con.close()
     assert len(o) == len(rows) and all(row[-1] is None for row in o)
+
+
+def test_empty_load_audit_and_cube_agree(spark, tmp_path):
+    """Empty-relation contracts from the round-7 empty_orders /
+    empty_lineitem sweep probes, pinned: (a) dq_audit_orders on an
+    empty load emits ALL FIVE rules with 0 violations / 0 checked /
+    passed (the fk rule row used to vanish — its broadcast attach key
+    read least(0,1)=0 — and the conditional SUMs read NULL); (b) the
+    cube of an empty relation is the empty relation in BOTH engines
+    (DuckDB alone would emit the COUNT-0 grand-total grouping-set row;
+    the symmetric HAVING/filter removes it)."""
+    import duckdb
+
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").slice(0, 0)
+    lineitem = pq.read_table(f"{SF_DIR}/lineitem.parquet").slice(0, 0)
+    customer = pq.read_table(f"{SF_DIR}/customer.parquet")
+    out = str(tmp_path / "empty")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(orders, f"{out}/orders.parquet")
+    pq.write_table(lineitem, f"{out}/lineitem.parquet")
+    pq.write_table(customer, f"{out}/customer.parquet")
+
+    audit = {r.rule: r for r in REGISTRY["dq_audit_orders"].fn(spark, out).collect()}
+    assert set(audit) == {
+        "orderkey_unique",
+        "custkey_fk_resolves",
+        "totalprice_positive",
+        "orderdate_in_range",
+        "status_in_domain",
+    }
+    for r in audit.values():
+        assert r.n_violations == 0 and r.n_checked == 0 and r.passed
+
+    assert REGISTRY["cube_lineitem_flags"].fn(spark, out).count() == 0
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')"
+        )
+    assert len(con.execute(REGISTRY["cube_lineitem_flags"].oracle).fetchall()) == 0
+    assert len(con.execute(REGISTRY["dq_audit_orders"].oracle).fetchall()) == 5
+    con.close()

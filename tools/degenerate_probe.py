@@ -21,7 +21,10 @@ the rate-limit stream's None+int crash on an empty events table
 (tests/test_streaming.py::test_rate_limit_stream_empty_fixture) and
 the A/B readout's empty-arm DIVIDE_BY_ZERO
 (tests/test_stats.py::test_ab_empty_arm_reads_null); the WAP roundtrip
-gained its designed empty-batch-rejection contract.
+gained its designed empty-batch-rejection contract. The empty-table
+probes (embeddings/orders/lineitem) then found the dq-audit fk-row
+vanish + NULL sums and the cube-of-empty cross-engine divergence
+(tests/test_stats.py::test_empty_load_audit_and_cube_agree).
 """
 
 from __future__ import annotations
@@ -328,6 +331,25 @@ PROBES = [
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "pii_redaction", "pack_training_sequences"]),
+    ("empty_embeddings", {"embeddings": empty_table},
+     ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+      "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
+      "embedding_standardize", "embedding_quantize_int8",
+      "embedding_centroid_per_label", "embedding_norm_topk",
+      "knn_label_disagreement", "embedding_near_dup"]),
+    ("empty_orders", {"orders": empty_table},
+     ["join_left_missing", "join_semi", "join_anti", "join_full_outer",
+      "latest_order_per_customer", "topk_orders_by_revenue",
+      "mom_revenue_growth", "decile_gains_table", "rfm_segmentation",
+      "histogram_order_values", "histogram_equi_depth",
+      "abc_pareto_classification", "keyset_pagination_orders",
+      "dq_audit_orders", "cohort_retention"]),
+    ("empty_lineitem", {"lineitem": empty_table},
+     ["pricing_summary", "flagship_segment_revenue", "rollup_revenue",
+      "cube_lineitem_flags", "pivot_status_by_priority", "having_filter",
+      "grouping_sets_region_segment", "pearson_correlation_matrix",
+      "copurchase_pagerank", "triangle_count", "copurchase_lift_topk",
+      "regional_supplier_volume", "exists_returned_lineitems"]),
 ]
 
 
