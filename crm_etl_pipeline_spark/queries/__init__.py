@@ -27,24 +27,30 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # round. Round-7 rotation: the final freshness drain, per the round-6
 # verdict's top directive. After round 6 every one of the 167 registered
 # queries has at least one driver-green row; the remaining debt is AGE.
-# This window is exactly the 17 queries whose latest row predates round 4
-# (14 r2 + 3 r3, union over CORRECTNESS_r01-r06) plus 33 of the 50 r4
-# rows, chosen as the bench headliners and one-per-family
-# representatives. After this round zero queries are older than r4 and
-# only 17 r4 rows remain (listed below) — a steady ~50/round rotation
-# from round 8 on keeps every row <= 3 rounds old with slots to spare.
+# This window is: (a) the 17 queries whose latest row predates round 4
+# (14 r2 + 3 r3, union over CORRECTNESS_r01-r06); (b) the 6 queries
+# whose code or oracle CHANGED this round or are newly registered
+# (schema_evolution_read + scd2_compact_small_files new;
+# ab_test_conversion empty-arm guard; dq_audit_orders empty-load
+# contract; wap_publish_roundtrip empty-batch rejection;
+# streaming_rate_limit empty-fixture guard — changed code outranks an
+# untouched twin's refresh); (c) 27 of the 50 r4 rows, bench headliners
+# and one-per-family representatives. After this round zero queries are
+# older than r4 and 23 r4 rows remain (listed below) — a steady
+# ~50/round rotation from round 8 on keeps every row <= 3 rounds old.
 #
-# The 17 r4 rows left out of this window (all pytest-oracle-green at
-# HEAD, tests/test_oracle.py; round-8 rotation picks them up first):
+# The 23 r4 rows left out of this window (all pytest-oracle-green at
+# HEAD, tests/test_oracle.py, and all code-identical this round;
+# round-8 rotation picks them up first):
 #   bucketed_join_colocated, correlated_min_cost_supplier,
 #   disjunctive_filter_scan, doc_repetition_ratio, embedding_near_dup,
 #   exists_returned_lineitems, lag_order_gap_days, lsh_bucket_profile,
-#   ntile_order_value_quartiles, pack_training_sequences,
-#   percent_rank_acctbal, range_join_clicks_before_purchase,
-#   running_revenue, salted_user_event_totals, sliding_1h_user_value,
-#   tfidf_top_terms, topk_per_group.
-# Queries first registered this round (schema-evolution read,
-# small-file compaction) join them at the head of the round-8 window.
+#   multimodal_manifest, multimodal_features, multimodal_real_decode,
+#   multimodal_frame_sample, ntile_order_value_quartiles,
+#   pack_training_sequences, percent_rank_acctbal,
+#   range_join_clicks_before_purchase, running_revenue,
+#   salted_user_event_totals, sliding_1h_user_value, streaming_dlq,
+#   streaming_requeue, tfidf_top_terms, topk_per_group.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
@@ -69,7 +75,14 @@ DRIVER_PRIORITY: list[str] = [
     "sample_stratified_hashrank",
     "version_counts_per_key",
     "vocab_top_tokens",
-    # --- 33 of the 50 r4 rows: headline twins first (flagged by the
+    # --- the 6 changed/new queries of this round ---
+    "schema_evolution_read",
+    "scd2_compact_small_files",
+    "ab_test_conversion",
+    "dq_audit_orders",
+    "wap_publish_roundtrip",
+    "streaming_rate_limit",
+    # --- 27 of the 50 r4 rows: headline twins first (flagged by the
     # round-6 verdict), then family representatives ---
     "typed_field_decode",
     "filtered_scan",
@@ -97,11 +110,5 @@ DRIVER_PRIORITY: list[str] = [
     "simhash_near_dup",
     "dedup_components",
     "curation_pipeline",
-    "multimodal_manifest",
-    "multimodal_features",
-    "multimodal_real_decode",
-    "multimodal_frame_sample",
-    "streaming_dlq",
-    "streaming_requeue",
     "streaming_stateful_sessions",
 ]
