@@ -9,9 +9,9 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~20 min at 26 probe batches / ~175 query runs; needs an
+(~20 min at 30 probe batches / 241 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last full run at
-round-7 HEAD: 175/175 OK.
+round-7 final HEAD: 241/241 OK.
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -344,6 +344,13 @@ PROBES = [
       "histogram_order_values", "histogram_equi_depth",
       "abc_pareto_classification", "keyset_pagination_orders",
       "dq_audit_orders", "cohort_retention"]),
+    ("empty_customer", {"customer": empty_table},
+     ["catalog_tree", "catalog_drift", "catalog_fields_tree",
+      "composite_key_roundtrip", "hidden_field_projection",
+      "return_type_fallback", "scd2_versioned_store", "scd2_current_view",
+      "scd2_store_roundtrip", "streaming_scd2_state", "rfm_segmentation",
+      "record_linkage_fuzzy", "ols_frequency_monetary",
+      "schema_evolution_read", "scd2_compact_small_files"]),
     ("empty_lineitem", {"lineitem": empty_table},
      ["pricing_summary", "flagship_segment_revenue", "rollup_revenue",
       "cube_lineitem_flags", "pivot_status_by_priority", "having_filter",
