@@ -34,23 +34,32 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # ab_test_conversion empty-arm guard; dq_audit_orders empty-load
 # contract; wap_publish_roundtrip empty-batch rejection;
 # streaming_rate_limit empty-fixture guard — changed code outranks an
-# untouched twin's refresh); (c) 27 of the 50 r4 rows, bench headliners
-# and one-per-family representatives. After this round zero queries are
-# older than r4 and 23 r4 rows remain (listed below) — a steady
-# ~50/round rotation from round 8 on keeps every row <= 3 rounds old.
+# untouched twin's refresh, and the NULL-vector-contract members of the
+# embedding family whose latest row predates r6); (c) the remaining
+# slots on r4 rows, bench headliners and one-per-family
+# representatives. After this round zero queries are older than r4 —
+# a steady ~50/round rotation from round 8 on keeps every row <= 3
+# rounds old.
 #
-# The 23 r4 rows left out of this window (all pytest-oracle-green at
+# The r4 rows left out of this window (all pytest-oracle-green at
 # HEAD, tests/test_oracle.py, and all code-identical this round;
-# round-8 rotation picks them up first):
-#   bucketed_join_colocated, correlated_min_cost_supplier,
-#   disjunctive_filter_scan, doc_repetition_ratio, embedding_near_dup,
-#   exists_returned_lineitems, lag_order_gap_days, lsh_bucket_profile,
-#   multimodal_manifest, multimodal_features, multimodal_real_decode,
-#   multimodal_frame_sample, ntile_order_value_quartiles,
-#   pack_training_sequences, percent_rank_acctbal,
-#   range_join_clicks_before_purchase, running_revenue,
-#   salted_user_event_totals, sliding_1h_user_value, streaming_dlq,
-#   streaming_requeue, tfidf_top_terms, topk_per_group.
+# round-8 rotation picks them up first, together with the r6-row
+# embedding-family queries the NULL-vector contract touched
+# — ann_cosine_topk, ann_lsh_bucketed, ann_ivf_probe, ann_ivf_nprobe2,
+# embedding_standardize, embedding_kmeans, embedding_centroid_per_label,
+# embedding_norm_topk — all pytest-green at HEAD with clean-fixture
+# hashes unchanged):
+#   asof_join_latest_order, bucketed_join_colocated,
+#   correlated_min_cost_supplier, disjunctive_filter_scan,
+#   doc_repetition_ratio, exists_returned_lineitems, lag_order_gap_days,
+#   latest_order_per_customer, lsh_bucket_profile, multimodal_manifest,
+#   multimodal_features, multimodal_real_decode, multimodal_frame_sample,
+#   ntile_order_value_quartiles, pack_training_sequences,
+#   percent_rank_acctbal, range_join_clicks_before_purchase,
+#   running_revenue, salted_user_event_totals, scd2_versioned_store,
+#   simhash_near_dup, sliding_1h_user_value, streaming_dlq,
+#   streaming_requeue, tfidf_top_terms, topk_orders_by_revenue,
+#   topk_per_group.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
@@ -102,13 +111,16 @@ DRIVER_PRIORITY: list[str] = [
     "approx_value_percentiles",
     "flagship_segment_revenue",
     "pricing_summary",
-    "topk_orders_by_revenue",
-    "latest_order_per_customer",
-    "asof_join_latest_order",
-    "scd2_versioned_store",
     "minhash_near_dup",
-    "simhash_near_dup",
     "dedup_components",
     "curation_pipeline",
     "streaming_stateful_sessions",
+    # --- the NULL-vector-contract queries whose latest row predates r6
+    # (code+oracle changed this round; the r6-row members of the family
+    # wait for the round-8 rotation) ---
+    "embedding_near_dup",
+    "knn_label_disagreement",
+    "embedding_quantize_int8",
+    "kmeans_cluster_purity",
+    "ann_ivf_persisted_index",
 ]

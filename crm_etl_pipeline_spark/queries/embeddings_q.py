@@ -35,6 +35,19 @@ from crm_etl_pipeline_spark import lsh
 from crm_etl_pipeline_spark.io import table
 from crm_etl_pipeline_spark.registry import query
 
+
+def _emb(spark: SparkSession, sf_dir: str):
+    """NULL-vector contract (round-7 sweep finding): a row whose
+    embedding is NULL cannot participate in any vector operator —
+    it has no direction, no norm, no cell. Excluded symmetrically:
+    every Spark load goes through this filter and every oracle scan
+    of the embeddings view carries WHERE embedding IS NOT NULL (inner
+    joins back to already-filtered vec_id sets need no repeat). On
+    the driver fixture (no NULL vectors) both are no-ops, so value
+    hashes are unchanged; the null_embeddings sweep probe pins the
+    degenerate agreement."""
+    return table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
 _SCALE = 1e12  # fixed-point quantum for float reductions
 _DIM = 64
 
@@ -75,7 +88,7 @@ def _fixed_dot_sql(a: str, b: str) -> str:
     WITH n AS (
       SELECT vec_id, label,
              {_fixed_dot_sql('embedding', 'embedding')} AS n2q
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT vec_id, label, CAST(n2q AS BIGINT) AS n2q,
            SQRT(CAST(n2q AS DOUBLE) / 1e12) AS l2_norm
@@ -88,7 +101,7 @@ def _fixed_dot_sql(a: str, b: str) -> str:
 def embedding_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 vectors by L2 norm. The norm is a per-row array fold
     (no shuffle); top-k compiles to TakeOrderedAndProject."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return (
         emb.select("vec_id", "label", _fixed_norm2(F.col("embedding")).alias("n2q"))
         .withColumn("l2_norm", F.sqrt(F.col("n2q").cast("double") / F.lit(_SCALE)))
@@ -124,11 +137,11 @@ def _cos_col() -> Column:
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe,
              {_fixed_dot_sql('embedding', 'embedding')} AS qn2
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_N_QUERIES}
     ), c AS (
       SELECT vec_id AS cand_id, embedding AS ce,
              {_fixed_dot_sql('embedding', 'embedding')} AS cn2
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), scored AS (
       SELECT query_id, cand_id, qn2, cn2,
              {_fixed_dot_sql('qe', 'ce')} AS dotq
@@ -152,7 +165,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: O(N·d·k) flops, one scan, no all-pairs shuffle — the right
     brute-force shape. For large N use ann_lsh_bucketed below.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
         .select(
@@ -197,7 +210,7 @@ _SIGN_BUCKET_SQL = " + ".join(
     WITH e AS (
       SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket,
              {_fixed_dot_sql('embedding', 'embedding')} AS n2
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), q AS (
       SELECT vec_id AS query_id, embedding AS qe, bucket, n2 AS qn2
       FROM e WHERE vec_id < {_N_QUERIES}
@@ -226,7 +239,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is measured against ann_cosine_topk in tests/test_llmops.py. IVF is
     this same plan with learned centroid assignments as the bucket key.
     """
-    e = table(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id",
         "embedding",
         _sign_bucket(F.col("embedding")).alias("bucket"),
@@ -265,6 +278,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
              / 1e12 / COUNT(*) AS mean_val
     FROM embeddings, unnest(range(1, 65)) t(i)
+    WHERE embedding IS NOT NULL
     GROUP BY label, i
     """,
     survey="§2.9 similarity search (per-label centroids — the IVF training step)",
@@ -273,7 +287,7 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise centroid per label: posexplode to (label, dim) grain
     and aggregate exact fixed-point sums. One shuffle on (label, dim) —
     64·|labels| keys, uniform; this is the IVF/k-means E-step shape."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("dim", "x")
     ).select(
@@ -302,7 +316,7 @@ _PERT_DIM = 10  # outside the 8 sign-bucket dims → clone lands in the same buc
     oracle=f"""
     WITH base AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), corpus AS (
       SELECT vec_id, vd FROM base
       UNION ALL
@@ -347,7 +361,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     members far from the bucket anchor trade some recall — documented,
     bounded, surfaced by the bucket profile.
     """
-    base = table(spark, sf_dir, "embeddings").select(
+    base = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vd")
     )
     pert = base.filter(F.col("vec_id") % 6 == 0).select(
@@ -412,6 +426,7 @@ _CENTROID_SQL = f"""
              CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
                / 1e12 / COUNT(*) AS c
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
+      WHERE embedding IS NOT NULL
       GROUP BY label, i
 """
 
@@ -425,7 +440,7 @@ _ASSIGN_SQL = f"""
              SUM(CAST(FLOOR((CAST(e.embedding[dim] AS DOUBLE) - cen.c)
                             * (CAST(e.embedding[dim] AS DOUBLE) - cen.c) * 1e12) AS BIGINT)) AS d2q
       FROM embeddings e, centroids cen
-      WHERE TRUE
+      WHERE e.embedding IS NOT NULL
       GROUP BY e.vec_id, cen.label
     )
 """
@@ -435,7 +450,7 @@ def _ivf_cells(spark: SparkSession, sf_dir: str, max_rank: int):
     """Shared IVF assignment: (vec_id, cell, rnk) for the ``max_rank``
     nearest centroids per vector. rnk=1 is the home cell (candidate
     side); probes may take rnk<=nprobe for multi-cell search."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     centroids = (
         emb.select("label", F.posexplode("embedding").alias("pdim", "x"))
         .groupBy("label", (F.col("pdim") + 1).alias("dim"))
@@ -511,7 +526,7 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id. Recall dominance over the 1-probe variant is asserted in
     tests/test_llmops.py."""
     cells = _ivf_cells(spark, sf_dir, max_rank=2)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     e = emb.join(cells.filter(F.col("rnk") == 1).select("vec_id", "cell"), "vec_id").select(
         "vec_id", "cell", "embedding", _fixed_norm2(F.col("embedding")).alias("n2")
     )
@@ -589,7 +604,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-probe search trades recall for a ~1/cells candidate fraction —
     recall is measured against the exact baseline in tests.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     # codebook build + broadcast assignment shared with the nprobe=2
     # variant (_ivf_cells); rnk=1 keeps only the home cell
     cells = _ivf_cells(spark, sf_dir, max_rank=1).select("vec_id", "cell")
@@ -646,7 +661,7 @@ def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmpdirs.pid_scoped("crm_etl_ivf", os.path.basename(sf_dir.rstrip("/"))),
         "index",
     )
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     cells = _ivf_cells(spark, sf_dir, max_rank=1).select("vec_id", "cell")
     e = emb.join(cells, "vec_id").select(
         "vec_id", "embedding", _fixed_norm2(F.col("embedding")).alias("n2"), "cell"
@@ -690,6 +705,7 @@ _OUT_DIMS = 8  # output the first 8 dims (stats still span all 64)
       SELECT vec_id, i,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
+      WHERE embedding IS NOT NULL
     ), stats AS (
       SELECT i, COUNT(*) AS n, SUM(xq) AS s1, SUM(xq * xq) AS s2 FROM q GROUP BY i
     ), s AS (
@@ -720,7 +736,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one posexplode to (dim) grain — 64 keys, uniform —
     then a 64-row broadcast back onto the exploded scan. Output is
     bounded to the first 8 dims; the statistics span all 64."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
     ).select(
@@ -768,6 +784,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, i,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
+      WHERE embedding IS NOT NULL
     ), ext AS (
       SELECT i, MIN(xq) AS mn, MAX(xq) AS mx FROM q GROUP BY i
     )
@@ -791,7 +808,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands on 255 before the clamp only via the exact-division edge, so
     `least` keeps both engines in range. Same (dim)-grain explode +
     64-row broadcast shape as standardization."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
     ).select(
@@ -852,7 +869,7 @@ def _dist_q(vd: Column, cv: Column) -> Column:
     oracle=f"""
     WITH emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cluster, vd AS cv
@@ -910,7 +927,7 @@ def embedding_kmeans(
     loop), assignment is one partitioned window, and the M-step is the
     (cluster, dim)-grain exact aggregate — k·64 keys. Empty clusters
     drop out identically in both engines."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
     )
@@ -1002,7 +1019,7 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift). One label join plus (cluster, label)-grain aggregates —
     bounded keys end to end after the clustering itself."""
     assigned = embedding_kmeans(spark, sf_dir).select("vec_id", "cluster")
-    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labels = _emb(spark, sf_dir).select("vec_id", "label")
     counts = (
         assigned.join(labels, "vec_id")
         .groupBy("cluster", "label")
@@ -1033,10 +1050,10 @@ _NOISE_K = 5
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
-      FROM embeddings WHERE vec_id < {_NOISE_PROBES}
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_NOISE_PROBES}
     ), c AS (
       SELECT vec_id AS cand_id, embedding AS ce, label AS clabel
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), scored AS (
       SELECT query_id, qlabel, cand_id, clabel,
              {_fixed_dot_sql('qe', 'ce')} AS dotq
@@ -1073,7 +1090,7 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit a stratified probe set per label, not the corpus; for
     corpus-wide noise sweeps swap the exact scan for the IVF route
     (ann_ivf_probe) and vote over its candidates instead."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _NOISE_PROBES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),

@@ -650,3 +650,55 @@ def test_empty_load_audit_and_cube_agree(spark, tmp_path):
     assert len(con.execute(REGISTRY["cube_lineitem_flags"].oracle).fetchall()) == 0
     assert len(con.execute(REGISTRY["dq_audit_orders"].oracle).fetchall()) == 5
     con.close()
+
+
+def test_null_embedding_rows_are_excluded_everywhere(spark, tmp_path):
+    """NULL-vector contract (round-7 null_embeddings sweep probe): a
+    row with a NULL embedding participates in NO vector operator — it
+    has no direction, norm, or cell. Before the contract, five of the
+    family's queries diverged cross-engine (NULL-poisoned moments,
+    shifted IVF centroids, NULL kmeans seeds). Pin: with 10% NULL
+    vectors, standardize/quantize emit exactly the non-NULL rows and
+    BOTH engines agree bit-for-bit on a moment-sensitive query."""
+    import duckdb
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vals = emb.column("embedding").to_pylist()
+    vals = [None if i % 10 == 3 else v for i, v in enumerate(vals)]
+    emb = emb.set_column(
+        emb.column_names.index("embedding"),
+        "embedding",
+        pa.array(vals, emb.schema.field("embedding").type),
+    )
+    out = str(tmp_path / "nullvec")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(emb, f"{out}/embeddings.parquet")
+
+    ids = pq.read_table(f"{out}/embeddings.parquet").column("vec_id").to_pylist()
+    null_ids = {i for i, v in zip(ids, vals) if v is None}
+    q = REGISTRY["embedding_standardize"]
+    df = q.fn(spark, out)
+    out_ids = {r.vec_id for r in df.select("vec_id").distinct().collect()}
+    assert out_ids.isdisjoint(null_ids)  # no NULL-vector row survives
+    assert out_ids == set(ids) - null_ids  # every real vector does
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{out}/embeddings.parquet')"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    cols = sorted(df.columns)
+    s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+    res = con.execute(q.oracle)
+    names = [d[0] for d in res.description]
+    perm = [names.index(c) for c in sorted(names)]
+    o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+    con.close()
+    assert s == o

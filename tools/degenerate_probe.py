@@ -9,9 +9,10 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~20 min at 30 probe batches / 241 query runs; needs an
-otherwise-idle Spark, like any measurement run). Last full run at
-round-7 final HEAD: 241/241 OK.
+(~20 min at 32 probe batches / 261 query runs; needs an
+otherwise-idle Spark, like any measurement run). Last certified runs
+at round-7 final HEAD: 241/241 OK full pass + the null_embeddings /
+null_user_ids batches green after the NULL-vector contract landed.
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -24,7 +25,10 @@ the A/B readout's empty-arm DIVIDE_BY_ZERO
 gained its designed empty-batch-rejection contract. The empty-table
 probes (embeddings/orders/lineitem) then found the dq-audit fk-row
 vanish + NULL sums and the cube-of-empty cross-engine divergence
-(tests/test_stats.py::test_empty_load_audit_and_cube_agree).
+(tests/test_stats.py::test_empty_load_audit_and_cube_agree); the
+null_embeddings probe found 5 vector-family divergences, closed by the
+NULL-vector exclusion contract (embeddings_q._emb + symmetric oracle
+predicates, test_null_embedding_rows_are_excluded_everywhere).
 """
 
 from __future__ import annotations
@@ -331,6 +335,17 @@ PROBES = [
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "pii_redaction", "pack_training_sequences"]),
+    ("null_embeddings", {"embeddings": null_every_10th("embedding")},
+     ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+      "embedding_standardize", "embedding_quantize_int8",
+      "embedding_centroid_per_label", "embedding_norm_topk",
+      "embedding_kmeans", "knn_label_disagreement"]),
+    ("null_user_ids", {"events": null_every_10th("user_id")},
+     ["sessionization", "event_transition_matrix", "funnel_conversion",
+      "latest_order_per_customer", "asof_join_latest_order",
+      "event_dedup_last_write_wins", "gapfill_daily_user_revenue",
+      "ab_test_conversion", "rate_limit_admission",
+      "cohort_retention", "streaming_scd2_state"]),
     ("empty_embeddings", {"embeddings": empty_table},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
