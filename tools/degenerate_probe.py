@@ -10,9 +10,10 @@ fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
 (~20 min at 32 probe batches / 261 query runs; needs an
-otherwise-idle Spark, like any measurement run). Last certified runs
-at round-7 final HEAD: 241/241 OK full pass + the null_embeddings /
-null_user_ids batches green after the NULL-vector contract landed.
+otherwise-idle Spark, like any measurement run). Last certified full
+pass at round-7 final HEAD: 261/261 OK (all 32 batches, including the
+null_embeddings / null_user_ids probes after the NULL-vector contract
+landed).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
