@@ -28,9 +28,10 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # verdict's top directive. After round 6 every one of the 167 registered
 # queries has at least one driver-green row; the remaining debt is AGE.
 # This window is: (a) the 17 queries whose latest row predates round 4
-# (14 r2 + 3 r3, union over CORRECTNESS_r01-r06); (b) the 6 queries
+# (14 r2 + 3 r3, union over CORRECTNESS_r01-r06); (b) the queries
 # whose code or oracle CHANGED this round or are newly registered
-# (schema_evolution_read + scd2_compact_small_files new;
+# (schema_evolution_read + scd2_compact_small_files +
+# language_temperature_sample new;
 # ab_test_conversion empty-arm guard; dq_audit_orders empty-load
 # contract; wap_publish_roundtrip empty-batch rejection;
 # streaming_rate_limit empty-fixture guard — changed code outranks an
@@ -58,8 +59,8 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #   percent_rank_acctbal, range_join_clicks_before_purchase,
 #   running_revenue, salted_user_event_totals, scd2_versioned_store,
 #   simhash_near_dup, sliding_1h_user_value, streaming_dlq,
-#   streaming_requeue, tfidf_top_terms, topk_orders_by_revenue,
-#   topk_per_group.
+#   streaming_requeue, streaming_stateful_sessions, tfidf_top_terms,
+#   topk_orders_by_revenue, topk_per_group.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
@@ -114,7 +115,11 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_near_dup",
     "dedup_components",
     "curation_pipeline",
-    "streaming_stateful_sessions",
+    # new this round, never driver-checked (replaces the
+    # streaming_stateful_sessions r4 refresh — its gap-session semantics
+    # are twin-covered by session_window_builtin in-window and the
+    # r6-fresh sessionization row)
+    "language_temperature_sample",
     # --- the NULL-vector-contract queries whose latest row predates r6
     # (code+oracle changed this round; the r6-row members of the family
     # wait for the round-8 rotation) ---

@@ -2133,3 +2133,108 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+_TEMP_BUDGET = 1200  # target corpus size after the language re-mix
+
+
+@query(
+    "language_temperature_sample",
+    oracle=f"""
+    WITH lang_counts AS (
+      -- sqrt is IEEE-exact per value, but a DOUBLE sum of sqrts is
+      -- summation-order-dependent at the last ulp (found by the
+      -- null_langs sweep probe): quantize each sqrt to fixed point and
+      -- sum exactly in BIGINT, then divide once
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e12) AS BIGINT) AS sq_q
+      FROM documents WHERE lang IS NOT NULL
+      GROUP BY lang
+    ), tot AS (
+      SELECT SUM(sq_q) AS z_q FROM lang_counts
+    ), alloc AS (
+      SELECT lang, n_docs,
+             CAST(sq_q AS DOUBLE) / CAST(z_q AS DOUBLE) AS weight,
+             CAST(CEIL({_TEMP_BUDGET}.0
+                       * (CAST(sq_q AS DOUBLE) / CAST(z_q AS DOUBLE)))
+                  AS BIGINT) AS n_target
+      FROM lang_counts, tot
+    ), ranked AS (
+      SELECT d.doc_id, d.lang, a.n_docs, a.weight, a.n_target,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS samp_rank
+      FROM documents d JOIN alloc a ON d.lang = a.lang
+    )
+    SELECT doc_id, lang, samp_rank, n_docs, weight, n_target
+    FROM ranked WHERE samp_rank <= n_target
+    """,
+    survey="§2.9 training prep (temperature-based language re-mix: p^alpha quota sampling)",
+)
+def language_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual re-mix every LLM training pipeline runs:
+    resample the corpus so language l's share follows
+    n_l^alpha / sum_m n_m^alpha with temperature alpha = 0.5 (sqrt
+    flattening — high-resource languages are down-weighted, tail
+    languages over-represented relative to raw frequency). Per-language
+    quotas are ceil(K * weight) over a fixed budget K; each language
+    draws its quota by the deterministic md5 hash-rank idiom
+    (``weighted_sample_allocation``'s shape with a sub-linear weight
+    function). A tail language whose quota exceeds its corpus simply
+    contributes everything it has (rank can't exceed the group size) —
+    the upsampling factor to REACH the quota is n_target / n_docs,
+    readable from the output.
+
+    Determinism: sqrt is IEEE correctly-rounded on exact integer
+    counts in both engines (the stats_q moment argument); each sqrt is
+    quantized to fixed point and summed exactly in BIGINT (a raw
+    DOUBLE sum of sqrts is summation-order-dependent at the last ulp —
+    the null_langs sweep probe caught exactly that), the share division
+    is one double op on exact integers, and selection is md5-ranked —
+    the whole readout is bit-deterministic cross-engine.
+
+    Scale shape: one count aggregate (|langs| rows), a broadcast quota
+    join, and one per-language ranking window — the window partitions
+    by language, the same bounded-stratum shape as stratified
+    sampling; at 100 TB replace the in-language full sort with the
+    two-phase bucket rank (global_rank_two_phase) if any single
+    language dominates a partition's memory."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        # fixed-point-quantized sqrt: the per-lang sqrt is IEEE-exact,
+        # but a DOUBLE sum of them is summation-order-dependent at the
+        # last ulp — quantize, sum exactly in BIGINT, divide once (the
+        # registry's standard exact-reduction discipline; found by the
+        # null_langs sweep probe)
+        .withColumn(
+            "sq_q",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e12)).cast("bigint"),
+        )
+    )
+    # non-foldable scalar-attach keys (the weighted_sample_allocation
+    # idiom): provably 1 on any non-empty corpus, empty-in/empty-out
+    tot = counts.agg(F.sum("sq_q").alias("z_q")).select(
+        "z_q",
+        F.least(F.greatest(F.col("z_q"), F.lit(1)), F.lit(1)).cast("int").alias("_k"),
+    )
+    weight = F.col("sq_q").cast("double") / F.col("z_q").cast("double")
+    alloc = (
+        counts.withColumn("_k", F.least(F.length("lang"), F.lit(1)).cast("int"))
+        .join(F.broadcast(tot), "_k")
+        .select(
+            "lang",
+            "n_docs",
+            weight.alias("weight"),
+            F.ceil(F.lit(float(_TEMP_BUDGET)) * weight).alias("n_target"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.join(F.broadcast(alloc), "lang")
+        .withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= F.col("n_target"))
+        .select("doc_id", "lang", "samp_rank", "n_docs", "weight", "n_target")
+    )

@@ -578,3 +578,26 @@ def test_chunk_formula_edge_lengths(spark, tmp_path):
         # token n appears in the final chunk; token 1 only in chunk 0
         assert last.chunk_text.split(" ")[-1] == f"t{n}", n
         assert sum(1 for c in chunks if c.chunk_text.split(" ")[0] == "t1") == 1, n
+
+
+def test_temperature_sampling_flattens_the_language_mix(spark):
+    """The alpha=0.5 re-mix property: upsampling factor
+    (n_target / n_docs) is strictly decreasing in corpus size — tail
+    languages are over-represented relative to raw frequency and the
+    head is down-weighted — while weights partition 1 exactly (exact
+    BIGINT fixed-point sum; one double division per language)."""
+    import math
+
+    reg = load_all()
+    rows = (
+        reg["language_temperature_sample"].fn(spark, SF_DIR)
+        .select("lang", "n_docs", "weight", "n_target")
+        .distinct()
+        .collect()
+    )
+    assert len(rows) >= 3
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    factors = [r.n_target / r.n_docs for r in by_size]
+    assert all(a >= b for a, b in zip(factors, factors[1:]))  # flattening
+    assert factors[0] > factors[-1]  # strictly for the extremes
+    assert math.isclose(sum(r.weight for r in rows), 1.0, rel_tol=1e-9)

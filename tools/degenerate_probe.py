@@ -330,12 +330,15 @@ PROBES = [
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "pii_redaction", "pack_training_sequences", "curation_pipeline",
-      "chunk_documents"]),
+      "chunk_documents", "language_temperature_sample"]),
     ("one_document", {"documents": one_document},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "pii_redaction", "pack_training_sequences"]),
+    ("null_langs", {"documents": null_every_10th("lang")},
+     ["language_temperature_sample", "text_stats",
+      "train_split_stratified", "language_id_ngram"]),
     ("null_embeddings", {"embeddings": null_every_10th("embedding")},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "embedding_standardize", "embedding_quantize_int8",
