@@ -9,11 +9,11 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~20 min at 32 probe batches / 261 query runs; needs an
+(~20 min at 33 probe batches / 266 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
-pass at round-7 final HEAD: 261/261 OK (all 32 batches, including the
-null_embeddings / null_user_ids probes after the NULL-vector contract
-landed).
+pass at round-7 final HEAD: 266/266 OK (all batches, including the
+null_embeddings / null_user_ids / null_langs probes after the
+NULL-vector and fixed-point-weight contracts landed).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
