@@ -130,19 +130,22 @@ def read_evolving(spark, *paths: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
-def rename_mapping(drift: DataFrame) -> DataFrame:
-    """Distill a drift report (``drift_diff`` keyed on field_id with a
-    ``field_label`` attr) into the (old_label → new_label) pairs a
-    store reader needs: fields whose id survived but whose label
-    changed — the reference's rename case (`README.md:18`). Added and
-    dropped fields need no mapping (mergeSchema already NULLs/retains
-    them)."""
+def rename_mapping(
+    drift: DataFrame, key: str = "field_id", attr: str = "field_label"
+) -> DataFrame:
+    """Distill a drift report (``drift_diff`` keyed on ``key`` with an
+    ``attr`` column) into the (old_label → new_label) pairs a store
+    reader needs: fields whose key survived but whose label changed —
+    the reference's rename case (`README.md:18`). Added and dropped
+    fields need no mapping (mergeSchema already NULLs/retains them).
+    ``key``/``attr`` default to the catalog's field_id/field_label but
+    follow whatever (key, attrs) the drift report was built with."""
     return drift.filter(
         (F.col("status") == "changed")
-        & ~F.col("old_field_label").eqNullSafe(F.col("new_field_label"))
-        & F.col("old_field_label").isNotNull()
-        & F.col("new_field_label").isNotNull()
-    ).select("field_id", "old_field_label", "new_field_label")
+        & ~F.col(f"old_{attr}").eqNullSafe(F.col(f"new_{attr}"))
+        & F.col(f"old_{attr}").isNotNull()
+        & F.col(f"new_{attr}").isNotNull()
+    ).select(key, f"old_{attr}", f"new_{attr}")
 
 
 def unify_renamed(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
@@ -152,9 +155,15 @@ def unify_renamed(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     generations somehow carry a value) and the old column drops. This
     is the automatic consumer of ``rename_mapping`` — detect with
     drift_diff, distill, apply — so a rename needs zero hand-written
-    projection code and zero bytes rewritten in the store."""
+    projection code and zero bytes rewritten in the store.
+
+    A scan that happens to span only old-generation files still
+    normalizes to the NEW label (plain rename) — downstream consumers
+    must see one schema regardless of which generations were read."""
     out = df
     for old, new in pairs:
         if old in out.columns and new in out.columns:
             out = out.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+        elif old in out.columns:
+            out = out.withColumnRenamed(old, new)
     return out

@@ -2222,7 +2222,12 @@ def language_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weight = F.col("sq_q").cast("double") / F.col("z_q").cast("double")
     alloc = (
-        counts.withColumn("_k", F.least(F.length("lang"), F.lit(1)).cast("int"))
+        # greatest(...,1) first: length('') == 0 would otherwise vanish the
+        # empty-string language from the quota join (the dq_audit_orders
+        # key-vanish pattern — lang is non-NULL here, so the key must be 1)
+        counts.withColumn(
+            "_k", F.least(F.greatest(F.length("lang"), F.lit(1)), F.lit(1)).cast("int")
+        )
         .join(F.broadcast(tot), "_k")
         .select(
             "lang",

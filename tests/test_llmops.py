@@ -601,3 +601,21 @@ def test_temperature_sampling_flattens_the_language_mix(spark):
     assert all(a >= b for a, b in zip(factors, factors[1:]))  # flattening
     assert factors[0] > factors[-1]  # strictly for the extremes
     assert math.isclose(sum(r.weight for r in rows), 1.0, rel_tol=1e-9)
+
+
+def test_temperature_sampling_keeps_empty_string_lang(spark, tmp_path):
+    """Regression: lang='' is a real language key and must survive the
+    quota join. The scalar-attach key was least(length(lang), 1), which
+    is 0 for the empty string — the '' stratum (and every doc in it)
+    silently vanished from the Spark output while the oracle kept it
+    (the dq_audit_orders key-vanish class; round-8 ADVICE item)."""
+    rows = [(i, "" if i % 3 == 0 else "en", f"text body {i}") for i in range(60)]
+    d = str(tmp_path / "emptylang")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = load_all()["language_temperature_sample"].fn(spark, d).collect()
+    langs = {r.lang for r in out}
+    assert "" in langs and "en" in langs
+    n_empty = {r.n_docs for r in out if r.lang == ""}
+    assert n_empty == {20}

@@ -81,20 +81,25 @@ def test_schema_evolution_merges_without_rewriting_old_files(spark, tmp_path):
     assert all(r.priority is not None for r in snap2)
     assert all(r.display_name is not None for r in rows)  # rename mapped
 
-    # and the mechanism: two generations of footers coexist in one dir
-    root = None
-    for base, dirs, files in os.walk("/tmp"):
-        if base.endswith("items") and "crm_etl_sources_evolve" in base:
-            root = base
-            break
-    if root:  # workdir naming is pid-scoped; census only when visible
-        schemas = {
-            tuple(papq.read_schema(os.path.join(dp, f)).names)
-            for dp, _, fs in os.walk(root)
-            for f in fs
-            if f.endswith(".parquet")
-        }
-        assert len(schemas) == 2  # neither generation was rewritten
+    # and the mechanism: two generations of footers coexist in one dir.
+    # Reconstruct the query's pid-scoped workdir directly (same naming
+    # scheme as tmpdirs.pid_scoped, WITHOUT calling it — a second call
+    # would rmtree the generations we are about to census)
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"crm_etl_sources_evolve_{os.path.basename(SF_DIR)}_{os.getpid()}",
+        "items",
+    )
+    assert os.path.isdir(root), "evolution workdir must exist after the query"
+    schemas = {
+        tuple(papq.read_schema(os.path.join(dp, f)).names)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert len(schemas) == 2  # neither generation was rewritten
 
 
 def test_drift_mapping_drives_the_evolution_read(spark, tmp_path):
@@ -148,3 +153,10 @@ def test_drift_mapping_drives_the_evolution_read(spark, tmp_path):
     assert "name" not in unified.columns and "full_name" in unified.columns
     assert all(r.full_name is not None for r in rows)
     assert {r.snap for r in rows} == {1, 2}
+
+    # a scan spanning ONLY old-generation files still normalizes to the
+    # new label (round-8 ADVICE: the elif plain-rename branch) — the
+    # consumer schema must not depend on which generations were read
+    old_only = unify_renamed(spark.read.parquet(g1), pairs)
+    assert "name" not in old_only.columns and "full_name" in old_only.columns
+    assert all(r.full_name is not None for r in old_only.collect())

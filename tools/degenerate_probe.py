@@ -178,6 +178,21 @@ def null_every_10th(col):
     return f
 
 
+def empty_string_every_10th(col):
+    # distinct from NULL-injection: '' is a real key that must survive
+    # joins/windows (length('')==0 vanished it from the temperature
+    # re-mix's scalar-attach until the round-8 fix)
+    def f(tbl):
+        vals = tbl.column(col).to_pylist()
+        vals = ["" if i % 10 == 3 else v for i, v in enumerate(vals)]
+        return tbl.set_column(
+            tbl.column_names.index(col), col,
+            pa.array(vals, tbl.schema.field(col).type),
+        )
+
+    return f
+
+
 def adversarial_props(tbl):
     # no literal '\N': a value equal to the CSV nullValue sentinel
     # collapses on read — inherent to the connector (see sources_q)
@@ -337,6 +352,9 @@ PROBES = [
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "pii_redaction", "pack_training_sequences"]),
     ("null_langs", {"documents": null_every_10th("lang")},
+     ["language_temperature_sample", "text_stats",
+      "train_split_stratified", "language_id_ngram"]),
+    ("empty_string_langs", {"documents": empty_string_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
       "train_split_stratified", "language_id_ngram"]),
     ("null_embeddings", {"embeddings": null_every_10th("embedding")},
