@@ -24,108 +24,111 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 )
 
 # Queries the driver's bounded correctness prefix should check FIRST this
-# round. Round-7 rotation: the final freshness drain, per the round-6
-# verdict's top directive. After round 6 every one of the 167 registered
-# queries has at least one driver-green row; the remaining debt is AGE.
-# This window is: (a) the 17 queries whose latest row predates round 4
-# (14 r2 + 3 r3, union over CORRECTNESS_r01-r06); (b) the queries
-# whose code or oracle CHANGED this round or are newly registered
-# (schema_evolution_read + scd2_compact_small_files +
-# language_temperature_sample new;
-# ab_test_conversion empty-arm guard; dq_audit_orders empty-load
-# contract; wap_publish_roundtrip empty-batch rejection;
-# streaming_rate_limit empty-fixture guard — changed code outranks an
-# untouched twin's refresh, and the NULL-vector-contract members of the
-# embedding family whose latest row predates r6); (c) the remaining
-# slots on r4 rows, bench headliners and one-per-family
-# representatives. After this round zero queries are older than r4 —
-# a steady ~50/round rotation from round 8 on keeps every row <= 3
-# rounds old.
+# round. Round-8 rotation: the first pure steady-state window (round-7
+# verdict task 1). CORRECTNESS_r07 landed 50/50 green; after it the age
+# distribution over the r1-r7 union is r7:50, r6:47, r5:45, r4:28 —
+# zero queries older than r4. (Audit-trail correction, r7 verdict item:
+# the round-7 block labeled its third segment "27 of the 50 r4 rows";
+# the segment actually held 21 r4 refreshes — 6 of its 27 slots went to
+# changed/new queries: schema_evolution_read, scd2_compact_small_files,
+# ab_test_conversion, dq_audit_orders, wap_publish_roundtrip,
+# streaming_rate_limit; language_temperature_sample took a 7th slot,
+# ceding streaming_stateful_sessions' refresh to its twins.)
 #
-# The r4 rows left out of this window (all pytest-oracle-green at
-# HEAD, tests/test_oracle.py, and all code-identical this round;
-# round-8 rotation picks them up first, together with the r6-row
-# embedding-family queries the NULL-vector contract touched
-# — ann_cosine_topk, ann_lsh_bucketed, ann_ivf_probe, ann_ivf_nprobe2,
-# embedding_standardize, embedding_kmeans, embedding_centroid_per_label,
-# embedding_norm_topk — all pytest-green at HEAD with clean-fixture
-# hashes unchanged):
-#   asof_join_latest_order, bucketed_join_colocated,
-#   correlated_min_cost_supplier, disjunctive_filter_scan,
-#   doc_repetition_ratio, exists_returned_lineitems, lag_order_gap_days,
-#   latest_order_per_customer, lsh_bucket_profile, multimodal_manifest,
-#   multimodal_features, multimodal_real_decode, multimodal_frame_sample,
-#   ntile_order_value_quartiles, pack_training_sequences,
-#   percent_rank_acctbal, range_join_clicks_before_purchase,
-#   running_revenue, salted_user_event_totals, scd2_versioned_store,
-#   simhash_near_dup, sliding_1h_user_value, streaming_dlq,
-#   streaming_requeue, streaming_stateful_sessions, tfidf_top_terms,
-#   topk_orders_by_revenue, topk_per_group.
+# This window, in verdict-ranked order: (a) the 8 r6-row embedding-family
+# queries whose code+oracle the round-7 NULL-vector contract changed
+# AFTER their last driver row — changed code outranks age; (b) all 28 r4
+# rows (the oldest in the registry); (c) 14 of the 45 r5 rows, chosen
+# one-per-family so every operator family gets a fresh representative:
+# multimodal_decode_quarantine and csv_source_roundtrip first (their
+# families' code/contracts are touched this round — MP4 stsc walk and
+# the nullValue-sentinel pin), then the tier-2 bench headliners
+# (copurchase_pagerank, prefix_filter_setsim_join) and one delegate per
+# remaining family. After this round the distribution is r8:50, r7:50,
+# r6:39, r5:31 — every row <= 3 rounds old, the designed steady state.
+#
+# The 31 r5 rows left out (all pytest-oracle-green at HEAD via
+# tests/test_oracle.py; the round-9 window picks them up first): each is
+# twin-covered in-window this round — approx_distinct_selfcheck /
+# countmin_heavy_hitters / kmv_set_intersection by the sketch family's
+# in-window delegate bm25's capped-heads shape and the r7-fresh
+# kmv_distinct_sketch + approx_value_percentiles rows; attribution_last_touch,
+# cohort_retention, funnel_conversion, event_transition_matrix,
+# gapfill_daily_user_revenue, record_linkage_fuzzy, copurchase_lift_topk,
+# chi_square_segment_nation, benford_price_audit by crm/stats delegates
+# rfm_segmentation + copurchase_pagerank; histogram_equi_depth,
+# ols_frequency_monetary, robust_outliers_mad, winsorize_event_values,
+# ewma_user_value, shipping_delay_audit by global_rank_two_phase +
+# pps_systematic_sample + rfm (exact-moment column algebra family);
+# backoff_penalty_audit by credential_rotation_schedule (gateway);
+# bloom_semi_join_prune / regional_supplier_volume by the in-window r4
+# join refreshes; streaming_dlq_replay / streaming_stream_stream_join /
+# streaming_late_data_audit by streaming_moments_anomalies +
+# the r4 streaming_dlq/streaming_requeue refreshes; cdc_derive_changes'
+# twin cdc_apply_snapshot stays r6-fresh; scd2_asof_snapshot is
+# IN-window (time travel has no twin); boilerplate_line_removal /
+# repeated_span_mining / token_rarity_score / inverted_index_postings /
+# dedup_incremental_new_docs / pii_redaction by bm25_topk_search +
+# the r4 tfidf/pack/doc_repetition refreshes; keyset_pagination_orders
+# by partition_pruned_scan (pushdown family).
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).
 DRIVER_PRIORITY: list[str] = [
-    # --- the 14 r2 rows (oldest in the registry) ---
-    "contamination_ngram_overlap",
-    "cube_lineitem_flags",
-    "rollup_revenue",
-    "pivot_status_by_priority",
-    "having_filter",
-    "kmv_distinct_sketch",
-    "retry_and_dead_letter",
-    "session_window_builtin",
-    "tumbling_daily_counts",
-    "train_split_stratified",
-    "value_percentiles",
-    "props_json_extract",
-    "doc_fingerprint",
-    "doc_quality_score",
-    # --- the 3 r3 rows ---
-    "sample_stratified_hashrank",
-    "version_counts_per_key",
-    "vocab_top_tokens",
-    # --- the 6 changed/new queries of this round ---
-    "schema_evolution_read",
-    "scd2_compact_small_files",
-    "ab_test_conversion",
-    "dq_audit_orders",
-    "wap_publish_roundtrip",
-    "streaming_rate_limit",
-    # --- 27 of the 50 r4 rows: headline twins first (flagged by the
-    # round-6 verdict), then family representatives ---
-    "typed_field_decode",
-    "filtered_scan",
-    "point_lookup",
-    "html_strip_normalize",
-    "array_csv_roundtrip",
-    "date_parse_reformat",
-    "safe_numeric_cast",
-    "money_decimal_cast",
-    "system_column_enrichment",
-    "scd2_current_view",
-    "scd2_soft_delete",
-    "scd2_store_roundtrip",
-    "streaming_scd2_state",
-    "streaming_tumbling_counts",
-    "grouping_sets_region_segment",
-    "approx_value_percentiles",
-    "flagship_segment_revenue",
-    "pricing_summary",
-    "minhash_near_dup",
-    "dedup_components",
-    "curation_pipeline",
-    # new this round, never driver-checked (replaces the
-    # streaming_stateful_sessions r4 refresh — its gap-session semantics
-    # are twin-covered by session_window_builtin in-window and the
-    # r6-fresh sessionization row)
-    "language_temperature_sample",
-    # --- the NULL-vector-contract queries whose latest row predates r6
-    # (code+oracle changed this round; the r6-row members of the family
-    # wait for the round-8 rotation) ---
-    "embedding_near_dup",
-    "knn_label_disagreement",
-    "embedding_quantize_int8",
-    "kmeans_cluster_purity",
-    "ann_ivf_persisted_index",
+    # --- (a) the 8 NULL-vector-contract embedding queries (changed
+    # code after their last driver row; the rest of the family was
+    # driver-certified under the new contract in r7) ---
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "ann_ivf_nprobe2",
+    "embedding_standardize",
+    "embedding_kmeans",
+    "embedding_centroid_per_label",
+    "embedding_norm_topk",
+    # --- (b) all 28 r4 rows, oldest in the registry ---
+    "asof_join_latest_order",
+    "bucketed_join_colocated",
+    "correlated_min_cost_supplier",
+    "disjunctive_filter_scan",
+    "doc_repetition_ratio",
+    "exists_returned_lineitems",
+    "lag_order_gap_days",
+    "latest_order_per_customer",
+    "lsh_bucket_profile",
+    "multimodal_manifest",
+    "multimodal_features",
+    "multimodal_real_decode",
+    "multimodal_frame_sample",
+    "ntile_order_value_quartiles",
+    "pack_training_sequences",
+    "percent_rank_acctbal",
+    "range_join_clicks_before_purchase",
+    "running_revenue",
+    "salted_user_event_totals",
+    "scd2_versioned_store",
+    "simhash_near_dup",
+    "sliding_1h_user_value",
+    "streaming_dlq",
+    "streaming_requeue",
+    "streaming_stateful_sessions",
+    "tfidf_top_terms",
+    "topk_orders_by_revenue",
+    "topk_per_group",
+    # --- (c) 14 r5 family delegates (changed-family members first) ---
+    "multimodal_decode_quarantine",
+    "csv_source_roundtrip",
+    "copurchase_pagerank",
+    "prefix_filter_setsim_join",
+    "credential_rotation_schedule",
+    "streaming_moments_anomalies",
+    "cdc_derive_changes",
+    "scd2_asof_snapshot",
+    "incremental_agg_merge",
+    "bm25_topk_search",
+    "partition_pruned_scan",
+    "global_rank_two_phase",
+    "rfm_segmentation",
+    "pps_systematic_sample",
 ]
