@@ -27,8 +27,9 @@ to-end box sizes), with a closed-form DuckDB oracle proving
 decode(fabricate(x)) recovers the parameters
 (queries/multimodal_q.py:multimodal_real_decode). No codec stubs
 remain; mp4 SAMPLE decoding stops at the seek plan —
-``mp4_sample_offsets`` resolves stsz/stco to exact per-sample byte
-ranges (what a range-read stage fetches from a multi-GB mdat), while
+``mp4_sample_offsets`` resolves stsz/stsc/stco (incl. genuine
+multi-chunk run-length maps) to exact per-sample byte ranges (what a
+range-read stage fetches from a multi-GB mdat), while
 entropy-decoding the fetched video frames stays out of scope —
 container metadata and read plans are what the manifest/feature
 pipeline consumes. The Spark-side plumbing — schema, Arrow batching,
@@ -221,11 +222,21 @@ def _png_bytes(doc_id: int) -> bytes:
 
 
 #: Fixed sample-table geometry of the fabricated MP4s: 8 uniform-size
-#: samples in one chunk whose data starts at byte 392 (ftyp 24 + moov
-#: 360 + mdat header 8). Uniform size + single chunk keep EVERY header
-#: box fixed-size, so the file length stays closed-form in doc_id.
+#: samples. Single-chunk variant (mp4 doc_id % 8 == 3): data starts at
+#: byte 392 (ftyp 24 + moov 360 + mdat header 8), no stsc box, file
+#: exactly 456 + 8·(doc_id % 16) bytes. Multi-chunk variant (mp4
+#: doc_id % 8 == 7): a genuine stsc run-length map splits the samples
+#: 5+3 across two chunks with a 16-byte unreferenced gap between them
+#: (spec-legal mdat padding — the second chunk's position can ONLY come
+#: from stco, never from cumulative sizes), moov grows by exactly 44
+#: bytes (stsc 40 + one extra stco entry 4), so chunk 1 starts at 436
+#: and the file is exactly 516 + 8·(doc_id % 16) bytes. Uniform sizes +
+#: fixed box sizes keep BOTH variants closed-form in doc_id.
 MP4_N_SAMPLES = 8
 MP4_CHUNK_OFFSET = 392
+MP4_MC_CHUNK_OFFSET = 436  # 392 + the 44-byte moov growth
+MP4_MC_SPLIT = (5, 3)  # stsc run lengths: chunk 1 holds 5 samples, chunk 2 holds 3
+MP4_MC_GAP = 16  # unreferenced bytes between the two chunks inside mdat
 
 
 def _mp4_bytes(doc_id: int) -> bytes:
@@ -233,21 +244,26 @@ def _mp4_bytes(doc_id: int) -> bytes:
     moov(mvhd + trak(tkhd + mdia(mdhd + minf(stbl)))) + mdat, where the
     sample table is genuine: stsd, stts (two runs summing exactly to
     the media duration), stsz (8 uniform samples of 8 + doc_id % 16
-    bytes), stco (one chunk at file offset 392). Every box carries its
-    real big-endian size; tkhd width/height are genuine 16.16 fixed
-    point. Parameters are closed-form in doc_id: width =
-    16 + doc_id % 32, height = 16 + (13·doc_id) % 32, duration =
-    1000 + doc_id % 9000 ticks at the 90 kHz movie timescale, mdat
-    payload 8·(8 + doc_id % 16) bytes. All header boxes are fixed-size
-    (ftyp 24, moov 360), so the file is exactly 456 + 8·(doc_id % 16)
-    bytes — the closed form the oracle checks."""
+    bytes), stco (one chunk at file offset 392) — and, for the
+    multi-chunk variant (doc_id % 8 == 7), a real stsc run-length map
+    distributing those samples 5+3 over two stco chunks separated by a
+    16-byte unreferenced gap. Every box carries its real big-endian
+    size; tkhd width/height are genuine 16.16 fixed point. Parameters
+    are closed-form in doc_id: width = 16 + doc_id % 32, height =
+    16 + (13·doc_id) % 32, duration = 1000 + doc_id % 9000 ticks at the
+    90 kHz movie timescale, sample size 8 + doc_id % 16. All header
+    boxes are fixed-size (ftyp 24; moov 360 single-chunk / 404
+    multi-chunk), so the file is exactly 456 + 8·(doc_id % 16) bytes
+    single-chunk and 516 + 8·(doc_id % 16) multi-chunk — the closed
+    forms the oracles check."""
     import struct
 
     w = 16 + doc_id % 32
     h = 16 + (13 * doc_id) % 32
     duration = 1000 + doc_id % 9000
     sample_size = 8 + doc_id % 16
-    n_data = MP4_N_SAMPLES * sample_size
+    multi_chunk = doc_id % 8 == 7
+    n_data = MP4_N_SAMPLES * sample_size + (MP4_MC_GAP if multi_chunk else 0)
     matrix = struct.pack(
         ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
     )  # unity transform
@@ -303,8 +319,24 @@ def _mp4_bytes(doc_id: int) -> bytes:
         ),
     )
     stsz = box(b"stsz", struct.pack(">III", 0, sample_size, MP4_N_SAMPLES))
-    stco = box(b"stco", struct.pack(">III", 0, 1, MP4_CHUNK_OFFSET))
-    stbl = box(b"stbl", stsd + stts + stsz + stco)
+    if multi_chunk:
+        # stsc: two runs (first_chunk, samples_per_chunk, desc_index) —
+        # a REAL run-length map, not one uniform run, so the walk's
+        # run-expansion logic is genuinely exercised
+        stsc = box(
+            b"stsc",
+            struct.pack(">II", 0, 2)
+            + struct.pack(">III", 1, MP4_MC_SPLIT[0], 1)
+            + struct.pack(">III", 2, MP4_MC_SPLIT[1], 1),
+        )
+        chunk2 = MP4_MC_CHUNK_OFFSET + MP4_MC_SPLIT[0] * sample_size + MP4_MC_GAP
+        stco = box(
+            b"stco", struct.pack(">IIII", 0, 2, MP4_MC_CHUNK_OFFSET, chunk2)
+        )
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    else:
+        stco = box(b"stco", struct.pack(">III", 0, 1, MP4_CHUNK_OFFSET))
+        stbl = box(b"stbl", stsd + stts + stsz + stco)
     mdia = box(b"mdia", mdhd + box(b"minf", stbl))
     mdat = box(b"mdat", bytes((doc_id + i) % 256 for i in range(n_data)))
     return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia)) + mdat
@@ -469,22 +501,24 @@ def _parse_mp4_samples(b: bytes):
     """Walk moov→trak→mdia→minf→stbl and resolve the sample table to
     per-sample (offset, size) pairs: stsz supplies sizes (uniform
     ``sample_size`` or the v0 per-sample table), stco/co64 supply chunk
-    base offsets (32- and 64-bit spec forms), and samples lay out
-    back-to-back within their chunk. With no stsc box every sample sits
-    in the first chunk (the fabricated single-chunk layout). Files with
-    more than one chunk offset (which would need the stsc run-length
-    map to place samples) are REJECTED with an assertion rather than
-    silently mis-seeked — supporting them only changes which base
-    offset a sample adds to, but until implemented the parser refuses
-    the layout instead of returning a wrong plan."""
+    base offsets (32- and 64-bit spec forms), and the stsc run-length
+    map assigns samples to chunks — each stsc entry (first_chunk,
+    samples_per_chunk) applies from its first_chunk until the next
+    entry's, and samples lay out back-to-back WITHIN their chunk only
+    (offset = chunk base + cumulative sizes inside that chunk; chunk
+    positions come exclusively from stco — chunks may be separated by
+    unreferenced mdat bytes). With no stsc box every sample sits in the
+    first chunk, which is only well-defined for a single-chunk stco —
+    a multi-chunk file missing its stsc is corrupt and fails loudly."""
     import struct
 
     assert len(b) >= 12 and b[4:8] == b"ftyp", "not an ISO-BMFF stream"
     sizes: list[int] | None = None
     chunk_offsets: list[int] = []
+    stsc_runs: list[tuple[int, int]] = []  # (first_chunk 1-based, samples_per_chunk)
 
     def walk_stbl(s: int, e: int) -> None:
-        nonlocal sizes, chunk_offsets
+        nonlocal sizes, chunk_offsets, stsc_runs
         for btype, cs, ce in _mp4_boxes(b, s, e):
             if btype == b"stsz":
                 uniform, count = struct.unpack_from(">II", b, cs + 4)
@@ -498,6 +532,12 @@ def _parse_mp4_samples(b: bytes):
             elif btype == b"co64":
                 (count,) = struct.unpack_from(">I", b, cs + 4)
                 chunk_offsets = list(struct.unpack_from(f">{count}Q", b, cs + 8))
+            elif btype == b"stsc":
+                (count,) = struct.unpack_from(">I", b, cs + 4)
+                stsc_runs = [
+                    struct.unpack_from(">II", b, cs + 8 + 12 * i)  # desc idx unused
+                    for i in range(count)
+                ]
 
     for btype, s, e in _mp4_boxes(b, 0, len(b)):
         if btype != b"moov":
@@ -515,19 +555,40 @@ def _parse_mp4_samples(b: bytes):
                         if t4 == b"stbl":
                             walk_stbl(s4, e4)
     assert sizes is not None and chunk_offsets, "mp4 missing stsz/stco"
-    # the back-to-back layout below is only valid when every sample
-    # lives in one chunk; a spec-valid multi-chunk file (stco/co64 with
-    # >1 entry, distributed via stsc) must fail loudly rather than
-    # yield wrong byte offsets for every sample past the first chunk
-    assert len(chunk_offsets) == 1, (
-        f"unsupported multi-chunk mp4 layout ({len(chunk_offsets)} chunks); "
-        "single-chunk stco required for the back-to-back seek plan"
+    if not stsc_runs:
+        # no chunk map: only meaningful when there is exactly one chunk
+        assert len(chunk_offsets) == 1, (
+            f"multi-chunk mp4 ({len(chunk_offsets)} chunks) without the "
+            "stsc run-length map that places samples — corrupt sample table"
+        )
+        stsc_runs = [(1, len(sizes))]
+    assert all(fc >= 1 for fc, _ in stsc_runs) and [
+        fc for fc, _ in stsc_runs
+    ] == sorted({fc for fc, _ in stsc_runs}), "stsc first_chunk not increasing"
+    # expand the run-length map: run i covers chunks
+    # [first_chunk_i, first_chunk_{i+1}) at samples_per_chunk_i each
+    out, sample_idx = [], 0
+    n = len(sizes)
+    for run, (first_chunk, per_chunk) in enumerate(stsc_runs):
+        last_chunk = (
+            stsc_runs[run + 1][0] - 1
+            if run + 1 < len(stsc_runs)
+            else len(chunk_offsets)
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            assert chunk <= len(chunk_offsets), "stsc names a chunk past stco"
+            pos = chunk_offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if sample_idx >= n:
+                    break  # the final run may overshoot the sample count
+                size = sizes[sample_idx]
+                assert pos + size <= len(b), "sample table points past end of file"
+                out.append((sample_idx, pos, size))
+                pos += size
+                sample_idx += 1
+    assert sample_idx == n, (
+        f"stsc chunk map places {sample_idx} of {n} samples — corrupt sample table"
     )
-    out, pos = [], chunk_offsets[0]
-    for idx, size in enumerate(sizes):
-        assert pos + size <= len(b), "sample table points past end of file"
-        out.append((idx, pos, size))
-        pos += size
     return out
 
 
@@ -545,7 +606,8 @@ MP4_SAMPLE_SCHEMA = StructType(
 def mp4_sample_offsets(media: DataFrame) -> DataFrame:
     """The MP4 counterpart of frame_offsets: instead of a synthetic
     fixed-stride grid, the seek plan comes from the container's own
-    sample table (stsz sizes × stco chunk bases) — one row per video
+    sample table (stsz sizes, stco chunk bases, stsc run-length
+    chunk map) — one row per video
     sample with its exact byte offset and size, resolved without
     touching (let alone entropy-decoding) the sample payloads. This is
     how a real frame-sampling stage plans reads over video at scale:

@@ -60,7 +60,8 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
                 WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
-                ELSE 456 + 8 * (doc_id % 16)
+                ELSE CASE WHEN doc_id % 8 = 7 THEN 516 + 8 * (doc_id % 16)
+                          ELSE 456 + 8 * (doc_id % 16) END
                 END AS INT) AS n_bytes,
            CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 4 AS INT)
@@ -98,7 +99,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
                 WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
-                ELSE 456 + 8 * (doc_id % 16)
+                ELSE CASE WHEN doc_id % 8 = 7 THEN 516 + 8 * (doc_id % 16)
+                          ELSE 456 + 8 * (doc_id % 16) END
                 END AS INT) AS n_bytes,
            CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 4 AS INT)
@@ -129,7 +131,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the parameters closed-form from doc_id — any layout bug
     in fabricator OR parser breaks the match (the PNG file size is
     closed-form because the IDAT zlib stream uses stored blocks, the
-    MP4's because every header box is fixed-size; see
+    MP4's because every header box is fixed-size — 456 + 8·(doc_id%16)
+    bytes single-chunk, 516 + 8·(doc_id%16) for the multi-chunk stsc
+    variant every mp4 doc_id % 8 == 7 gets; see
     multimodal._png_bytes/_mp4_bytes). No codec stubs remain."""
     media = multimodal.fabricate_media(table(spark, sf_dir, "documents"))
     return multimodal.decode_media(media)

@@ -81,6 +81,33 @@ def _workdir(tag: str, sf_dir: str) -> str:
     )
 
 
+# --- NULL-sentinel escape convention (closes the round-6 residual) ---
+# Spark's CSV parser nullifies any field equal to ``nullValue`` even
+# when quoted, so no token choice alone can keep a DATA value equal to
+# the sentinel apart from NULL. The write convention escapes exactly
+# the colliding class: a value matching (\E)*\N gains one "\E" prefix
+# on write; the reader strips one prefix from anything matching
+# (\E)+\N. The scheme is self-delimiting (values outside that class
+# are untouched in both directions), so every string — including the
+# literal sentinel and the literal escape sequences — round-trips.
+_CSV_NULL_TOKEN = "\\N"
+_CSV_ESC = "\\E"
+_CSV_SENTINEL_CLASS = r"^(\\E)*\\N$"  # java-regex: ^(\E)*\N$
+_CSV_ESCAPED_CLASS = r"^(\\E)+\\N$"
+
+
+def _csv_escape(name: str):
+    c = F.col(name)
+    return F.when(c.rlike(_CSV_SENTINEL_CLASS), F.concat(F.lit(_CSV_ESC), c)).otherwise(c)
+
+
+def _csv_unescape(name: str):
+    c = F.col(name)
+    return F.when(
+        c.rlike(_CSV_ESCAPED_CLASS), F.substring(c, 3, 2147483647)
+    ).otherwise(c)
+
+
 @query(
     "csv_source_roundtrip",
     oracle=_ROUNDTRIP_ORACLE,
@@ -108,30 +135,42 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is another reason these readers are INGEST-only and serving stays
     on parquet.
 
-    Residual (inherent to the connector, not fixed here): a data value
-    exactly equal to the nullValue sentinel still collapses to NULL on
-    read — Spark's CSV parser nullifies the token even when quoted, so
-    no sentinel disambiguates. Arbitrary binary-ish text belongs in the
-    JSON/ORC roundtrips, which are exact."""
+    The round-6 residual — a data value exactly equal to the nullValue
+    sentinel collapsed to NULL on read (Spark's parser nullifies the
+    token even when quoted) — is CLOSED by the ``_csv_escape`` /
+    ``_csv_unescape`` write convention above: string columns pass
+    through a self-delimiting escape of the colliding class on the way
+    out and its inverse on the way back, both pure column algebra, so
+    literal "\\N" (and literal "\\E\\N", recursively) now round-trips
+    (tests/test_sources.py::test_csv_sentinel_escape_roundtrip)."""
     path = os.path.join(_workdir("csv", sf_dir), "events_csv")
-    _export_subset(spark, sf_dir).write.mode("overwrite").options(
+    str_cols = [
+        f.name for f in _EVENTS_SCHEMA.fields if isinstance(f.dataType, StringType)
+    ]
+    out = _export_subset(spark, sf_dir)
+    for c in str_cols:
+        out = out.withColumn(c, _csv_escape(c))
+    out.write.mode("overwrite").options(
         header=True,
         timestampFormat=_TS_FMT,
-        nullValue="\\N",
+        nullValue=_CSV_NULL_TOKEN,
         ignoreLeadingWhiteSpace=False,
         ignoreTrailingWhiteSpace=False,
     ).csv(path)
-    return (
+    back = (
         spark.read.options(
             header=True,
             timestampFormat=_TS_FMT,
-            nullValue="\\N",
+            nullValue=_CSV_NULL_TOKEN,
             emptyValue="",
             multiLine=True,
         )
         .schema(_EVENTS_SCHEMA)
         .csv(path)
     )
+    for c in str_cols:
+        back = back.withColumn(c, _csv_unescape(c))
+    return back.select([f.name for f in _EVENTS_SCHEMA.fields])
 
 
 @query(

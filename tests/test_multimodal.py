@@ -77,12 +77,15 @@ def test_fabricated_mp4_is_valid():
     """MP4 sanity independent of our parser: box magics and closed-form
     fields at their FIXED offsets for the fabricated layout (ftyp 24 +
     moov hdr 8 → mvhd payload @40, trak→tkhd payload @156, mdat @384),
-    plus the closed-form total length the oracle relies on."""
+    plus the closed-form total length the oracle relies on.
+    Single-chunk variants only (mp4 doc_id % 8 == 3) — the multi-chunk
+    layout's offsets are pinned by test_fabricated_mp4_multi_chunk."""
     import struct
 
     from crm_etl_pipeline_spark import multimodal
 
-    for doc_id in (3, 7, 11, 127, 351, 499):
+    for doc_id in (3, 11, 19, 123, 347, 499):
+        assert doc_id % 8 == 3  # single-chunk slots of the mp4 rotation
         b = multimodal._mp4_bytes(doc_id)
         assert len(b) == 456 + 8 * (doc_id % 16)
         assert b[4:8] == b"ftyp" and b[8:12] == b"isom"
@@ -101,6 +104,46 @@ def test_fabricated_mp4_is_valid():
         assert b[316:320] == b"stts"
         n1, d1, n2, d2 = struct.unpack_from(">IIII", b, 328)
         assert n1 * d1 + n2 * d2 == dur and n1 + n2 == multimodal.MP4_N_SAMPLES
+
+
+def test_fabricated_mp4_multi_chunk():
+    """The multi-chunk variant (mp4 doc_id % 8 == 7): closed-form total
+    length 516 + 8·(doc_id % 16), a genuine 2-run stsc at its fixed
+    offset (stbl payload @296: stsd 16 + stts 32 → stsc @344), two stco
+    entries whose second base equals chunk1 + 5·size + GAP (the
+    unreferenced-gap layout no cumulative-size walk can reproduce), and
+    the same mvhd/tkhd closed forms at the single-chunk offsets (the
+    44-byte growth is all inside stbl, which sits after them)."""
+    import struct
+
+    from crm_etl_pipeline_spark import multimodal
+
+    for doc_id in (7, 15, 127, 351, 495):
+        assert doc_id % 8 == 7
+        b = multimodal._mp4_bytes(doc_id)
+        size = 8 + doc_id % 16
+        assert len(b) == 516 + 8 * (doc_id % 16)
+        assert b[4:8] == b"ftyp" and b[28:32] == b"moov"
+        ts, dur = struct.unpack_from(">II", b, 52)
+        assert ts == multimodal.MP4_TIMESCALE and dur == 1000 + doc_id % 9000
+        wfix, hfix = struct.unpack_from(">II", b, 232)
+        assert wfix == (16 + doc_id % 32) << 16
+        assert hfix == (16 + (13 * doc_id) % 32) << 16
+        # stsc @344 (after stsd 16 + stts 32 within stbl payload @296)
+        assert b[348:352] == b"stsc"
+        n_ent = struct.unpack_from(">I", b, 356)[0]
+        assert n_ent == 2
+        fc1, spc1, _, fc2, spc2, _ = struct.unpack_from(">6I", b, 360)
+        assert (fc1, spc1) == (1, multimodal.MP4_MC_SPLIT[0])
+        assert (fc2, spc2) == (2, multimodal.MP4_MC_SPLIT[1])
+        # stco follows stsc (40 → @384) + stsz (20) → box @404, entries @420
+        assert b[408:412] == b"stco"
+        c1, c2 = struct.unpack_from(">II", b, 420)
+        assert c1 == multimodal.MP4_MC_CHUNK_OFFSET
+        assert c2 == c1 + multimodal.MP4_MC_SPLIT[0] * size + multimodal.MP4_MC_GAP
+        # mdat header right before chunk 1; payload runs to end of file
+        assert b[c1 - 4 : c1] == b"mdat"
+        assert c2 + multimodal.MP4_MC_SPLIT[1] * size == len(b)
 
 
 def test_mp4_64bit_largesize_and_to_end_boxes(spark):
@@ -127,9 +170,12 @@ def test_mp4_64bit_largesize_and_to_end_boxes(spark):
 
 def test_mp4_sample_offsets_closed_form(spark):
     """Fabricate-then-resolve closed form for the sample-table walk:
-    every mp4 doc yields exactly MP4_N_SAMPLES rows whose offsets are
-    chunk_base + i·size with size = 8 + doc_id % 16 — and every
-    resolved (offset, size) range lies inside the mdat payload."""
+    every mp4 doc yields exactly MP4_N_SAMPLES rows with size =
+    8 + doc_id % 16. Single-chunk docs (doc_id % 8 == 3) lay out
+    back-to-back from MP4_CHUNK_OFFSET; multi-chunk docs (doc_id % 8 ==
+    7) follow the stsc 5+3 split across the two stco bases — samples
+    5..7 land AFTER the 16-byte unreferenced gap, which a naive
+    cumulative-size walk would place 16 bytes early."""
     from crm_etl_pipeline_spark import multimodal
 
     docs = table(spark, SF_DIR, "documents").limit(200)
@@ -139,17 +185,33 @@ def test_mp4_sample_offsets_closed_form(spark):
     by_doc: dict[int, list] = {}
     for r in plan:
         by_doc.setdefault(r.doc_id, []).append(r)
+    n5, n3 = multimodal.MP4_MC_SPLIT
+    saw_multi = saw_single = False
     for doc_id, rows in by_doc.items():
         assert doc_id % 4 == 3  # only the mp4 rows of the mime rotation
         size = 8 + doc_id % 16
         assert len(rows) == multimodal.MP4_N_SAMPLES
-        for r in sorted(rows, key=lambda r: r.sample_idx):
-            assert r.sample_size == size
-            assert r.byte_offset == multimodal.MP4_CHUNK_OFFSET + r.sample_idx * size
-        # the final sample ends exactly at end-of-file (single-chunk mdat)
-        assert multimodal.MP4_CHUNK_OFFSET + multimodal.MP4_N_SAMPLES * size == 456 + 8 * (
-            doc_id % 16
-        )
+        rows = sorted(rows, key=lambda r: r.sample_idx)
+        assert all(r.sample_size == size for r in rows)
+        if doc_id % 8 == 3:
+            saw_single = True
+            for r in rows:
+                assert r.byte_offset == multimodal.MP4_CHUNK_OFFSET + r.sample_idx * size
+            # the final sample ends exactly at end-of-file (single-chunk mdat)
+            assert multimodal.MP4_CHUNK_OFFSET + multimodal.MP4_N_SAMPLES * size == 456 + 8 * (
+                doc_id % 16
+            )
+        else:
+            saw_multi = True
+            c1 = multimodal.MP4_MC_CHUNK_OFFSET
+            c2 = c1 + n5 * size + multimodal.MP4_MC_GAP
+            for r in rows[:n5]:
+                assert r.byte_offset == c1 + r.sample_idx * size
+            for r in rows[n5:]:
+                assert r.byte_offset == c2 + (r.sample_idx - n5) * size
+            # the final sample ends exactly at end-of-file
+            assert c2 + n3 * size == 516 + 8 * (doc_id % 16)
+    assert saw_single and saw_multi
 
 
 def test_mp4_sample_offsets_per_sample_stsz_and_co64(spark):
@@ -201,49 +263,106 @@ def test_mp4_sample_offsets_per_sample_stsz_and_co64(spark):
         assert r.byte_offset == multimodal.MP4_CHUNK_OFFSET + i * size
 
 
-def test_mp4_multi_chunk_layout_rejected():
-    """A spec-valid multi-chunk file (stco with >1 entry) needs the
-    stsc run-length map to place samples; the back-to-back plan the
-    parser builds would be silently WRONG for every sample past the
-    first chunk. The parser must refuse the layout loudly instead."""
+def _rebuild_mp4_with_stbl(doc_id: int, stbl_leaves: bytes) -> bytes:
+    """Rebuild a SINGLE-CHUNK fabricated file (doc_id % 8 == 3) with a
+    hand-written stbl — keeps ftyp/mvhd/tkhd/mdhd and the mdat bytes,
+    swaps the sample table (the single-chunk layout's fixed offsets:
+    mvhd 32:140, tkhd 148:240, mdhd 248:280, mdat from 384)."""
+    import struct
+
+    from crm_etl_pipeline_spark import multimodal
+
+    assert doc_id % 8 == 3
+    b = multimodal._mp4_bytes(doc_id)
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mdia = box(b"mdia", b[248:280] + box(b"minf", box(b"stbl", stbl_leaves)))
+    moov = box(b"moov", b[32:140] + box(b"trak", b[148:240] + mdia))
+    return b[:24] + moov + b[384:]
+
+
+def test_mp4_multi_chunk_without_stsc_rejected():
+    """stco with >1 entry and NO stsc leaves sample placement undefined
+    — that is a corrupt sample table, not a decodable layout; the walk
+    must refuse it loudly rather than guess a chunk assignment."""
     import struct
 
     import pytest
 
     from crm_etl_pipeline_spark import multimodal
 
-    doc_id = 7
-    b = multimodal._mp4_bytes(doc_id)
+    doc_id = 11
     size = 8 + doc_id % 16
     n = multimodal.MP4_N_SAMPLES
 
     def box(btype, payload):
         return struct.pack(">I", 8 + len(payload)) + btype + payload
 
-    stsz = box(b"stsz", struct.pack(">III", 0, size, n))
-    # TWO chunk offsets — both inside the file, so without the guard the
-    # walk would happily emit a (wrong) plan from the first base only
-    stco = box(
-        b"stco",
-        struct.pack(">II", 0, 2)
-        + struct.pack(">II", multimodal.MP4_CHUNK_OFFSET, multimodal.MP4_CHUNK_OFFSET + 4 * size),
-    )
-    stsd = box(b"stsd", struct.pack(">II", 0, 0))
     dur = 1000 + doc_id % 9000
     delta = dur // n
-    stts = box(
-        b"stts",
-        struct.pack(">IIIIII", 0, 2, n - 1, delta, 1, dur - (n - 1) * delta),
+    leaves = (
+        box(b"stsd", struct.pack(">II", 0, 0))
+        + box(b"stts", struct.pack(">IIIIII", 0, 2, n - 1, delta, 1, dur - (n - 1) * delta))
+        + box(b"stsz", struct.pack(">III", 0, size, n))
+        + box(
+            b"stco",
+            struct.pack(">II", 0, 2)
+            + struct.pack(
+                ">II", multimodal.MP4_CHUNK_OFFSET, multimodal.MP4_CHUNK_OFFSET + 4 * size
+            ),
+        )
     )
-    stbl = box(b"stbl", stsd + stts + stsz + stco)
-    mvhd = b[32:140]
-    tkhd = b[148:240]
-    mdhd = b[248:280]
-    mdia = box(b"mdia", mdhd + box(b"minf", stbl))
-    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
-    rewritten = b[:24] + moov + b[384:]
-    with pytest.raises(AssertionError, match="multi-chunk"):
-        multimodal._parse_mp4_samples(rewritten)
+    with pytest.raises(AssertionError, match="without the stsc"):
+        multimodal._parse_mp4_samples(_rebuild_mp4_with_stbl(doc_id, leaves))
+
+
+def test_mp4_stsc_run_spanning_multiple_chunks():
+    """An stsc run applies to EVERY chunk from its first_chunk until
+    the next run's — ONE entry (first_chunk=1, samples_per_chunk=2)
+    must cover all four stco chunks, with per-chunk offsets restarting
+    at each declared base. (The unreferenced-gap case — bases that
+    cumulative sizes cannot reproduce — is pinned by the fabricated
+    5+3 multi-chunk variant's tests.)"""
+    import struct
+
+    from crm_etl_pipeline_spark import multimodal
+
+    doc_id = 11
+    size = 8 + doc_id % 16
+    n = multimodal.MP4_N_SAMPLES  # 8 samples → 4 chunks of 2
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    dur = 1000 + doc_id % 9000
+    delta = dur // n
+
+    def build(bases):
+        leaves = (
+            box(b"stsd", struct.pack(">II", 0, 0))
+            + box(
+                b"stts",
+                struct.pack(">IIIIII", 0, 2, n - 1, delta, 1, dur - (n - 1) * delta),
+            )
+            + box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 2, 1))
+            + box(b"stsz", struct.pack(">III", 0, size, n))
+            + box(b"stco", struct.pack(">II", 0, 4) + struct.pack(">4I", *bases))
+        )
+        return _rebuild_mp4_with_stbl(doc_id, leaves)
+
+    # probe once to find where mdat data starts in the rebuilt file,
+    # then rebuild with four bases striding through it back-to-back
+    probe = build([multimodal.MP4_CHUNK_OFFSET] * 4)
+    data_start = probe.index(b"mdat") + 4
+    bases = [data_start + c * 2 * size for c in range(4)]
+    plan = multimodal._parse_mp4_samples(build(bases))
+    assert [idx for idx, _, _ in plan] == list(range(n))
+    for idx, off, sz in plan:
+        assert sz == size
+        chunk, within = divmod(idx, 2)
+        assert off == bases[chunk] + within * size
 
 
 def test_quarantine_zero_byte_and_truncated_blobs(spark):

@@ -17,12 +17,13 @@ from crm_etl_pipeline_spark.registry import load_all
 SF_DIR = "/root/testdata/sf0.01"
 REGISTRY = load_all()
 
-# deliberately NO literal '\N' here: a data value equal to the CSV
-# nullValue sentinel collapses to NULL on read — inherent to the Spark
-# CSV parser (it nullifies the token even when quoted), documented in
-# csv_source_roundtrip's docstring; JSON/ORC carry it exactly
+# the literal nullValue sentinel '\N' and the escape sequences '\E\N',
+# '\E\E\N' are INCLUDED since round 8: the _csv_escape/_csv_unescape
+# write convention closed the round-6 collapse residual, so every
+# string must round-trip — including the colliding class itself
 NASTY = ['{"k": 1}', "line1\nline2", "with,comma", 'with"quote', "with'sq",
-         "back\\slash", "unié中文", None, "", "\ttab", " lead sp", "trail sp "]
+         "back\\slash", "unié中文", None, "", "\ttab", " lead sp", "trail sp ",
+         "\\N", "\\E\\N", "\\E\\E\\N", "\\Eplain"]
 
 
 def test_text_roundtrips_survive_adversarial_props(spark, tmp_path):
@@ -57,6 +58,33 @@ def test_text_roundtrips_survive_adversarial_props(spark, tmp_path):
         o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
         assert s == o, f"{name} loses adversarial text in the roundtrip"
     con.close()
+
+
+def test_csv_sentinel_escape_roundtrip(spark):
+    """The escape convention, pinned at unit grain: encode is the
+    identity off the colliding class, adds exactly one '\\E' on it;
+    decode inverts; NULL and '' stay themselves end to end."""
+    from crm_etl_pipeline_spark.queries.sources_q import _csv_escape, _csv_unescape
+
+    cases = [
+        ("\\N", "\\E\\N"),          # the sentinel itself
+        ("\\E\\N", "\\E\\E\\N"),    # already-escaped input escapes again
+        ("\\E\\E\\N", "\\E\\E\\E\\N"),
+        ("\\Eplain", "\\Eplain"),   # outside the class: untouched
+        ("plain", "plain"),
+        ("", ""),
+        ("\\Nx", "\\Nx"),           # sentinel prefix but not exact: untouched
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(cases)], "i int, s string"
+    )
+    enc = df.withColumn("s", _csv_escape("s"))
+    got = {r.i: r.s for r in enc.collect()}
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
+    dec = enc.withColumn("s", _csv_unescape("s"))
+    back = {r.i: r.s for r in dec.collect()}
+    assert back == {i: orig for i, (orig, _) in enumerate(cases)}
 
 
 def test_schema_evolution_merges_without_rewriting_old_files(spark, tmp_path):

@@ -194,10 +194,12 @@ def empty_string_every_10th(col):
 
 
 def adversarial_props(tbl):
-    # no literal '\N': a value equal to the CSV nullValue sentinel
-    # collapses on read — inherent to the connector (see sources_q)
+    # literal '\N' / '\E\N' included since r8: the CSV escape-token
+    # write convention (sources_q._csv_escape) round-trips the
+    # nullValue-sentinel class that used to collapse on read
     opts = ['{"k": 1}', "line1\nline2", "with,comma", 'with"quote', "with'sq",
-            "back\\slash", "unié中文", None, "", "\ttab", " lead sp", "trail sp "]
+            "back\\slash", "unié中文", None, "", "\ttab", " lead sp", "trail sp ",
+            "\\N", "\\E\\N", "\\Eplain"]
     vals = [opts[i % len(opts)] for i in range(tbl.num_rows)]
     return tbl.set_column(
         tbl.column_names.index("props"), "props", pa.array(vals, pa.string())
