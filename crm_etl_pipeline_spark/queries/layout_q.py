@@ -113,3 +113,56 @@ def scd2_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.read_store(spark, store).select(
         "item_id", "event_id", "ts", "value", "version", "is_current"
     )
+
+
+@query(
+    "partition_evolution_regrain",
+    # unchanged-results proof: the oracle never sees either store —
+    # it recomputes the rows plus the new grain column from the raw
+    # parquet truth, so any row lost/duplicated/mangled by the two
+    # partitioned writes breaks the hash
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props,
+           CAST(date_trunc('month', ts) AS DATE) AS event_month
+    FROM events
+    """,
+    survey="S1/F1 layout evolution (day→month partition re-grain; unchanged-results-hash proof)",
+)
+def partition_evolution_regrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution — the layout twin of
+    ``scd2_compact_small_files``: a store laid out day-per-directory
+    for hot queries ages into cold history where month grain serves
+    the same scans from 12× fewer directories and files. The query
+    lays events out at day grain, re-grains to month
+    (``layout.regrain_month``: one shuffle on the new grain), and
+    returns the full table read back from the month store with its new
+    partition column — the oracle recomputes every row from the raw
+    truth, proving the evolution changed the layout and nothing else.
+    Directory/file-count reduction and month-pruned scans are asserted
+    in tests/test_layout.py.
+
+    Scale shape: the regrain is one hash exchange on event_month over
+    the partitions being evolved — at 100 TB it runs month-by-month on
+    cold data only (each month an independent job, publishable via the
+    WAP flip), while fresh writes land at the new grain; readers keep
+    working throughout because the partition column is derivable from
+    ``ts`` either way."""
+    wd = _workdir("regrain", sf_dir)
+    day_store = os.path.join(wd, "by_day")
+    month_store = os.path.join(wd, "by_month")
+    ev = table(spark, sf_dir, "events")
+    if ev.isEmpty():
+        # empty-in/empty-out contract (degenerate sweep): a partitioned
+        # write of zero rows lands no data files, and a parquet read of
+        # a file-less store cannot infer a schema — short-circuit with
+        # the output schema instead of crashing the maintenance job
+        return spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string, event_month date",
+        )
+    layout.write_date_partitioned(ev, day_store)
+    layout.regrain_month(spark, day_store, month_store)
+    return spark.read.parquet(month_store).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "event_month"
+    )

@@ -192,3 +192,44 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.asof_view(_store(spark, sf_dir), _ASOF_TS).select(
         "item_id", "event_id", "ts", "value", "version"
     )
+
+
+@query(
+    "scd2_expire_versions",
+    oracle=_STORE_SQL
+    + f"""
+    , s AS (
+      SELECT item_id, event_id, ts, value, version, is_current,
+             LEAD(ts) OVER (PARTITION BY item_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM v
+    )
+    SELECT item_id, event_id, ts, value, version, is_current
+    FROM s WHERE nxt IS NULL OR nxt > TIMESTAMP '{_ASOF_TS}'
+    """,
+    survey="L3/L5 retention (snapshot expiry over the version log: GC every version no post-horizon time travel can surface)",
+)
+def scd2_expire_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention GC — the missing half of keep-every-version: the
+    reference's `podio_items` grows without bound
+    (`PodioApiGateway.py:131-137`), and so does this engine's
+    append-only log; a real 100 TB store reclaims. The expiry keeps
+    exactly the versions some time-travel read at or after the horizon
+    (the same mid-replay instant ``scd2_asof_snapshot`` travels to)
+    can still surface: a version dies iff its successor's ts has
+    passed the horizon. Current rows always survive; so does each
+    key's version that was live AT the horizon — asof_view at any
+    t >= horizon is bit-identical on the expired store
+    (tests/test_scd.py pins it, plus the invariant that something was
+    actually reclaimed). Historical version numbers survive with gaps,
+    the audit trail that GC ran.
+
+    Scale shape: one lead() window on the item_id partitioning every
+    store read already pays, then a filter — no extra shuffle; on the
+    is_current-partitioned layout the rewrite touches only
+    is_current=false files. The oracle replays the same rule as a
+    LEAD window over the store SQL, so the hash certifies the exact
+    survivor set, flags and versions included."""
+    return scd.expire_versions(_store(spark, sf_dir), _ASOF_TS).select(
+        "item_id", "event_id", "ts", "value", "version", "is_current"
+    )

@@ -67,6 +67,40 @@ def _bare_cols(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in ("version", "is_current")]
 
 
+def expire_versions(store: DataFrame, horizon: str) -> DataFrame:
+    """Snapshot expiry / retention GC over the version log: reclaim
+    every version that NO time-travel read at or after ``horizon`` can
+    surface. A version is visible at instant t iff it is the newest
+    row with ts <= t; once its successor's ts has passed the horizon,
+    no t >= horizon ever selects it again — so the reclaim rule is
+    exactly "drop rows whose successor ts <= horizon". Current rows
+    (no successor) always survive; so does the version that was live
+    AT the horizon, keeping ``asof_view(store, t)`` bit-identical on
+    the expired store for every t >= horizon (tests pin this). Version
+    numbers keep their historical values, so expiry leaves gaps in the
+    sequence — the audit trail that GC happened, same as snapshot ids
+    in any table format.
+
+    This is the WAP/time-travel family's missing GC half: the
+    append-only log otherwise keeps every version forever, and a real
+    100 TB store reclaims — the reference's `podio_items` collection
+    has the same unbounded growth (`PodioApiGateway.py:131-137`).
+
+    Scale shape: one lead() window over the same item_id partitioning
+    every store read already pays, then a filter — the reclaim is
+    O(history) with no extra shuffle, and on the is_current-partitioned
+    layout the rewrite touches only is_current=false files."""
+    w = Window.partitionBy(KEY_COL).orderBy(F.col(TS_COL), F.col(SEQ_COL))
+    return (
+        store.withColumn("_nxt", F.lead(TS_COL).over(w))
+        .filter(
+            F.col("_nxt").isNull()
+            | (F.col("_nxt") > F.lit(horizon).cast("timestamp"))
+        )
+        .drop("_nxt")
+    )
+
+
 def current_view(store: DataFrame) -> DataFrame:
     """Latest version per key (`PodioApiGateway.py:165` sort-desc
     find_one, table-wide). On a store written by ``write_store`` this

@@ -181,3 +181,46 @@ def test_compaction_query_rerun_is_self_contained(spark):
         tuple(r) for r in reg["scd2_compact_small_files"].fn(spark, SF_DIR).collect()
     )
     assert first == second
+
+
+def test_regrain_month_consolidates_and_prunes(spark, tmp_path):
+    """Partition evolution day→month: fewer directories AND fewer data
+    files after the regrain, identical row count, and a literal month
+    predicate still prunes statically (PartitionFilters on the new
+    column)."""
+    day = str(tmp_path / "rg_day")
+    month = str(tmp_path / "rg_month")
+    ev = table(spark, SF_DIR, "events")
+    layout.write_date_partitioned(ev, day)
+    layout.regrain_month(spark, day, month)
+    n_day_dirs = len(glob.glob(f"{day}/event_date=*"))
+    n_month_dirs = len(glob.glob(f"{month}/event_month=*"))
+    assert 1 <= n_month_dirs < n_day_dirs
+    assert len(glob.glob(f"{month}/event_month=*/*.parquet")) < len(
+        glob.glob(f"{day}/event_date=*/*.parquet")
+    )
+    store = spark.read.parquet(month)
+    assert store.count() == ev.count()
+    m = store.agg(F.min("event_month").cast("string")).first()[0]
+    pruned = store.filter(F.col("event_month") == F.lit(m))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_month" in plan
+    want = ev.filter(F.trunc(F.to_date("ts"), "month") == F.lit(m)).count()
+    assert pruned.count() == want > 0
+
+
+def test_regrain_query_empty_events_contract(spark, tmp_path):
+    """Degenerate contract (found by the round-8 sweep): an empty
+    events table must yield the empty relation with the full output
+    schema — a partitioned write of zero rows lands no data files and
+    an inference read would crash the maintenance job."""
+    from crm_etl_pipeline_spark.registry import load_all
+
+    d = str(tmp_path / "empty_sf")
+    ev = table(spark, SF_DIR, "events").limit(0)
+    ev.write.parquet(f"{d}/events.parquet")
+    out = load_all()["partition_evolution_regrain"].fn(spark, d)
+    assert out.count() == 0
+    assert out.columns == [
+        "event_id", "ts", "user_id", "event_type", "value", "props", "event_month",
+    ]

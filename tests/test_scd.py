@@ -83,3 +83,35 @@ def test_write_store_partitions_by_current(spark, tmp_path):
         .collect()
     ]
     assert files and all("is_current=true" in f for f in files)
+
+
+def test_expire_versions_preserves_post_horizon_time_travel(spark):
+    """The retention contract: (1) something is actually reclaimed on
+    the fixture, (2) every key keeps exactly one current row, (3)
+    asof_view at the horizon and at a later instant are bit-identical
+    on the expired store, (4) a pre-horizon as-of CAN differ — the
+    reclaimed rows are precisely the ones only pre-horizon reads see."""
+    from crm_etl_pipeline_spark.queries.scd_q import _ASOF_TS
+
+    store = _store(spark, SF_DIR)
+    expired = scd.expire_versions(store, _ASOF_TS)
+    n_full, n_kept = store.count(), expired.count()
+    assert 0 < n_kept < n_full, "fixture must exercise real reclamation"
+    # exactly one current row per key survives
+    cur = expired.groupBy("item_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_cur")
+    )
+    assert cur.filter(F.col("n_cur") != 1).count() == 0
+    assert expired.select("item_id").distinct().count() == store.select(
+        "item_id"
+    ).distinct().count()
+    # time travel at/after the horizon is unchanged
+    for t in (_ASOF_TS, "2024-02-20 00:00:00"):
+        a = sorted(map(tuple, scd.asof_view(store, t).collect()))
+        b = sorted(map(tuple, scd.asof_view(expired, t).collect()))
+        assert a == b, f"as-of {t} must be identical on the expired store"
+    # and a pre-horizon as-of differs (those versions were reclaimed)
+    early = "1995-01-01 00:00:00"
+    a = sorted(map(tuple, scd.asof_view(store, early).collect()))
+    b = sorted(map(tuple, scd.asof_view(expired, early).collect()))
+    assert a != b

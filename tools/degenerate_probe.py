@@ -341,7 +341,8 @@ PROBES = [
       "credential_rotation_schedule", "backoff_penalty_audit",
       "wap_publish_roundtrip", "csv_source_roundtrip",
       "json_source_roundtrip", "orc_source_roundtrip",
-      "ab_test_conversion", "fifo_head", "event_dedup_last_write_wins"]),
+      "ab_test_conversion", "fifo_head", "event_dedup_last_write_wins",
+      "partition_evolution_regrain", "scd2_expire_versions"]),
     ("empty_documents", {"documents": empty_table},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
@@ -389,7 +390,8 @@ PROBES = [
       "return_type_fallback", "scd2_versioned_store", "scd2_current_view",
       "scd2_store_roundtrip", "streaming_scd2_state", "rfm_segmentation",
       "record_linkage_fuzzy", "ols_frequency_monetary",
-      "schema_evolution_read", "scd2_compact_small_files"]),
+      "schema_evolution_read", "scd2_compact_small_files",
+      "scd2_expire_versions"]),
     ("empty_lineitem", {"lineitem": empty_table},
      ["pricing_summary", "flagship_segment_revenue", "rollup_revenue",
       "cube_lineitem_flags", "pivot_status_by_priority", "having_filter",
