@@ -9,11 +9,12 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~20 min at 33 probe batches / 266 query runs; needs an
+(~20 min at 34 probe batches / 273 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
-pass at round-7 final HEAD: 266/266 OK (all batches, including the
-null_embeddings / null_user_ids / null_langs probes after the
-NULL-vector and fixed-point-weight contracts landed).
+pass at round-8 HEAD: 273/273 OK (all batches, including the new
+empty_string_langs probe, the CSV sentinel values in nasty_text, and
+the empty-table probes over the round-8 registrations
+partition_evolution_regrain / scd2_expire_versions).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -29,7 +30,11 @@ vanish + NULL sums and the cube-of-empty cross-engine divergence
 (tests/test_stats.py::test_empty_load_audit_and_cube_agree); the
 null_embeddings probe found 5 vector-family divergences, closed by the
 NULL-vector exclusion contract (embeddings_q._emb + symmetric oracle
-predicates, test_null_embedding_rows_are_excluded_everywhere).
+predicates, test_null_embedding_rows_are_excluded_everywhere). Round 8:
+the empty_events probe found partition_evolution_regrain's
+schema-inference crash on a file-less partitioned store (fixed by the
+empty-in/empty-out short-circuit,
+tests/test_layout.py::test_regrain_query_empty_events_contract).
 """
 
 from __future__ import annotations
