@@ -38,23 +38,26 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # This window, in verdict-ranked order: (a) the 8 r6-row embedding-family
 # queries whose code+oracle the round-7 NULL-vector contract changed
 # AFTER their last driver row — changed code outranks age; (b) all 28 r4
-# rows (the oldest in the registry); (c) the 2 queries REGISTERED this
+# rows (the oldest in the registry); (c) the 3 queries REGISTERED this
 # round (never driver-checked: partition_evolution_regrain,
-# scd2_expire_versions — the round-7 verdict's stretch item); (d) 12 of
+# scd2_expire_versions — the round-7 verdict's stretch item — and
+# multimodal_mp4_seek_plan, the driver-visible face of the stsc
+# multi-chunk walk); (d) 11 of
 # the 45 r5 rows, chosen one-per-family so every operator family gets a
 # fresh representative: multimodal_decode_quarantine and
 # csv_source_roundtrip first (their families' code/contracts changed
 # this round — MP4 stsc walk and the nullValue-sentinel escape), then
 # the tier-2 bench headliners (copurchase_pagerank,
 # prefix_filter_setsim_join) and one delegate per remaining family.
-# The two new registrations took the slots of rfm_segmentation (ceded
-# to its in-window crm twins copurchase_pagerank + the exact-moment
-# delegate global_rank_two_phase) and pps_systematic_sample (ceded to
-# global_rank_two_phase, which proves the identical two-phase
-# prefix-sum construction). After this round every row is <= 3 rounds
-# old — the designed steady state.
+# The three new registrations took the slots of rfm_segmentation (ceded
+# to its in-window crm twin copurchase_pagerank), pps_systematic_sample
+# (ceded to global_rank_two_phase, which proves the identical two-phase
+# prefix-sum construction), and bm25_topk_search (ceded to the
+# in-window tfidf_top_terms r4 refresh — same postings/capped-heads
+# family). After this round every row is <= 3 rounds old — the
+# designed steady state.
 #
-# The 33 r5 rows left out (all pytest-oracle-green at HEAD via
+# The 34 r5 rows left out (all pytest-oracle-green at HEAD via
 # tests/test_oracle.py; the round-9 window picks them up first): each is
 # twin-covered in-window this round — approx_distinct_selfcheck /
 # countmin_heavy_hitters / kmv_set_intersection by the sketch family's
@@ -74,9 +77,10 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # streaming_late_data_audit by streaming_moments_anomalies +
 # the r4 streaming_dlq/streaming_requeue refreshes; cdc_derive_changes'
 # twin cdc_apply_snapshot stays r6-fresh; scd2_asof_snapshot is
-# IN-window (time travel has no twin); boilerplate_line_removal /
+# IN-window (time travel has no twin); bm25_topk_search /
+# boilerplate_line_removal /
 # repeated_span_mining / token_rarity_score / inverted_index_postings /
-# dedup_incremental_new_docs / pii_redaction by bm25_topk_search +
+# dedup_incremental_new_docs / pii_redaction by
 # the r4 tfidf/pack/doc_repetition refreshes; keyset_pagination_orders
 # by partition_pruned_scan (pushdown family).
 #
@@ -127,6 +131,11 @@ DRIVER_PRIORITY: list[str] = [
     # --- (c) registered this round, never driver-checked ---
     "partition_evolution_regrain",
     "scd2_expire_versions",
+    # the driver-visible face of the round-8 stsc multi-chunk walk
+    # (takes bm25_topk_search's delegate slot — retrieval is covered
+    # in-window by the tfidf_top_terms r4 refresh, and bm25 itself by
+    # the r7-fresh sketch/agg rows sharing its capped-heads shape)
+    "multimodal_mp4_seek_plan",
     # --- (d) 12 r5 family delegates (changed-family members first) ---
     "multimodal_decode_quarantine",
     "csv_source_roundtrip",
@@ -137,7 +146,6 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_derive_changes",
     "scd2_asof_snapshot",
     "incremental_agg_merge",
-    "bm25_topk_search",
     "partition_pruned_scan",
     "global_rank_two_phase",
 ]

@@ -159,6 +159,45 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp4_seek_plan",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS sample_idx,
+           CAST(CASE
+                WHEN doc_id % 8 = 7 AND i >= 5
+                THEN 436 + 5 * (8 + doc_id % 16) + 16 + (i - 5) * (8 + doc_id % 16)
+                WHEN doc_id % 8 = 7
+                THEN 436 + i * (8 + doc_id % 16)
+                ELSE 392 + i * (8 + doc_id % 16)
+                END AS BIGINT) AS byte_offset,
+           CAST(8 + doc_id % 16 AS INT) AS sample_size
+    FROM documents, unnest(range(0, 8)) t(i)
+    WHERE doc_id % 4 = 3
+    """,
+    survey="§2.9 multimodal (MP4 per-sample seek plan from the genuine stsz/stsc/stco sample table, incl. the multi-chunk run-length walk)",
+)
+def multimodal_mp4_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The container-driven range-read plan for video at scale: parse
+    the KB-sized moov sample table, emit one row per sample with its
+    exact byte range in the multi-GB mdat — the stage that lets a
+    frame-sampler fetch only wanted samples. Covers BOTH fabricated
+    layouts: single-chunk docs (mp4 doc_id % 8 == 3) lay samples
+    back-to-back from byte 392; multi-chunk docs (doc_id % 8 == 7)
+    follow the genuine stsc run-length map (5 samples in chunk 1, 3 in
+    chunk 2) across two stco bases separated by a 16-byte unreferenced
+    gap — offsets a cumulative-size walk CANNOT produce, so the hash
+    certifies the run-length walk itself. The oracle recomputes every
+    (offset, size) closed-form from doc_id: chunk 2's base is
+    436 + 5·size + 16 (five chunk-1 samples plus the gap). Arrow-batched
+    mapInPandas over binary payloads, non-MP4 rows filtered JVM-side
+    before Python."""
+    media = multimodal.fabricate_media(table(spark, sf_dir, "documents"))
+    return multimodal.mp4_sample_offsets(media).select(
+        "doc_id", "sample_idx", "byte_offset", "sample_size"
+    )
+
+
+@query(
     "multimodal_byte_dedup",
     oracle="""
     WITH corpus AS (

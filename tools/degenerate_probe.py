@@ -9,12 +9,14 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~20 min at 34 probe batches / 273 query runs; needs an
+(~20 min at 34 probe batches / 275 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass at round-8 HEAD: 273/273 OK (all batches, including the new
 empty_string_langs probe, the CSV sentinel values in nasty_text, and
 the empty-table probes over the round-8 registrations
-partition_evolution_regrain / scd2_expire_versions).
+partition_evolution_regrain / scd2_expire_versions); the 2
+multimodal_mp4_seek_plan probes added right after that pass were run
+individually OK at the same HEAD (275 total).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -352,12 +354,14 @@ PROBES = [
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
+      "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "curation_pipeline",
       "chunk_documents", "language_temperature_sample"]),
     ("one_document", {"documents": one_document},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
+      "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences"]),
     ("null_langs", {"documents": null_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
