@@ -63,6 +63,47 @@ def write_range_sorted(df: DataFrame, path: str, col: str, n_files: int) -> None
     )
 
 
+def zvalue(a, b):
+    """Morton (Z-order) interleave of two 16-bit bucket ranks into one
+    32-bit curve position — pure integer column algebra (shift/AND/OR
+    magic-number bit spreading), identical arithmetic in any engine,
+    so a DuckDB oracle can recompute it bit-exactly.
+
+    Sorting files by z-value bounds EVERY file's min/max envelope on
+    BOTH dimensions at once (a linear sort bounds only its own key):
+    a 2-D range predicate then skips files via ordinary parquet footer
+    statistics on the two raw columns — multi-dimensional clustering
+    with zero new machinery at read time. The curve is the layout the
+    big table formats call Z-ORDER; here it is ~10 Catalyst expressions.
+    """
+    def spread(x):
+        # 16 bits → even bit positions of a 32-bit lane
+        x = x.bitwiseAND(F.lit(0xFFFF))
+        x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    return spread(a.cast("bigint")).bitwiseOR(
+        F.shiftleft(spread(b.cast("bigint")), 1)
+    )
+
+
+def write_zordered(df: DataFrame, path: str, zcol: str, n_files: int) -> None:
+    """Range-partition globally on the precomputed z-value column and
+    sort within each file — every output file covers a disjoint curve
+    segment, hence a bounded box in BOTH original dimensions (footer
+    envelopes asserted in tests/test_layout.py). One shuffle at write
+    time, same cost shape as write_range_sorted."""
+    (
+        df.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def regrain_month(spark: SparkSession, day_path: str, month_path: str) -> None:
     """Partition evolution: re-grain a day-partitioned store to month
     directories. A store laid out for day-grain queries accumulates

@@ -40,24 +40,26 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # AFTER their last driver row — changed code outranks age; (b) all 28 r4
 # rows (the oldest in the registry); (c) the 3 queries REGISTERED this
 # round (never driver-checked: partition_evolution_regrain,
-# scd2_expire_versions — the round-7 verdict's stretch item — and
+# scd2_expire_versions — the round-7 verdict's stretch item —
 # multimodal_mp4_seek_plan, the driver-visible face of the stsc
-# multi-chunk walk); (d) 11 of
+# multi-chunk walk, and zorder_range_scan, multi-column clustering
+# with a bit-exact Morton-curve oracle); (d) 10 of
 # the 45 r5 rows, chosen one-per-family so every operator family gets a
 # fresh representative: multimodal_decode_quarantine and
 # csv_source_roundtrip first (their families' code/contracts changed
 # this round — MP4 stsc walk and the nullValue-sentinel escape), then
 # the tier-2 bench headliners (copurchase_pagerank,
 # prefix_filter_setsim_join) and one delegate per remaining family.
-# The three new registrations took the slots of rfm_segmentation (ceded
+# The four new registrations took the slots of rfm_segmentation (ceded
 # to its in-window crm twin copurchase_pagerank), pps_systematic_sample
 # (ceded to global_rank_two_phase, which proves the identical two-phase
-# prefix-sum construction), and bm25_topk_search (ceded to the
+# prefix-sum construction), bm25_topk_search (ceded to the
 # in-window tfidf_top_terms r4 refresh — same postings/capped-heads
-# family). After this round every row is <= 3 rounds old — the
-# designed steady state.
+# family), and cdc_derive_changes (ceded to its r6-green apply twin
+# cdc_apply_snapshot, with two fresher scd rows in-window). After this
+# round every row is <= 3 rounds old — the designed steady state.
 #
-# The 34 r5 rows left out (all pytest-oracle-green at HEAD via
+# The 35 r5 rows left out (all pytest-oracle-green at HEAD via
 # tests/test_oracle.py; the round-9 window picks them up first): each is
 # twin-covered in-window this round — approx_distinct_selfcheck /
 # countmin_heavy_hitters / kmv_set_intersection by the sketch family's
@@ -75,8 +77,8 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # bloom_semi_join_prune / regional_supplier_volume by the in-window r4
 # join refreshes; streaming_dlq_replay / streaming_stream_stream_join /
 # streaming_late_data_audit by streaming_moments_anomalies +
-# the r4 streaming_dlq/streaming_requeue refreshes; cdc_derive_changes'
-# twin cdc_apply_snapshot stays r6-fresh; scd2_asof_snapshot is
+# the r4 streaming_dlq/streaming_requeue refreshes; cdc_derive_changes
+# by its r6-fresh apply twin cdc_apply_snapshot; scd2_asof_snapshot is
 # IN-window (time travel has no twin); bm25_topk_search /
 # boilerplate_line_removal /
 # repeated_span_mining / token_rarity_score / inverted_index_postings /
@@ -136,6 +138,10 @@ DRIVER_PRIORITY: list[str] = [
     # in-window by the tfidf_top_terms r4 refresh, and bm25 itself by
     # the r7-fresh sketch/agg rows sharing its capped-heads shape)
     "multimodal_mp4_seek_plan",
+    # Z-order clustering (takes cdc_derive_changes' delegate slot —
+    # its apply twin cdc_apply_snapshot is r6-green and the scd family
+    # has two fresher rows in-window)
+    "zorder_range_scan",
     # --- (d) 12 r5 family delegates (changed-family members first) ---
     "multimodal_decode_quarantine",
     "csv_source_roundtrip",
@@ -143,7 +149,6 @@ DRIVER_PRIORITY: list[str] = [
     "prefix_filter_setsim_join",
     "credential_rotation_schedule",
     "streaming_moments_anomalies",
-    "cdc_derive_changes",
     "scd2_asof_snapshot",
     "incremental_agg_merge",
     "partition_pruned_scan",

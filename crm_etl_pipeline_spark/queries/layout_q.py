@@ -115,6 +115,113 @@ def scd2_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread_sql(x: str) -> str:
+    """The zvalue bit-spreading as ANSI SQL text (DuckDB), term-for-term
+    identical to layout.zvalue's Catalyst expressions — masks spelled in
+    decimal: 0xFFFF, 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555."""
+    x0 = f"(CAST({x} AS BIGINT) & 65535)"
+    x1 = f"(({x0} | ({x0} << 8)) & 16711935)"
+    x2 = f"(({x1} | ({x1} << 4)) & 252645135)"
+    x3 = f"(({x2} | ({x2} << 2)) & 858993459)"
+    return f"(({x3} | ({x3} << 1)) & 1431655765)"
+
+
+@query(
+    "zorder_range_scan",
+    oracle=f"""
+    WITH m AS (SELECT MIN(CAST(ts AS DATE)) AS min_day FROM events),
+    b AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             date_diff('day', min_day, CAST(ts AS DATE)) AS day_idx,
+             user_id // 16 AS u_bucket
+      FROM events, m
+    )
+    SELECT event_id, ts, user_id, event_type, value,
+           CAST(day_idx AS INT) AS day_idx,
+           CAST({_spread_sql('day_idx')}
+                | ({_spread_sql('u_bucket')} << 1) AS BIGINT) AS zval
+    FROM b
+    WHERE day_idx BETWEEN 7 AND 14 AND user_id BETWEEN 4 AND 50
+    """,
+    survey="S1/F1 layout (Z-order multi-column clustering: 2-D range scan over a Morton-curve-sorted store; bit-exact curve oracle)",
+)
+def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering — the layout a time-series fact
+    table needs when queries slice on BOTH time and key: a linear sort
+    bounds per-file envelopes on one column only, so a (time × user)
+    box scans every file the time range touches. Z-ordering sorts
+    files along the Morton curve of (day bucket, user bucket): every
+    file covers a disjoint curve segment, hence a bounded box in both
+    dimensions, and an ordinary 2-D predicate skips files via plain
+    parquet footer statistics (the envelope-tightness proof vs a
+    single-column sort is in tests/test_layout.py). The curve is ~10
+    integer Catalyst expressions (layout.zvalue) — no new reader
+    machinery, no format dependency.
+
+    The oracle recomputes the bit-interleave arithmetic term-for-term
+    in SQL and the query RETURNS zval, so the hash certifies the curve
+    math bit-exactly cross-engine, plus the unchanged-results contract
+    for the rows surviving the 2-D box (day_idx 7..14 × user_id
+    4..50). The min-day anchor is scalar-attached via the non-foldable
+    ``least(greatest(dayofmonth,1),1)`` key (house idiom — a lit(1)
+    key would constant-fold into a BNLJ).
+
+    Scale shape: one range-exchange on the z-value at write time
+    (identical cost to any sorted layout); reads are footer-pruned
+    scans. At 100 TB the curve position is 32 bits regardless of data
+    size — bucket widths (day grain, 16-user grain) set the envelope
+    resolution and would be tuned to the file-count budget."""
+    ev = table(spark, sf_dir, "events")
+    if ev.isEmpty():
+        return spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, day_idx int, zval long",
+        )
+    anchor = ev.agg(F.min(F.to_date("ts")).alias("min_day")).select(
+        "min_day",
+        F.least(F.greatest(F.dayofmonth("min_day"), F.lit(1)), F.lit(1))
+        .cast("int")
+        .alias("_k"),
+    )
+    bucketed = (
+        ev.withColumn(
+            "_k",
+            F.least(F.greatest(F.dayofmonth(F.to_date("ts")), F.lit(1)), F.lit(1)).cast(
+                "int"
+            ),
+        )
+        .join(F.broadcast(anchor), "_k")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            F.datediff(F.to_date("ts"), F.col("min_day")).alias("day_idx"),
+            F.expr("user_id div 16").alias("u_bucket"),
+        )
+        .withColumn(
+            "zval", layout.zvalue(F.col("day_idx"), F.col("u_bucket")).cast("bigint")
+        )
+    )
+    path = os.path.join(_workdir("zorder", sf_dir), "events_z")
+    layout.write_zordered(bucketed, path, "zval", 8)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("day_idx").between(7, 14) & F.col("user_id").between(4, 50))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            F.col("day_idx").cast("int").alias("day_idx"),
+            "zval",
+        )
+    )
+
+
 @query(
     "partition_evolution_regrain",
     # unchanged-results proof: the oracle never sees either store —

@@ -224,3 +224,60 @@ def test_regrain_query_empty_events_contract(spark, tmp_path):
     assert out.columns == [
         "event_id", "ts", "user_id", "event_type", "value", "props", "event_month",
     ]
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path):
+    """The multi-dimensional locality claim, measured from parquet
+    footers: under a ts-linear sort, per-file user_id envelopes span
+    ~the whole domain (users recur every day); under the z-order
+    layout, every file's envelope is bounded on BOTH day and user
+    buckets — the sum of per-file user-bucket spans must shrink by a
+    large factor, which is exactly what row-group/file skipping on a
+    2-D predicate consumes."""
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("day_idx"),
+            F.col("user_id"),
+        )
+        .withColumn(
+            "zval",
+            # per-user curve resolution: the sf0.001 fixture has only 15
+            # users, so the query's 16-user production grain would fold
+            # them all into one bucket and the locality claim would be
+            # untestable at this sf
+            layout.zvalue(F.col("day_idx"), F.col("user_id")).cast("bigint"),
+        )
+    )
+    n_files = 16  # 30x15 cell domain: segments must be finer than the
+    # domain for per-file boxes to shrink visibly at this fixture size
+    zpath, tpath = str(tmp_path / "byz"), str(tmp_path / "byt")
+    layout.write_zordered(ev, zpath, "zval", n_files)
+    layout.write_range_sorted(ev, tpath, "day_idx", n_files)
+
+    def spans(root, col):
+        out = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = papq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append(hi - lo)
+        return out
+
+    z_user = spans(zpath, "user_id")
+    t_user = spans(tpath, "user_id")
+    # every z-file bounds users; the time-sorted layout cannot
+    assert sum(z_user) < 0.5 * sum(t_user), (sum(z_user), sum(t_user))
+    # and the z-layout still bounds time: no file spans the whole month
+    z_day = spans(zpath, "day_idx")
+    full_day_span = 29
+    assert max(z_day) < full_day_span, z_day

@@ -14,9 +14,10 @@ otherwise-idle Spark, like any measurement run). Last certified full
 pass at round-8 HEAD: 273/273 OK (all batches, including the new
 empty_string_langs probe, the CSV sentinel values in nasty_text, and
 the empty-table probes over the round-8 registrations
-partition_evolution_regrain / scd2_expire_versions); the 2
-multimodal_mp4_seek_plan probes added right after that pass were run
-individually OK at the same HEAD (275 total).
+partition_evolution_regrain / scd2_expire_versions); the 4 probes
+added right after that pass (multimodal_mp4_seek_plan ×2,
+zorder_range_scan ×2) were run individually OK at the same HEAD
+(277 total).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -289,7 +290,7 @@ PROBES = [
       "version_counts_per_key", "incremental_agg_merge",
       "countmin_heavy_hitters", "approx_distinct_selfcheck",
       "kmv_set_intersection", "approx_value_percentiles",
-      "ab_test_conversion"]),
+      "ab_test_conversion", "zorder_range_scan"]),
     ("single_user", {"events": single_user_events},
      ["sessionization", "session_window_builtin", "session_path_trigrams",
       "event_transition_matrix", "ewma_user_value", "funnel_conversion",
@@ -349,7 +350,8 @@ PROBES = [
       "wap_publish_roundtrip", "csv_source_roundtrip",
       "json_source_roundtrip", "orc_source_roundtrip",
       "ab_test_conversion", "fifo_head", "event_dedup_last_write_wins",
-      "partition_evolution_regrain", "scd2_expire_versions"]),
+      "partition_evolution_regrain", "scd2_expire_versions",
+      "zorder_range_scan"]),
     ("empty_documents", {"documents": empty_table},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
