@@ -43,7 +43,8 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # scd2_expire_versions — the round-7 verdict's stretch item —
 # multimodal_mp4_seek_plan, the driver-visible face of the stsc
 # multi-chunk walk, and zorder_range_scan, multi-column clustering
-# with a bit-exact Morton-curve oracle); (d) 10 of
+# with a bit-exact Morton-curve oracle), plus the 2 changed-oracle
+# r7 rows the dup_events fix touched (see the c2 note inline); (d) 8 of
 # the 45 r5 rows, chosen one-per-family so every operator family gets a
 # fresh representative: multimodal_decode_quarantine and
 # csv_source_roundtrip first (their families' code/contracts changed
@@ -56,10 +57,16 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # prefix-sum construction), bm25_topk_search (ceded to the
 # in-window tfidf_top_terms r4 refresh — same postings/capped-heads
 # family), and cdc_derive_changes (ceded to its r6-green apply twin
-# cdc_apply_snapshot, with two fresher scd rows in-window). After this
-# round every row is <= 3 rounds old — the designed steady state.
+# cdc_apply_snapshot, with two fresher scd rows in-window). The two
+# changed-oracle swap-ins took the slots of streaming_moments_anomalies
+# (streaming is covered in-window by streaming_scd2_state + the r4
+# streaming_dlq/requeue/stateful_sessions refreshes) and
+# partition_pruned_scan (layout is covered by zorder_range_scan,
+# partition_evolution_regrain, and the r4 bucketed_join_colocated
+# refresh). After this round every row is <= 3 rounds old — the
+# designed steady state.
 #
-# The 35 r5 rows left out (all pytest-oracle-green at HEAD via
+# The 37 r5 rows left out (all pytest-oracle-green at HEAD via
 # tests/test_oracle.py; the round-9 window picks them up first): each is
 # twin-covered in-window this round — approx_distinct_selfcheck /
 # countmin_heavy_hitters / kmv_set_intersection by the sketch family's
@@ -76,15 +83,20 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # backoff_penalty_audit by credential_rotation_schedule (gateway);
 # bloom_semi_join_prune / regional_supplier_volume by the in-window r4
 # join refreshes; streaming_dlq_replay / streaming_stream_stream_join /
-# streaming_late_data_audit by streaming_moments_anomalies +
-# the r4 streaming_dlq/streaming_requeue refreshes; cdc_derive_changes
+# streaming_late_data_audit / streaming_moments_anomalies by the
+# in-window streaming_scd2_state (fresh under the dup contract) +
+# the r4 streaming_dlq/streaming_requeue/stateful_sessions refreshes;
+# cdc_derive_changes
 # by its r6-fresh apply twin cdc_apply_snapshot; scd2_asof_snapshot is
 # IN-window (time travel has no twin); bm25_topk_search /
 # boilerplate_line_removal /
 # repeated_span_mining / token_rarity_score / inverted_index_postings /
 # dedup_incremental_new_docs / pii_redaction by
 # the r4 tfidf/pack/doc_repetition refreshes; keyset_pagination_orders
-# by partition_pruned_scan (pushdown family).
+# and partition_pruned_scan by the in-window layout members
+# (zorder_range_scan, partition_evolution_regrain, and the r4
+# bucketed_join_colocated refresh — same footer/partition-pruning
+# machinery).
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
@@ -142,15 +154,26 @@ DRIVER_PRIORITY: list[str] = [
     # its apply twin cdc_apply_snapshot is r6-green and the scd family
     # has two fresher rows in-window)
     "zorder_range_scan",
+    # --- (c2) the dup_events sweep fix changed _STORE_SQL (the
+    # identity-dedup DISTINCT), altering EIGHT scd-family oracles after
+    # their last driver row. Three were already in-window
+    # (scd2_versioned_store, scd2_asof_snapshot, scd2_expire_versions);
+    # these two join them because their Spark paths are independent
+    # (the streaming pipeline store; the compaction fold whose oracle
+    # is the store SQL verbatim). The remaining three changed-oracle
+    # rows (scd2_current_view, scd2_soft_delete, scd2_store_roundtrip)
+    # are round-9 window priority #1 — their clean-fixture hashes are
+    # pytest-proven unchanged at HEAD (the DISTINCT is a no-op without
+    # duplicate deliveries), so deferral is hash-safe.
+    "streaming_scd2_state",
+    "scd2_compact_small_files",
     # --- (d) 12 r5 family delegates (changed-family members first) ---
     "multimodal_decode_quarantine",
     "csv_source_roundtrip",
     "copurchase_pagerank",
     "prefix_filter_setsim_join",
     "credential_rotation_schedule",
-    "streaming_moments_anomalies",
     "scd2_asof_snapshot",
     "incremental_agg_merge",
-    "partition_pruned_scan",
     "global_rank_two_phase",
 ]

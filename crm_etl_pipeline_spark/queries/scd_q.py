@@ -38,7 +38,15 @@ _STORE_SQL = f"""
       SELECT user_id AS item_id, event_id, ts, value
       FROM events WHERE event_type IN ('purchase', 'signup')
     ), all_v AS (
-      SELECT * FROM base UNION ALL SELECT * FROM upd
+      -- DISTINCT mirrors scd2_apply's dropDuplicates on the
+      -- (item_id, ts, event_id) version identity: at-least-once
+      -- delivery re-sends byte-identical rows, and a duplicated
+      -- delivery must not mint a second version (found by the
+      -- dup_events sweep probe; same-identity-DIFFERENT-value rows
+      -- are upstream corruption and outside the contract)
+      SELECT DISTINCT * FROM (
+        SELECT * FROM base UNION ALL SELECT * FROM upd
+      )
     ), v AS (
       SELECT item_id, event_id, ts, value,
              CAST(ROW_NUMBER() OVER

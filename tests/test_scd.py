@@ -115,3 +115,19 @@ def test_expire_versions_preserves_post_horizon_time_travel(spark):
     a = sorted(map(tuple, scd.asof_view(store, early).collect()))
     b = sorted(map(tuple, scd.asof_view(expired, early).collect()))
     assert a != b
+
+
+def test_duplicate_delivery_mints_no_second_version(spark):
+    """The at-least-once contract (found by the round-8 dup_events
+    sweep probe): re-delivering a byte-identical update must not mint
+    a second version — scd2_apply collapses on the (item_id, ts,
+    event_id) identity, and since round 8 the shared oracle SQL
+    carries the symmetric DISTINCT. Applying the store build over an
+    input with every 7th update duplicated must equal the build over
+    the clean input, version numbers included."""
+    base = _base(spark, SF_DIR)
+    upd = _updates(spark, SF_DIR)
+    dup = upd.unionAll(upd.filter(F.col("event_id") % 7 == 3))
+    clean = sorted(map(tuple, scd.scd2_apply(base, upd).collect()))
+    redelivered = sorted(map(tuple, scd.scd2_apply(base, dup).collect()))
+    assert clean == redelivered

@@ -9,15 +9,15 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~20 min at 34 probe batches / 275 query runs; needs an
+(~20 min at 35 probe batches / 291 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass at round-8 HEAD: 273/273 OK (all batches, including the new
 empty_string_langs probe, the CSV sentinel values in nasty_text, and
 the empty-table probes over the round-8 registrations
-partition_evolution_regrain / scd2_expire_versions); the 4 probes
+partition_evolution_regrain / scd2_expire_versions); the 18 probes
 added right after that pass (multimodal_mp4_seek_plan ×2,
-zorder_range_scan ×2) were run individually OK at the same HEAD
-(277 total).
+zorder_range_scan ×2, the 14-query dup_events batch) were run batch-
+level OK at the same HEAD (291 total).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -37,7 +37,12 @@ predicates, test_null_embedding_rows_are_excluded_everywhere). Round 8:
 the empty_events probe found partition_evolution_regrain's
 schema-inference crash on a file-less partitioned store (fixed by the
 empty-in/empty-out short-circuit,
-tests/test_layout.py::test_regrain_query_empty_events_contract).
+tests/test_layout.py::test_regrain_query_empty_events_contract), and
+the dup_events batch (at-least-once delivery: byte-identical re-sends)
+found the SCD2-store oracle minting a second version for a duplicated
+delivery while scd2_apply's identity-dedup collapsed it — 4 family
+divergences closed by the symmetric DISTINCT in _STORE_SQL
+(tests/test_scd.py::test_duplicate_delivery_mints_no_second_version).
 """
 
 from __future__ import annotations
@@ -214,6 +219,20 @@ def adversarial_props(tbl):
     )
 
 
+def duplicate_every_7th(tbl):
+    # at-least-once delivery: every 7th event row appears TWICE,
+    # byte-identical (same event_id/ts). Exercises window tie-breaks
+    # on fully-duplicated keys — identical rows make any row_number
+    # assignment yield identical multisets, so engines must agree
+    # unless a query breaks ties nondeterministically
+    import pyarrow as pa
+
+    idx = [i for i in range(tbl.num_rows)] + [
+        i for i in range(tbl.num_rows) if i % 7 == 3
+    ]
+    return tbl.take(pa.array(sorted(idx)))
+
+
 def singleton_lineitem(tbl):
     return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
 
@@ -376,6 +395,13 @@ PROBES = [
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "knn_label_disagreement"]),
+    ("dup_events", {"events": duplicate_every_7th},
+     ["event_dedup_last_write_wins", "scd2_versioned_store",
+      "scd2_current_view", "scd2_expire_versions", "version_counts_per_key",
+      "fifo_head", "sessionization", "streaming_scd2_state",
+      "retry_and_dead_letter", "incremental_agg_merge",
+      "asof_join_latest_order", "event_type_routing",
+      "rate_limit_admission", "tumbling_daily_counts"]),
     ("null_user_ids", {"events": null_every_10th("user_id")},
      ["sessionization", "event_transition_matrix", "funnel_conversion",
       "latest_order_per_customer", "asof_join_latest_order",
