@@ -160,11 +160,15 @@ DRIVER_PRIORITY: list[str] = [
     # (scd2_versioned_store, scd2_asof_snapshot, scd2_expire_versions);
     # these two join them because their Spark paths are independent
     # (the streaming pipeline store; the compaction fold whose oracle
-    # is the store SQL verbatim). The remaining three changed-oracle
-    # rows (scd2_current_view, scd2_soft_delete, scd2_store_roundtrip)
-    # are round-9 window priority #1 — their clean-fixture hashes are
-    # pytest-proven unchanged at HEAD (the DISTINCT is a no-op without
-    # duplicate deliveries), so deferral is hash-safe.
+    # is the store SQL verbatim). The remaining changed rows are
+    # round-9 window priority #1, all pytest-proven hash-unchanged on
+    # clean fixtures at HEAD (every dedup DISTINCT/dropDuplicates is a
+    # no-op without duplicated rows): scd2_current_view,
+    # scd2_soft_delete, scd2_store_roundtrip (dup_events oracle fix),
+    # minhash_near_dup + multimodal_byte_dedup +
+    # boilerplate_line_removal (dup_docs identity-dedup fix; minhash's
+    # change is oracle-only). lsh_bucket_profile's matching oracle
+    # change is covered in-window by its r4-refresh slot above.
     "streaming_scd2_state",
     "scd2_compact_small_files",
     # --- (d) 12 r5 family delegates (changed-family members first) ---

@@ -410,7 +410,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+      -- DISTINCT mirrors the Spark pipeline's groupBy(doc_id) signature
+      -- collapse: a byte-identical re-ingested document row contributes
+      -- its shingles once, so duplicated deliveries don't double band
+      -- counts (found by the round-8 dup_docs sweep probe)
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM (SELECT DISTINCT doc_id, text FROM corpus)
     ), sh AS (
       SELECT doc_id, {_shingles_sql('t')} AS shingles
       FROM toks WHERE len(t) >= 5
@@ -536,7 +541,12 @@ def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+      -- DISTINCT mirrors the Spark pipeline's groupBy(doc_id) signature
+      -- collapse: a byte-identical re-ingested document row contributes
+      -- its shingles once, so duplicated deliveries don't double band
+      -- counts (found by the round-8 dup_docs sweep probe)
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM (SELECT DISTINCT doc_id, text FROM corpus)
     ), sh AS (
       SELECT doc_id, {_shingles_sql('t')} AS shingles
       FROM toks WHERE len(t) >= 5
@@ -2029,7 +2039,11 @@ _BOILER = (
                              THEN '{_BOILER[1]}'
                              ELSE '{_BOILER[2]}' END) || chr(10) || COALESCE(text, '')
                   ELSE COALESCE(text, '') END AS text
-      FROM documents
+      -- DISTINCT: doc_id is the document identity — a byte-identical
+      -- re-ingested row must not double every line of the cleaned
+      -- reassembly (round-8 dup_docs sweep contract, symmetric with
+      -- the Spark side's dropDuplicates)
+      FROM (SELECT DISTINCT doc_id, text FROM documents)
     ), lines AS (
       SELECT doc_id, o AS pos, arr[o] AS line
       FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM fab) t,
@@ -2037,7 +2051,8 @@ _BOILER = (
     ), freq AS (
       SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
     ), tot AS (
-      SELECT COUNT(*) AS n_total FROM documents
+      SELECT COUNT(*) AS n_total
+      FROM (SELECT DISTINCT doc_id, text FROM documents)
     ), boiler AS (
       SELECT line FROM freq, tot WHERE n_docs > 0.05 * n_total
     ), kept AS (
@@ -2074,7 +2089,10 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs anything: frequency gating IS the scalable form of
     boilerplate detection (RefinedWeb §3.2 runs exactly this at
     trillion-token scale)."""
-    docs = table(spark, sf_dir, "documents")
+    # identity dedup (round-8 dup_docs contract): a duplicated ingest
+    # row would double every line of the reassembled document; the
+    # (doc_id, text) shuffle is tiny next to the line-grain explode
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").dropDuplicates()
     hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     hex2 = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)
     boiler = (

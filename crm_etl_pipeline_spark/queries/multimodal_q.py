@@ -200,11 +200,16 @@ def multimodal_mp4_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_byte_dedup",
     oracle="""
-    WITH corpus AS (
-      SELECT doc_id AS real_id, doc_id AS canon FROM documents
+    WITH ids AS (
+      -- doc_id is the document identity: a byte-identical re-ingested
+      -- row is the same document, not a second copy (round-8 dup_docs
+      -- sweep contract; mirrors the Spark side's distinct())
+      SELECT DISTINCT doc_id FROM documents
+    ), corpus AS (
+      SELECT doc_id AS real_id, doc_id AS canon FROM ids
       UNION ALL
       SELECT doc_id + 100000 AS real_id, doc_id AS canon
-      FROM documents WHERE doc_id % 6 = 0
+      FROM ids WHERE doc_id % 6 = 0
     ), keyed AS (
       SELECT real_id,
              CASE CAST(canon % 4 AS INT)
@@ -239,7 +244,10 @@ def multimodal_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BinaryType, no Python), one map-side-combinable groupBy on the
     uniform 64-hex key; the clone join broadcasts nothing and reuses
     the fabrication output — O(corpus) end to end."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # distinct: doc_id is the document identity — a duplicated ingest
+    # row must not double-fabricate (and then join-explode) its payload
+    # (round-8 dup_docs sweep contract)
+    docs = table(spark, sf_dir, "documents").select("doc_id").distinct()
     base_media = multimodal.fabricate_media(docs).withColumnRenamed("doc_id", "canon")
     base = docs.select(F.col("doc_id").alias("real_id"), F.col("doc_id").alias("canon"))
     clones = (

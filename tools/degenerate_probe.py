@@ -9,15 +9,15 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~20 min at 35 probe batches / 291 query runs; needs an
+(~25 min at 36 probe batches / 318 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass at round-8 HEAD: 273/273 OK (all batches, including the new
 empty_string_langs probe, the CSV sentinel values in nasty_text, and
 the empty-table probes over the round-8 registrations
-partition_evolution_regrain / scd2_expire_versions); the 18 probes
-added right after that pass (multimodal_mp4_seek_plan ×2,
-zorder_range_scan ×2, the 14-query dup_events batch) were run batch-
-level OK at the same HEAD (291 total).
+partition_evolution_regrain / scd2_expire_versions); the 45 probes
+added after that pass (multimodal_mp4_seek_plan ×2, zorder_range_scan
+×2, the 14-query dup_events batch, the 27-query dup_docs batch) were
+run batch-level OK at the same HEAD (318 total).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -42,7 +42,15 @@ the dup_events batch (at-least-once delivery: byte-identical re-sends)
 found the SCD2-store oracle minting a second version for a duplicated
 delivery while scd2_apply's identity-dedup collapsed it — 4 family
 divergences closed by the symmetric DISTINCT in _STORE_SQL
-(tests/test_scd.py::test_duplicate_delivery_mints_no_second_version).
+(tests/test_scd.py::test_duplicate_delivery_mints_no_second_version);
+the dup_docs twin batch found 3 more: the minhash/lsh_bucket_profile
+oracles double-counted a duplicated document's bands (Spark's
+groupBy(doc_id) collapses them — oracle gained the mirroring
+DISTINCT), multimodal_byte_dedup join-exploded duplicated canon ids
+(both sides now dedup on the doc_id identity), and
+boilerplate_line_removal doubled every LINE of a duplicated document's
+reassembled text (identity dedup at the head of both sides — a real
+curation-correctness bug, not just a count skew).
 """
 
 from __future__ import annotations
@@ -395,6 +403,19 @@ PROBES = [
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "knn_label_disagreement"]),
+    ("dup_docs", {"documents": duplicate_every_7th},
+     ["exact_dedup_documents", "minhash_near_dup", "simhash_near_dup",
+      "lsh_bucket_profile", "ngram_jaccard_verify",
+      "prefix_filter_setsim_join", "contamination_ngram_overlap",
+      "dedup_incremental_new_docs", "repeated_span_mining",
+      "boilerplate_line_removal", "token_rarity_score",
+      "inverted_index_postings", "tfidf_top_terms", "pii_redaction",
+      "curation_pipeline", "doc_repetition_ratio", "text_stats",
+      "doc_fingerprint", "vocab_top_tokens", "chunk_documents",
+      "bm25_topk_search", "language_temperature_sample",
+      "train_split_stratified", "pack_training_sequences",
+      "multimodal_byte_dedup", "doc_quality_score",
+      "embedding_near_dup"]),
     ("dup_events", {"events": duplicate_every_7th},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_expire_versions", "version_counts_per_key",
