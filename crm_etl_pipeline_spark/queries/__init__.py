@@ -167,8 +167,10 @@ DRIVER_PRIORITY: list[str] = [
     # scd2_soft_delete, scd2_store_roundtrip (dup_events oracle fix),
     # minhash_near_dup + multimodal_byte_dedup +
     # boilerplate_line_removal (dup_docs identity-dedup fix; minhash's
-    # change is oracle-only). lsh_bucket_profile's matching oracle
-    # change is covered in-window by its r4-refresh slot above.
+    # change is oracle-only), kmeans_cluster_purity +
+    # embedding_near_dup (dup_embs vec_id-identity fix).
+    # lsh_bucket_profile's and embedding_kmeans's matching changes are
+    # covered in-window by their slots above.
     "streaming_scd2_state",
     "scd2_compact_small_files",
     # --- (d) 12 r5 family delegates (changed-family members first) ---

@@ -315,7 +315,10 @@ _PERT_DIM = 10  # outside the 8 sign-bucket dims → clone lands in the same buc
     "embedding_near_dup",
     oracle=f"""
     WITH base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      -- DISTINCT: vec_id identity (round-8 dup sweep contract) — a
+      -- duplicated row would inflate bucket membership/rank caps and
+      -- emit duplicate candidate pairs
+      SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
       FROM embeddings WHERE embedding IS NOT NULL
     ), corpus AS (
       SELECT vec_id, vd FROM base
@@ -361,8 +364,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     members far from the bucket anchor trade some recall — documented,
     bounded, surfaced by the bucket profile.
     """
-    base = _emb(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vd")
+    base = (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vd")
+        )
+        # identity dedup (round-8 dup sweep contract): duplicated rows
+        # inflate bucket membership and emit duplicate candidate pairs
+        .dropDuplicates()
     )
     pert = base.filter(F.col("vec_id") % 6 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -868,7 +877,11 @@ def _dist_q(vd: Column, cv: Column) -> Column:
     "embedding_kmeans",
     oracle=f"""
     WITH emb AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      -- DISTINCT: vec_id is the vector identity (round-8 dup sweep
+      -- contract) — a byte-identical re-ingested row must not double
+      -- the oracle's per-(vec,cluster) distance GROUP BY or the M-step
+      -- mean contributions (mirrors the Spark dropDuplicates)
+      SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
       FROM embeddings WHERE embedding IS NOT NULL
     ), seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
@@ -927,9 +940,16 @@ def embedding_kmeans(
     loop), assignment is one partitioned window, and the M-step is the
     (cluster, dim)-grain exact aggregate — k·64 keys. Empty clusters
     drop out identically in both engines."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+    emb = (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+        )
+        # identity dedup (round-8 dup sweep contract): a duplicated
+        # ingest row would double this vector's weight in every M-step
+        # mean — and the oracle's grouped distance sums
+        .dropDuplicates()
     )
     probe = emb.withColumn(
         "_k", F.least(F.col("vec_id") + 1, F.lit(1)).cast("int")

@@ -9,15 +9,16 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~25 min at 36 probe batches / 318 query runs; needs an
+(~25 min at 37 probe batches / 331 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass at round-8 HEAD: 273/273 OK (all batches, including the new
 empty_string_langs probe, the CSV sentinel values in nasty_text, and
 the empty-table probes over the round-8 registrations
-partition_evolution_regrain / scd2_expire_versions); the 45 probes
+partition_evolution_regrain / scd2_expire_versions); the 58 probes
 added after that pass (multimodal_mp4_seek_plan ×2, zorder_range_scan
-×2, the 14-query dup_events batch, the 27-query dup_docs batch) were
-run batch-level OK at the same HEAD (318 total).
+×2, and the three at-least-once duplication batches dup_events ×14 /
+dup_docs ×27 / dup_embs ×13) were run batch-level OK at the same HEAD
+(331 total).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -50,7 +51,12 @@ DISTINCT), multimodal_byte_dedup join-exploded duplicated canon ids
 (both sides now dedup on the doc_id identity), and
 boilerplate_line_removal doubled every LINE of a duplicated document's
 reassembled text (identity dedup at the head of both sides — a real
-curation-correctness bug, not just a count skew).
+curation-correctness bug, not just a count skew); the dup_embs batch
+found 2 more: the kmeans oracle's grouped distance SUM doubled a
+duplicated vector's dq (and its M-step weight) while Spark's per-row
+expression didn't, and embedding_near_dup's bucket membership
+join-exploded — both closed with the vec_id identity dedup on both
+sides (Spark dropDuplicates + oracle DISTINCT).
 """
 
 from __future__ import annotations
@@ -416,6 +422,13 @@ PROBES = [
       "train_split_stratified", "pack_training_sequences",
       "multimodal_byte_dedup", "doc_quality_score",
       "embedding_near_dup"]),
+    ("dup_embs", {"embeddings": duplicate_every_7th},
+     ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+      "ann_ivf_nprobe2", "ann_ivf_persisted_index",
+      "embedding_standardize", "embedding_quantize_int8",
+      "embedding_centroid_per_label", "embedding_norm_topk",
+      "embedding_kmeans", "kmeans_cluster_purity",
+      "knn_label_disagreement", "embedding_near_dup"]),
     ("dup_events", {"events": duplicate_every_7th},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_expire_versions", "version_counts_per_key",
