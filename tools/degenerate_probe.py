@@ -9,16 +9,15 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~25 min at 37 probe batches / 331 query runs; needs an
+(~12 min at 37 probe batches / 331 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
-pass at round-8 HEAD: 273/273 OK (all batches, including the new
-empty_string_langs probe, the CSV sentinel values in nasty_text, and
-the empty-table probes over the round-8 registrations
-partition_evolution_regrain / scd2_expire_versions); the 58 probes
-added after that pass (multimodal_mp4_seek_plan ×2, zorder_range_scan
-×2, and the three at-least-once duplication batches dup_events ×14 /
-dup_docs ×27 / dup_embs ×13) were run batch-level OK at the same HEAD
-(331 total).
+pass at round-8 final HEAD: **331/331 OK** — all batches, including
+the round-8 additions: the empty_string_langs probe, the CSV sentinel
+values in nasty_text, empty-table probes over the four round-8
+registrations (partition_evolution_regrain, scd2_expire_versions,
+multimodal_mp4_seek_plan, zorder_range_scan), and the three
+at-least-once duplication batches (dup_events ×14, dup_docs ×27,
+dup_embs ×13).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
