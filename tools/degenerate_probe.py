@@ -9,7 +9,7 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~12 min at 37 probe batches / 331 query runs; needs an
+(~13 min at 38 probe batches / 354 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass at round-8 final HEAD: **331/331 OK** — all batches, including
 the round-8 additions: the empty_string_langs probe, the CSV sentinel
@@ -17,7 +17,10 @@ values in nasty_text, empty-table probes over the four round-8
 registrations (partition_evolution_regrain, scd2_expire_versions,
 multimodal_mp4_seek_plan, zorder_range_scan), and the three
 at-least-once duplication batches (dup_events ×14, dup_docs ×27,
-dup_embs ×13).
+dup_embs ×13). The const_ts tie-storm batch (×23, added right after
+that pass) ran batch-level 23/23 OK at the same HEAD — every
+window/sort holds its deterministic (ts, event_id) tiebreaker under
+total ordering collapse (354 total).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -232,6 +235,17 @@ def adversarial_props(tbl):
     )
 
 
+def const_ts_events(tbl):
+    # tie storm: EVERY event at one instant — any window/sort missing
+    # its deterministic (ts, event_id) tiebreaker diverges cross-engine
+    # under total ordering collapse (23/23 held at round-8 HEAD)
+    ts = tbl.column("ts")
+    pinned = [datetime.datetime(2024, 1, 15, 12, 0, 0)] * tbl.num_rows
+    return tbl.set_column(
+        tbl.column_names.index("ts"), "ts", pa.array(pinned, ts.type)
+    )
+
+
 def duplicate_every_7th(tbl):
     # at-least-once delivery: every 7th event row appears TWICE,
     # byte-identical (same event_id/ts). Exercises window tie-breaks
@@ -421,6 +435,17 @@ PROBES = [
       "train_split_stratified", "pack_training_sequences",
       "multimodal_byte_dedup", "doc_quality_score",
       "embedding_near_dup"]),
+    ("const_ts", {"events": const_ts_events},
+     ["sessionization", "session_window_builtin", "fifo_head",
+      "asof_join_latest_order", "event_dedup_last_write_wins",
+      "scd2_versioned_store", "scd2_current_view", "ewma_user_value",
+      "running_revenue", "sliding_1h_user_value", "lag_order_gap_days",
+      "streaming_scd2_state", "streaming_tumbling_counts",
+      "tumbling_daily_counts", "event_transition_matrix",
+      "rate_limit_admission", "credential_rotation_schedule",
+      "gapfill_daily_user_revenue", "interpolate_daily_user_value",
+      "attribution_last_touch", "range_join_clicks_before_purchase",
+      "keyset_pagination_orders", "scd2_expire_versions"]),
     ("dup_embs", {"embeddings": duplicate_every_7th},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_ivf_persisted_index",
