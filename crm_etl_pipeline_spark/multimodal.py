@@ -27,8 +27,9 @@ to-end box sizes), with a closed-form DuckDB oracle proving
 decode(fabricate(x)) recovers the parameters
 (queries/multimodal_q.py:multimodal_real_decode). No codec stubs
 remain; mp4 SAMPLE decoding stops at the seek plan —
-``mp4_sample_offsets`` resolves stsz/stsc/stco (incl. genuine
-multi-chunk run-length maps) to exact per-sample byte ranges (what a
+``mp4_sample_offsets`` resolves stsz/stsc/stco/stss (incl. genuine
+multi-chunk run-length maps and keyframe sync flags) to exact
+per-sample byte ranges (what a
 range-read stage fetches from a multi-GB mdat), while
 entropy-decoding the fetched video frames stays out of scope —
 container metadata and read plans are what the manifest/feature
@@ -222,29 +223,34 @@ def _png_bytes(doc_id: int) -> bytes:
 
 
 #: Fixed sample-table geometry of the fabricated MP4s: 8 uniform-size
-#: samples. Single-chunk variant (mp4 doc_id % 8 == 3): data starts at
-#: byte 392 (ftyp 24 + moov 360 + mdat header 8), no stsc box, file
-#: exactly 456 + 8·(doc_id % 16) bytes. Multi-chunk variant (mp4
-#: doc_id % 8 == 7): a genuine stsc run-length map splits the samples
-#: 5+3 across two chunks with a 16-byte unreferenced gap between them
-#: (spec-legal mdat padding — the second chunk's position can ONLY come
-#: from stco, never from cumulative sizes), moov grows by exactly 44
-#: bytes (stsc 40 + one extra stco entry 4), so chunk 1 starts at 436
-#: and the file is exactly 516 + 8·(doc_id % 16) bytes. Uniform sizes +
-#: fixed box sizes keep BOTH variants closed-form in doc_id.
+#: samples, and a genuine stss sync-sample table marking samples 1 and
+#: 5 (1-based) as keyframes — the seek plan a frame-sampler consumes
+#: carries is_sync per sample. Single-chunk variant (mp4 doc_id % 8 ==
+#: 3): stsd/stts/stss/stsz/stco, data starts at byte 416 (ftyp 24 +
+#: moov 384 + mdat header 8), file exactly 480 + 8·(doc_id % 16)
+#: bytes. Multi-chunk variant (doc_id % 8 == 7): a genuine stsc
+#: run-length map splits the samples 5+3 across two chunks with a
+#: 16-byte unreferenced gap between them (spec-legal mdat padding —
+#: the second chunk's position can ONLY come from stco, never from
+#: cumulative sizes), moov grows by exactly 44 bytes (stsc 40 + one
+#: extra stco entry 4), so chunk 1 starts at 460 and the file is
+#: exactly 540 + 8·(doc_id % 16) bytes. Uniform sizes + fixed box
+#: sizes keep BOTH variants closed-form in doc_id.
 MP4_N_SAMPLES = 8
-MP4_CHUNK_OFFSET = 392
-MP4_MC_CHUNK_OFFSET = 436  # 392 + the 44-byte moov growth
+MP4_CHUNK_OFFSET = 416
+MP4_MC_CHUNK_OFFSET = 460  # 416 + the 44-byte moov growth
 MP4_MC_SPLIT = (5, 3)  # stsc run lengths: chunk 1 holds 5 samples, chunk 2 holds 3
 MP4_MC_GAP = 16  # unreferenced bytes between the two chunks inside mdat
+MP4_SYNC_SAMPLES = (1, 5)  # stss entries, 1-based sample numbers
 
 
 def _mp4_bytes(doc_id: int) -> bytes:
     """A complete, valid ISO-BMFF (MP4) file: ftyp('isom') +
     moov(mvhd + trak(tkhd + mdia(mdhd + minf(stbl)))) + mdat, where the
     sample table is genuine: stsd, stts (two runs summing exactly to
-    the media duration), stsz (8 uniform samples of 8 + doc_id % 16
-    bytes), stco (one chunk at file offset 392) — and, for the
+    the media duration), stss (sync samples 1 and 5 — the keyframes a
+    frame-sampler seeks), stsz (8 uniform samples of 8 + doc_id % 16
+    bytes), stco (one chunk at file offset 416) — and, for the
     multi-chunk variant (doc_id % 8 == 7), a real stsc run-length map
     distributing those samples 5+3 over two stco chunks separated by a
     16-byte unreferenced gap. Every box carries its real big-endian
@@ -252,9 +258,9 @@ def _mp4_bytes(doc_id: int) -> bytes:
     are closed-form in doc_id: width = 16 + doc_id % 32, height =
     16 + (13·doc_id) % 32, duration = 1000 + doc_id % 9000 ticks at the
     90 kHz movie timescale, sample size 8 + doc_id % 16. All header
-    boxes are fixed-size (ftyp 24; moov 360 single-chunk / 404
-    multi-chunk), so the file is exactly 456 + 8·(doc_id % 16) bytes
-    single-chunk and 516 + 8·(doc_id % 16) multi-chunk — the closed
+    boxes are fixed-size (ftyp 24; moov 384 single-chunk / 428
+    multi-chunk), so the file is exactly 480 + 8·(doc_id % 16) bytes
+    single-chunk and 540 + 8·(doc_id % 16) multi-chunk — the closed
     forms the oracles check."""
     import struct
 
@@ -318,6 +324,11 @@ def _mp4_bytes(doc_id: int) -> bytes:
             duration - (MP4_N_SAMPLES - 1) * delta,
         ),
     )
+    stss = box(
+        b"stss",
+        struct.pack(">II", 0, len(MP4_SYNC_SAMPLES))
+        + struct.pack(f">{len(MP4_SYNC_SAMPLES)}I", *MP4_SYNC_SAMPLES),
+    )
     stsz = box(b"stsz", struct.pack(">III", 0, sample_size, MP4_N_SAMPLES))
     if multi_chunk:
         # stsc: two runs (first_chunk, samples_per_chunk, desc_index) —
@@ -333,10 +344,10 @@ def _mp4_bytes(doc_id: int) -> bytes:
         stco = box(
             b"stco", struct.pack(">IIII", 0, 2, MP4_MC_CHUNK_OFFSET, chunk2)
         )
-        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        stbl = box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
     else:
         stco = box(b"stco", struct.pack(">III", 0, 1, MP4_CHUNK_OFFSET))
-        stbl = box(b"stbl", stsd + stts + stsz + stco)
+        stbl = box(b"stbl", stsd + stts + stss + stsz + stco)
     mdia = box(b"mdia", mdhd + box(b"minf", stbl))
     mdat = box(b"mdat", bytes((doc_id + i) % 256 for i in range(n_data)))
     return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia)) + mdat
@@ -499,28 +510,35 @@ def _parse_mp4(b: bytes):
 
 def _parse_mp4_samples(b: bytes):
     """Walk moov→trak→mdia→minf→stbl and resolve the sample table to
-    per-sample (offset, size) pairs: stsz supplies sizes (uniform
-    ``sample_size`` or the v0 per-sample table), stco/co64 supply chunk
-    base offsets (32- and 64-bit spec forms), and the stsc run-length
-    map assigns samples to chunks — each stsc entry (first_chunk,
-    samples_per_chunk) applies from its first_chunk until the next
-    entry's, and samples lay out back-to-back WITHIN their chunk only
-    (offset = chunk base + cumulative sizes inside that chunk; chunk
-    positions come exclusively from stco — chunks may be separated by
-    unreferenced mdat bytes). With no stsc box every sample sits in the
-    first chunk, which is only well-defined for a single-chunk stco —
-    a multi-chunk file missing its stsc is corrupt and fails loudly."""
+    per-sample (offset, size, is_sync) triples: stsz supplies sizes
+    (uniform ``sample_size`` or the v0 per-sample table), stco/co64
+    supply chunk base offsets (32- and 64-bit spec forms), the stsc
+    run-length map assigns samples to chunks — each stsc entry
+    (first_chunk, samples_per_chunk) applies from its first_chunk until
+    the next entry's, and samples lay out back-to-back WITHIN their
+    chunk only (offset = chunk base + cumulative sizes inside that
+    chunk; chunk positions come exclusively from stco — chunks may be
+    separated by unreferenced mdat bytes) — and stss flags the sync
+    samples (keyframes) a frame-sampler can decode from; per spec, an
+    ABSENT stss means every sample is sync. With no stsc box every
+    sample sits in the first chunk, which is only well-defined for a
+    single-chunk stco — a multi-chunk file missing its stsc is corrupt
+    and fails loudly."""
     import struct
 
     assert len(b) >= 12 and b[4:8] == b"ftyp", "not an ISO-BMFF stream"
     sizes: list[int] | None = None
     chunk_offsets: list[int] = []
     stsc_runs: list[tuple[int, int]] = []  # (first_chunk 1-based, samples_per_chunk)
+    sync_samples: set[int] | None = None  # 1-based; None = no stss = all sync
 
     def walk_stbl(s: int, e: int) -> None:
-        nonlocal sizes, chunk_offsets, stsc_runs
+        nonlocal sizes, chunk_offsets, stsc_runs, sync_samples
         for btype, cs, ce in _mp4_boxes(b, s, e):
-            if btype == b"stsz":
+            if btype == b"stss":
+                (count,) = struct.unpack_from(">I", b, cs + 4)
+                sync_samples = set(struct.unpack_from(f">{count}I", b, cs + 8))
+            elif btype == b"stsz":
                 uniform, count = struct.unpack_from(">II", b, cs + 4)
                 if uniform:
                     sizes = [uniform] * count
@@ -583,7 +601,8 @@ def _parse_mp4_samples(b: bytes):
                     break  # the final run may overshoot the sample count
                 size = sizes[sample_idx]
                 assert pos + size <= len(b), "sample table points past end of file"
-                out.append((sample_idx, pos, size))
+                is_sync = sync_samples is None or (sample_idx + 1) in sync_samples
+                out.append((sample_idx, pos, size, is_sync))
                 pos += size
                 sample_idx += 1
     assert sample_idx == n, (
@@ -599,6 +618,7 @@ MP4_SAMPLE_SCHEMA = StructType(
         StructField("sample_idx", IntegerType()),
         StructField("byte_offset", LongType()),
         StructField("sample_size", IntegerType()),
+        StructField("is_sync", BooleanType()),
     ]
 )
 
@@ -606,8 +626,10 @@ MP4_SAMPLE_SCHEMA = StructType(
 def mp4_sample_offsets(media: DataFrame) -> DataFrame:
     """The MP4 counterpart of frame_offsets: instead of a synthetic
     fixed-stride grid, the seek plan comes from the container's own
-    sample table (stsz sizes, stco chunk bases, stsc run-length
-    chunk map) — one row per video
+    sample table (stsz sizes, stco chunk bases, stsc run-length chunk
+    map, stss sync flags — keyframes, where decoding can start; filter
+    ``is_sync`` for the keyframe-only plan a real frame-sampler
+    fetches) — one row per video
     sample with its exact byte offset and size, resolved without
     touching (let alone entropy-decoding) the sample payloads. This is
     how a real frame-sampling stage plans reads over video at scale:
@@ -620,9 +642,9 @@ def mp4_sample_offsets(media: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = [
-                (int(doc_id), idx, off, size)
+                (int(doc_id), idx, off, size, is_sync)
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
-                for idx, off, size in _parse_mp4_samples(bytes(payload))
+                for idx, off, size, is_sync in _parse_mp4_samples(bytes(payload))
             ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MP4_SAMPLE_SCHEMA.fields]

@@ -60,8 +60,8 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
                 WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
-                ELSE CASE WHEN doc_id % 8 = 7 THEN 516 + 8 * (doc_id % 16)
-                          ELSE 456 + 8 * (doc_id % 16) END
+                ELSE CASE WHEN doc_id % 8 = 7 THEN 540 + 8 * (doc_id % 16)
+                          ELSE 480 + 8 * (doc_id % 16) END
                 END AS INT) AS n_bytes,
            CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 4 AS INT)
@@ -99,8 +99,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
                 WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
-                ELSE CASE WHEN doc_id % 8 = 7 THEN 516 + 8 * (doc_id % 16)
-                          ELSE 456 + 8 * (doc_id % 16) END
+                ELSE CASE WHEN doc_id % 8 = 7 THEN 540 + 8 * (doc_id % 16)
+                          ELSE 480 + 8 * (doc_id % 16) END
                 END AS INT) AS n_bytes,
            CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 4 AS INT)
@@ -131,8 +131,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the parameters closed-form from doc_id — any layout bug
     in fabricator OR parser breaks the match (the PNG file size is
     closed-form because the IDAT zlib stream uses stored blocks, the
-    MP4's because every header box is fixed-size — 456 + 8·(doc_id%16)
-    bytes single-chunk, 516 + 8·(doc_id%16) for the multi-chunk stsc
+    MP4's because every header box is fixed-size — 480 + 8·(doc_id%16)
+    bytes single-chunk, 540 + 8·(doc_id%16) for the multi-chunk stsc
     variant every mp4 doc_id % 8 == 7 gets; see
     multimodal._png_bytes/_mp4_bytes). No codec stubs remain."""
     media = multimodal.fabricate_media(table(spark, sf_dir, "documents"))
@@ -165,12 +165,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(i AS INT) AS sample_idx,
            CAST(CASE
                 WHEN doc_id % 8 = 7 AND i >= 5
-                THEN 436 + 5 * (8 + doc_id % 16) + 16 + (i - 5) * (8 + doc_id % 16)
+                THEN 460 + 5 * (8 + doc_id % 16) + 16 + (i - 5) * (8 + doc_id % 16)
                 WHEN doc_id % 8 = 7
-                THEN 436 + i * (8 + doc_id % 16)
-                ELSE 392 + i * (8 + doc_id % 16)
+                THEN 460 + i * (8 + doc_id % 16)
+                ELSE 416 + i * (8 + doc_id % 16)
                 END AS BIGINT) AS byte_offset,
-           CAST(8 + doc_id % 16 AS INT) AS sample_size
+           CAST(8 + doc_id % 16 AS INT) AS sample_size,
+           i IN (0, 4) AS is_sync
     FROM documents, unnest(range(0, 8)) t(i)
     WHERE doc_id % 4 = 3
     """,
@@ -188,12 +189,14 @@ def multimodal_mp4_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap — offsets a cumulative-size walk CANNOT produce, so the hash
     certifies the run-length walk itself. The oracle recomputes every
     (offset, size) closed-form from doc_id: chunk 2's base is
-    436 + 5·size + 16 (five chunk-1 samples plus the gap). Arrow-batched
+    460 + 5·size + 16 (five chunk-1 samples plus the gap), and the
+    stss walk yields is_sync exactly on samples 1 and 5 (1-based) —
+    the keyframe-only plan is ``WHERE is_sync``. Arrow-batched
     mapInPandas over binary payloads, non-MP4 rows filtered JVM-side
     before Python."""
     media = multimodal.fabricate_media(table(spark, sf_dir, "documents"))
     return multimodal.mp4_sample_offsets(media).select(
-        "doc_id", "sample_idx", "byte_offset", "sample_size"
+        "doc_id", "sample_idx", "byte_offset", "sample_size", "is_sync"
     )
 
 

@@ -87,7 +87,7 @@ def test_fabricated_mp4_is_valid():
     for doc_id in (3, 11, 19, 123, 347, 499):
         assert doc_id % 8 == 3  # single-chunk slots of the mp4 rotation
         b = multimodal._mp4_bytes(doc_id)
-        assert len(b) == 456 + 8 * (doc_id % 16)
+        assert len(b) == 480 + 8 * (doc_id % 16)
         assert b[4:8] == b"ftyp" and b[8:12] == b"isom"
         assert b[28:32] == b"moov" and b[36:40] == b"mvhd"
         ts, dur = struct.unpack_from(">II", b, 52)
@@ -96,24 +96,28 @@ def test_fabricated_mp4_is_valid():
         wfix, hfix = struct.unpack_from(">II", b, 232)  # tkhd dims (16.16)
         assert wfix == (16 + doc_id % 32) << 16
         assert hfix == (16 + (13 * doc_id) % 32) << 16
-        mdat_size = struct.unpack_from(">I", b, 384)[0]
-        assert b[388:392] == b"mdat"
+        mdat_size = struct.unpack_from(">I", b, 408)[0]
+        assert b[412:416] == b"mdat"
         assert mdat_size == 8 + multimodal.MP4_N_SAMPLES * (8 + doc_id % 16)
         # the stts runs must sum exactly to the media duration
         # (stbl payload @296: stsd 16 B, then stts box @312 → entries @328)
         assert b[316:320] == b"stts"
         n1, d1, n2, d2 = struct.unpack_from(">IIII", b, 328)
         assert n1 * d1 + n2 * d2 == dur and n1 + n2 == multimodal.MP4_N_SAMPLES
+        # stss follows stts → box @344, entries @360: sync samples 1 and 5
+        assert b[348:352] == b"stss"
+        assert struct.unpack_from(">I", b, 356)[0] == len(multimodal.MP4_SYNC_SAMPLES)
+        assert struct.unpack_from(">2I", b, 360) == multimodal.MP4_SYNC_SAMPLES
 
 
 def test_fabricated_mp4_multi_chunk():
     """The multi-chunk variant (mp4 doc_id % 8 == 7): closed-form total
-    length 516 + 8·(doc_id % 16), a genuine 2-run stsc at its fixed
-    offset (stbl payload @296: stsd 16 + stts 32 → stsc @344), two stco
-    entries whose second base equals chunk1 + 5·size + GAP (the
-    unreferenced-gap layout no cumulative-size walk can reproduce), and
-    the same mvhd/tkhd closed forms at the single-chunk offsets (the
-    44-byte growth is all inside stbl, which sits after them)."""
+    length 540 + 8·(doc_id % 16), a genuine 2-run stsc at its fixed
+    offset (stbl payload @296: stsd 16 + stts 32 + stss 24 → stsc
+    @368), two stco entries whose second base equals chunk1 + 5·size +
+    GAP (the unreferenced-gap layout no cumulative-size walk can
+    reproduce), and the same mvhd/tkhd closed forms at the single-chunk
+    offsets (the 44-byte stsc growth is all inside stbl, after them)."""
     import struct
 
     from crm_etl_pipeline_spark import multimodal
@@ -122,23 +126,25 @@ def test_fabricated_mp4_multi_chunk():
         assert doc_id % 8 == 7
         b = multimodal._mp4_bytes(doc_id)
         size = 8 + doc_id % 16
-        assert len(b) == 516 + 8 * (doc_id % 16)
+        assert len(b) == 540 + 8 * (doc_id % 16)
         assert b[4:8] == b"ftyp" and b[28:32] == b"moov"
         ts, dur = struct.unpack_from(">II", b, 52)
         assert ts == multimodal.MP4_TIMESCALE and dur == 1000 + doc_id % 9000
         wfix, hfix = struct.unpack_from(">II", b, 232)
         assert wfix == (16 + doc_id % 32) << 16
         assert hfix == (16 + (13 * doc_id) % 32) << 16
-        # stsc @344 (after stsd 16 + stts 32 within stbl payload @296)
-        assert b[348:352] == b"stsc"
-        n_ent = struct.unpack_from(">I", b, 356)[0]
+        # stss @344 (after stsd 16 + stts 32), then stsc @368
+        assert b[348:352] == b"stss"
+        assert struct.unpack_from(">2I", b, 360) == multimodal.MP4_SYNC_SAMPLES
+        assert b[372:376] == b"stsc"
+        n_ent = struct.unpack_from(">I", b, 380)[0]
         assert n_ent == 2
-        fc1, spc1, _, fc2, spc2, _ = struct.unpack_from(">6I", b, 360)
+        fc1, spc1, _, fc2, spc2, _ = struct.unpack_from(">6I", b, 384)
         assert (fc1, spc1) == (1, multimodal.MP4_MC_SPLIT[0])
         assert (fc2, spc2) == (2, multimodal.MP4_MC_SPLIT[1])
-        # stco follows stsc (40 → @384) + stsz (20) → box @404, entries @420
-        assert b[408:412] == b"stco"
-        c1, c2 = struct.unpack_from(">II", b, 420)
+        # stco follows stsc (40 → @408) + stsz (20) → box @428, entries @444
+        assert b[432:436] == b"stco"
+        c1, c2 = struct.unpack_from(">II", b, 444)
         assert c1 == multimodal.MP4_MC_CHUNK_OFFSET
         assert c2 == c1 + multimodal.MP4_MC_SPLIT[0] * size + multimodal.MP4_MC_GAP
         # mdat header right before chunk 1; payload runs to end of file
@@ -155,10 +161,10 @@ def test_mp4_64bit_largesize_and_to_end_boxes(spark):
     from crm_etl_pipeline_spark import multimodal
 
     b = multimodal._mp4_bytes(10)
-    moov = b[24:384]
+    moov = b[24:408]
     # rewrite moov as a largesize box and make mdat run to end-of-file
     moov64 = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov[8:])) + moov[8:]
-    mdat0 = struct.pack(">I", 0) + b"mdat" + b[392:]
+    mdat0 = struct.pack(">I", 0) + b"mdat" + b[416:]
     rewritten = b[:24] + moov64 + mdat0
     row = spark.createDataFrame(
         [(10, "video/mp4", bytearray(rewritten))],
@@ -193,12 +199,14 @@ def test_mp4_sample_offsets_closed_form(spark):
         assert len(rows) == multimodal.MP4_N_SAMPLES
         rows = sorted(rows, key=lambda r: r.sample_idx)
         assert all(r.sample_size == size for r in rows)
+        # stss closed form: samples 1 and 5 (1-based) are the keyframes
+        assert [r.sample_idx for r in rows if r.is_sync] == [0, 4]
         if doc_id % 8 == 3:
             saw_single = True
             for r in rows:
                 assert r.byte_offset == multimodal.MP4_CHUNK_OFFSET + r.sample_idx * size
             # the final sample ends exactly at end-of-file (single-chunk mdat)
-            assert multimodal.MP4_CHUNK_OFFSET + multimodal.MP4_N_SAMPLES * size == 456 + 8 * (
+            assert multimodal.MP4_CHUNK_OFFSET + multimodal.MP4_N_SAMPLES * size == 480 + 8 * (
                 doc_id % 16
             )
         else:
@@ -210,7 +218,7 @@ def test_mp4_sample_offsets_closed_form(spark):
             for r in rows[n5:]:
                 assert r.byte_offset == c2 + (r.sample_idx - n5) * size
             # the final sample ends exactly at end-of-file
-            assert c2 + n3 * size == 516 + 8 * (doc_id % 16)
+            assert c2 + n3 * size == 540 + 8 * (doc_id % 16)
     assert saw_single and saw_multi
 
 
@@ -223,7 +231,7 @@ def test_mp4_sample_offsets_per_sample_stsz_and_co64(spark):
 
     from crm_etl_pipeline_spark import multimodal
 
-    doc_id = 7
+    doc_id = 11  # single-chunk slot: the rebuild keeps a one-chunk layout
     b = multimodal._mp4_bytes(doc_id)
     size = 8 + doc_id % 16
     n = multimodal.MP4_N_SAMPLES
@@ -246,7 +254,7 @@ def test_mp4_sample_offsets_per_sample_stsz_and_co64(spark):
     mdhd = b[248:280]
     mdia = box(b"mdia", mdhd + box(b"minf", stbl))
     moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
-    rewritten = b[:24] + moov + b[384:]
+    rewritten = b[:24] + moov + b[408:]
     row = spark.createDataFrame(
         [(doc_id, "video/mp4", bytearray(rewritten))],
         "doc_id long, mime string, payload binary",
@@ -255,8 +263,9 @@ def test_mp4_sample_offsets_per_sample_stsz_and_co64(spark):
         multimodal.mp4_sample_offsets(row).collect(), key=lambda r: r.sample_idx
     )
     assert len(plan) == n
+    assert all(r.is_sync for r in plan)  # rebuilt stbl has no stss → all sync
     # the plan follows the container's DECLARED chunk base (co64 still
-    # points at 392; the rewrite grew moov, which the walk must not care
+    # points at the original base; the rewrite grew moov, which the walk must not care
     # about — it reads the declaration, not the byte layout around it)
     for i, r in enumerate(plan):
         assert r.sample_size == size
@@ -280,7 +289,7 @@ def _rebuild_mp4_with_stbl(doc_id: int, stbl_leaves: bytes) -> bytes:
 
     mdia = box(b"mdia", b[248:280] + box(b"minf", box(b"stbl", stbl_leaves)))
     moov = box(b"moov", b[32:140] + box(b"trak", b[148:240] + mdia))
-    return b[:24] + moov + b[384:]
+    return b[:24] + moov + b[408:]
 
 
 def test_mp4_multi_chunk_without_stsc_rejected():
@@ -358,9 +367,10 @@ def test_mp4_stsc_run_spanning_multiple_chunks():
     data_start = probe.index(b"mdat") + 4
     bases = [data_start + c * 2 * size for c in range(4)]
     plan = multimodal._parse_mp4_samples(build(bases))
-    assert [idx for idx, _, _ in plan] == list(range(n))
-    for idx, off, sz in plan:
+    assert [idx for idx, _, _, _ in plan] == list(range(n))
+    for idx, off, sz, is_sync in plan:
         assert sz == size
+        assert is_sync  # no stss in the rebuilt stbl → per spec, all sync
         chunk, within = divmod(idx, 2)
         assert off == bases[chunk] + within * size
 
