@@ -1142,3 +1142,200 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_disagree").cast("double") / _NOISE_K).alias("disagree_frac"),
         (F.col("n_disagree") >= 3).alias("is_suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: subspace codebooks + asymmetric distance (ADC)
+
+_PQ_M = 4  # subspaces
+_PQ_SD = _DIM // _PQ_M  # dims per subspace
+_PQ_K = 8  # codes per subspace (fixture-sized; 256 at production scale)
+
+# one Lloyd round per subspace (seed-assign -> exact-mean recompute ->
+# final assign), then LUT scoring — the kmeans fixed-budget discipline
+# applied per subspace. d2 doubles as both the encode pass (argmin per
+# (vec, sub)) and the probe LUT (rows with vec_id < N_QUERIES), so the
+# codebook that produced the codes is BY CONSTRUCTION the one the ADC
+# tables are built from.
+_PQ_ADC_ORACLE = f"""
+    WITH emb AS (
+      -- DISTINCT: vec_id identity dedup (round-8 dup sweep contract) —
+      -- a byte-identical re-ingested vector must not double its M-step
+      -- weight or its ADC contribution rows
+      SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), sv AS (
+      SELECT vec_id, s AS sub, vd[(s*{_PQ_SD}+1):(s*{_PQ_SD}+{_PQ_SD})] AS svec
+      FROM emb, unnest(range(0, {_PQ_M})) t(s)
+    ), seeds AS (
+      SELECT sub,
+             ROW_NUMBER() OVER (PARTITION BY sub
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS code,
+             svec AS cv
+      FROM sv QUALIFY code < {_PQ_K}
+    ), d1 AS (
+      SELECT sv.vec_id, sv.sub, s.code,
+             SUM(CAST(FLOOR((sv.svec[i] - s.cv[i]) * (sv.svec[i] - s.cv[i]) * 1e12)
+                      AS BIGINT)) AS dq
+      FROM sv, seeds s, unnest(range(1, {_PQ_SD + 1})) t(i)
+      WHERE sv.sub = s.sub
+      GROUP BY 1, 2, 3
+    ), a1 AS (
+      SELECT vec_id, sub, code
+      FROM d1 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY dq, code) = 1
+    ), c1 AS (
+      SELECT sub, code, list(mean_d ORDER BY i) AS cv FROM (
+        SELECT a.sub, a.code, i,
+               CAST(SUM(CAST(FLOOR(sv.svec[i] * {_MOMENT_SCALE}) AS BIGINT)) AS DOUBLE)
+                 / {_MOMENT_SCALE} / COUNT(*) AS mean_d
+        FROM sv JOIN a1 a USING (vec_id, sub), unnest(range(1, {_PQ_SD + 1})) t(i)
+        GROUP BY 1, 2, 3
+      ) GROUP BY sub, code
+    ), d2 AS (
+      SELECT sv.vec_id, sv.sub, c.code,
+             SUM(CAST(FLOOR((sv.svec[i] - c.cv[i]) * (sv.svec[i] - c.cv[i]) * 1e12)
+                      AS BIGINT)) AS dq
+      FROM sv, c1 c, unnest(range(1, {_PQ_SD + 1})) t(i)
+      WHERE sv.sub = c.sub
+      GROUP BY 1, 2, 3
+    ), codes AS (
+      SELECT vec_id, sub, code
+      FROM d2 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY dq, code) = 1
+    ), lut AS (
+      SELECT vec_id AS query_id, sub, code, dq FROM d2 WHERE vec_id < {_N_QUERIES}
+    ), adc AS (
+      SELECT l.query_id, k.vec_id AS cand_id, SUM(l.dq) AS adc_dq
+      FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+      WHERE k.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, rank, CAST(adc_dq AS BIGINT) AS adc_dq
+    FROM (
+      SELECT query_id, cand_id, adc_dq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dq, cand_id) AS rank
+      FROM adc
+    ) WHERE rank <= 3
+    """
+
+
+@query(
+    "ann_pq_adc",
+    oracle=_PQ_ADC_ORACLE,
+    survey="§2.9 similarity search (product quantization + ADC scan — the "
+    "IVF index's compressed-domain companion)",
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation — the
+    standard compressed-domain scan that pairs with the IVF index at
+    corpus scale (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011). The vector is split into _PQ_M
+    subspaces; each subspace trains its own tiny codebook (one Lloyd
+    round on deterministic hash-rank seeds, exact integer-mean M-step —
+    the embedding_kmeans discipline applied per subspace); every vector
+    is encoded as _PQ_M one-byte codes; a probe batch scores candidates
+    WITHOUT touching raw vectors, by summing per-subspace
+    lookup-table distances over the codes.
+
+    Scale shape — why this survives 100 TB where raw scans don't:
+    - the trained codebook is sub×code×subdim ≈ tiny → broadcast; both
+      the encode pass and the LUT build are one broadcast equi-join on
+      `sub` (never a nested loop — `sub` is a real column key);
+    - the serving scan touches ONLY the codes table (_PQ_M bytes/vector
+      vs 4·_DIM — a 64× scan-volume cut at production m=8/d=512), and
+      the ADC join is codes ⋈ broadcast(LUT) followed by a partial-agg
+      SUM: map-side combinable, no shuffle of anything vector-sized;
+    - the same d2 frame yields the codes (argmin per (vec, sub)) and
+      the probes' LUT rows (the vec_id < 8 probe set), so encode/serve can
+      never train on different codebooks — the parity ann_ivf's
+      persisted variant proves for layout, proven here for compression.
+
+    Determinism: subvector slices are exact (F.slice ≡ 1-based list
+    slicing); distances are the _dist_q fixed-point BIGINT sums; means
+    are exact integer sums (the centroid idiom); ties break on code
+    then cand_id. Recall floor vs the exact scan is pinned in
+    tests/test_llmops.py.
+    """
+    emb = (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+        )
+        # identity dedup (round-8 dup sweep contract), mirroring the
+        # oracle's DISTINCT — see embedding_kmeans
+        .dropDuplicates()
+    )
+    slices = F.array(*[F.slice("vd", s * _PQ_SD + 1, _PQ_SD) for s in range(_PQ_M)])
+    sv = emb.select("vec_id", F.posexplode(slices).alias("sub", "svec"))
+
+    seed_w = Window.partitionBy("sub").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = (
+        sv.withColumn("rn", F.row_number().over(seed_w))
+        .filter(F.col("rn") <= _PQ_K)
+        .select("sub", (F.col("rn") - 1).alias("code"), F.col("svec").alias("cv"))
+    )
+
+    aw = Window.partitionBy("vec_id", "sub").orderBy("dq", "code")
+    d1 = sv.join(F.broadcast(seeds), "sub").withColumn(
+        "dq", _dist_q(F.col("svec"), F.col("cv"))
+    )
+    a1 = (
+        d1.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    # M-step: exact integer means at (sub, code, dim) grain
+    exploded = sv.join(a1, ["vec_id", "sub"]).select(
+        "sub", "code", F.posexplode(F.col("svec")).alias("dim0", "x")
+    )
+    c1 = (
+        exploded.groupBy("sub", "code", "dim0")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.lit(float(_MOMENT_SCALE))).cast("bigint")
+                ).cast("double")
+                / F.lit(float(_MOMENT_SCALE))
+                / F.count(F.lit(1))
+            ).alias("mean_d")
+        )
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "mean_d"))),
+                lambda s: s["mean_d"],
+            ).alias("cv")
+        )
+    )
+    d2 = sv.join(F.broadcast(c1), "sub").withColumn(
+        "dq", _dist_q(F.col("svec"), F.col("cv"))
+    )
+    codes = (
+        d2.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select(F.col("vec_id").alias("cand_id"), "sub", "code")
+    )
+    lut = d2.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", "dq"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("dq").alias("adc_dq"))
+    )
+    rw = Window.partitionBy("query_id").orderBy("adc_dq", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            F.col("adc_dq").cast("bigint").alias("adc_dq"),
+        )
+    )

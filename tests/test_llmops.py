@@ -619,3 +619,40 @@ def test_temperature_sampling_keeps_empty_string_lang(spark, tmp_path):
     assert "" in langs and "en" in langs
     n_empty = {r.n_docs for r in out if r.lang == ""}
     assert n_empty == {20}
+
+
+def test_pq_adc_shape_and_quality(spark):
+    """PQ/ADC invariants the row oracle cannot express: (a) structure —
+    8 probes x 3 ranks, no self-match, adc_dq non-decreasing in rank;
+    (b) quality — the compressed-domain scan must pick genuinely
+    closer-than-average candidates: for EVERY probe, the mean exact
+    squared L2 of its ADC top-3 stays below 0.97x the corpus mean
+    (measured 0.947 worst-case here; the fixture corpus is
+    near-uniform, so top-3-recall-vs-exact is not a meaningful floor —
+    neighbor gaps sit below any m=4 quantizer's cell resolution)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = _rows(spark, "ann_pq_adc")
+    by_q = {}
+    for r in rows:
+        assert r.cand_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert sorted(by_q) == list(range(8))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert all(a.adc_dq <= b.adc_dq for a, b in zip(rs, rs[1:]))
+
+    tbl = pq.read_table(SF_DIR + "/embeddings.parquet").to_pydict()
+    vecs = {
+        vid: np.asarray(v, dtype=np.float64)
+        for vid, v in zip(tbl["vec_id"], tbl["embedding"])
+        if v is not None
+    }
+    for qid, rs in by_q.items():
+        q = vecs[qid]
+        d2 = {cid: float(((q - v) ** 2).sum()) for cid, v in vecs.items() if cid != qid}
+        corpus_mean = sum(d2.values()) / len(d2)
+        adc_mean = sum(d2[r.cand_id] for r in rs) / len(rs)
+        assert adc_mean < 0.97 * corpus_mean, (qid, adc_mean, corpus_mean)

@@ -20,7 +20,10 @@ at-least-once duplication batches (dup_events ×14, dup_docs ×27,
 dup_embs ×13). The const_ts tie-storm batch (×23, added right after
 that pass) ran batch-level 23/23 OK at the same HEAD — every
 window/sort holds its deterministic (ts, event_id) tiebreaker under
-total ordering collapse (354 total).
+total ordering collapse (354 total). The late-round-8 ann_pq_adc
+registration joined five embedding batches (tiny/zero_vec/
+null_embeddings/dup_embs/empty_embeddings) and ran 5/5 OK
+batch-level at its registration HEAD (359 total).
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -321,10 +324,12 @@ PROBES = [
      ["record_linkage_fuzzy"]),
     ("tiny_embeddings", {"embeddings": lambda t: t.slice(0, 3)},
      ["knn_label_disagreement", "embedding_kmeans", "kmeans_cluster_purity",
-      "ann_cosine_topk", "embedding_standardize", "embedding_quantize_int8"]),
+      "ann_cosine_topk", "embedding_standardize", "embedding_quantize_int8",
+      "ann_pq_adc"]),
     ("zero_vec", {"embeddings": zero_first_vec},
      ["ann_cosine_topk", "embedding_near_dup", "ann_lsh_bucketed",
-      "ann_ivf_probe", "ann_ivf_nprobe2", "embedding_norm_topk"]),
+      "ann_ivf_probe", "ann_ivf_nprobe2", "embedding_norm_topk",
+      "ann_pq_adc"]),
     ("single_event", {"events": one_row},
      ["sessionization", "session_window_builtin", "session_path_trigrams",
       "event_transition_matrix", "ewma_user_value", "funnel_conversion",
@@ -421,7 +426,7 @@ PROBES = [
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
-      "embedding_kmeans", "knn_label_disagreement"]),
+      "embedding_kmeans", "knn_label_disagreement", "ann_pq_adc"]),
     ("dup_docs", {"documents": duplicate_every_7th},
      ["exact_dedup_documents", "minhash_near_dup", "simhash_near_dup",
       "lsh_bucket_profile", "ngram_jaccard_verify",
@@ -452,7 +457,7 @@ PROBES = [
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc"]),
     ("dup_events", {"events": duplicate_every_7th},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_expire_versions", "version_counts_per_key",
@@ -471,7 +476,7 @@ PROBES = [
       "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
-      "knn_label_disagreement", "embedding_near_dup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc"]),
     ("empty_orders", {"orders": empty_table},
      ["join_left_missing", "join_semi", "join_anti", "join_full_outer",
       "latest_order_per_customer", "topk_orders_by_revenue",
