@@ -38,29 +38,33 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # This window, in verdict-ranked order: (a) the 8 r6-row embedding-family
 # queries whose code+oracle the round-7 NULL-vector contract changed
 # AFTER their last driver row — changed code outranks age; (b) all 28 r4
-# rows (the oldest in the registry); (c) the 5 queries REGISTERED this
+# rows (the oldest in the registry); (c) the 6 queries REGISTERED this
 # round (never driver-checked: partition_evolution_regrain,
 # scd2_expire_versions — the round-7 verdict's stretch item —
 # multimodal_mp4_seek_plan, the driver-visible face of the stsc
 # multi-chunk walk, zorder_range_scan, multi-column clustering
-# with a bit-exact Morton-curve oracle, and ann_pq_adc, product
-# quantization + ADC), plus the 2 changed-oracle
-# r7 rows the dup_events fix touched (see the c2 note inline); (d) 7 of
+# with a bit-exact Morton-curve oracle, ann_pq_adc, product
+# quantization + ADC, and audio_energy_windows, PCM energy/silence
+# windows over the real WAV decode), plus the 2 changed-oracle
+# r7 rows the dup_events fix touched (see the c2 note inline); (d) 6 of
 # the 45 r5 rows, chosen one-per-family so every operator family gets a
 # fresh representative: multimodal_decode_quarantine and
 # csv_source_roundtrip first (their families' code/contracts changed
 # this round — MP4 stsc walk and the nullValue-sentinel escape), then
 # the tier-2 bench headliners (copurchase_pagerank,
 # prefix_filter_setsim_join) and one delegate per remaining family.
-# The five new registrations took the slots of rfm_segmentation (ceded
+# The six new registrations took the slots of rfm_segmentation (ceded
 # to its in-window crm twin copurchase_pagerank), pps_systematic_sample
 # (ceded to global_rank_two_phase, which proves the identical two-phase
 # prefix-sum construction), bm25_topk_search (ceded to the
 # in-window tfidf_top_terms r4 refresh — same postings/capped-heads
 # family), cdc_derive_changes (ceded to its r6-green apply twin
-# cdc_apply_snapshot, with two fresher scd rows in-window), and
+# cdc_apply_snapshot, with two fresher scd rows in-window),
 # incremental_agg_merge (ceded to the aggregate family's seven
-# r7-fresh rows — see ann_pq_adc's inline note). The two
+# r7-fresh rows — see ann_pq_adc's inline note), and
+# prefix_filter_setsim_join (ceded to the in-window simhash /
+# lsh_bucket_profile r4 refreshes — see audio_energy_windows'
+# inline note). The two
 # changed-oracle swap-ins took the slots of streaming_moments_anomalies
 # (streaming is covered in-window by streaming_scd2_state + the r4
 # streaming_dlq/requeue/stateful_sessions refreshes) and
@@ -69,7 +73,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # refresh). After this round every row is <= 3 rounds old — the
 # designed steady state.
 #
-# The 38 r5 rows left out (all pytest-oracle-green at HEAD via
+# The 39 r5 rows left out (all pytest-oracle-green at HEAD via
 # tests/test_oracle.py; the round-9 window picks them up first): each is
 # twin-covered in-window this round — approx_distinct_selfcheck /
 # countmin_heavy_hitters / kmv_set_intersection by the sketch family's
@@ -79,6 +83,9 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # gapfill_daily_user_revenue, record_linkage_fuzzy, copurchase_lift_topk,
 # incremental_agg_merge (by version_counts_per_key r7 + the kmv/approx
 # sketch rows — the same mergeable-partials contract),
+# prefix_filter_setsim_join (by the in-window simhash_near_dup /
+# lsh_bucket_profile r4 refreshes + its r7-fresh shingle-join twin
+# contamination_ngram_overlap),
 # chi_square_segment_nation, benford_price_audit, rfm_segmentation by
 # the crm delegate copurchase_pagerank; histogram_equi_depth,
 # ols_frequency_monetary, robust_outliers_mad, winsorize_event_values,
@@ -167,6 +174,15 @@ DRIVER_PRIORITY: list[str] = [
     # partial/merge contract; incremental_agg_merge itself stays
     # pytest-oracle-green at HEAD and rejoins in round 9)
     "ann_pq_adc",
+    # audio PCM energy/silence windows over the REAL WAV decode,
+    # registered late in round 8 (takes prefix_filter_setsim_join's
+    # delegate slot — setsim's banded-candidate family is covered
+    # in-window by the simhash_near_dup + lsh_bucket_profile r4
+    # refreshes and its r7-fresh shingle-join twin
+    # contamination_ngram_overlap; setsim itself stays
+    # pytest-oracle-green at HEAD, keeps its tier-2 bench row, and
+    # rejoins in round 9)
+    "audio_energy_windows",
     # --- (c2) the dup_events sweep fix changed _STORE_SQL (the
     # identity-dedup DISTINCT), altering EIGHT scd-family oracles after
     # their last driver row. Three were already in-window
@@ -190,7 +206,6 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_decode_quarantine",
     "csv_source_roundtrip",
     "copurchase_pagerank",
-    "prefix_filter_setsim_join",
     "credential_rotation_schedule",
     "scd2_asof_snapshot",
     "global_rank_two_phase",

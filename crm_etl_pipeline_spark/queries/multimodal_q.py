@@ -314,3 +314,45 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_quarantined(corrupted).select(
         "doc_id", "mime", "is_corrupt", "width", "height"
     )
+
+
+@query(
+    "audio_energy_windows",
+    oracle=f"""
+    WITH wav AS (
+      -- DISTINCT doc_id: the document identity (round-8 dup sweep
+      -- contract) — a byte-identical re-ingested row must not double
+      -- the grouped window energies below (the Spark side reduces
+      -- per FILE, so its windows would stay single-copy)
+      SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 0
+    ), pcm AS (
+      SELECT doc_id,
+             CAST((i // (1 + (doc_id // 4) % 2)) // {multimodal.AUDIO_WIN} AS INT) AS win,
+             (doc_id * 31 + i * 7) % 65536 - 32768 AS s
+      FROM wav,
+           unnest(range(0, (100 + doc_id % 500) * (1 + (doc_id // 4) % 2))) t(i)
+    )
+    SELECT doc_id, win,
+           CAST(COUNT(*) AS INT) AS n_pcm,
+           CAST(SUM(s * s) AS BIGINT) AS energy_q,
+           CAST(MAX(ABS(s)) AS INT) AS peak_abs,
+           MAX(ABS(s)) < {multimodal.AUDIO_SILENCE_PEAK} AS is_silence
+    FROM pcm GROUP BY doc_id, win
+    """,
+    survey="§2.9 multimodal (audio PCM energy/silence windows over REAL WAV decode)",
+)
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-corpus curation primitive: per-window PCM energy and the
+    silence flag a trimming/VAD stage gates on, computed by REALLY
+    decoding the WAV payloads (RIFF walk → int16 PCM → numpy reduceat
+    inside the Arrow batch). Output is window-grain — the PCM itself
+    never becomes Spark rows, which is what keeps this viable when the
+    audio corpus is the 100 TB side of the house. The oracle recomputes
+    every window's exact integer statistics closed-form from doc_id
+    (fabrication: sample i = (doc_id·31 + i·7) mod 2¹⁶ − 2¹⁵), so a bug
+    in fabricator, RIFF walk, or window reduction breaks the match.
+    Only audio payloads cross the Python boundary — the mime filter
+    runs JVM-side on the fabricated frame."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").dropDuplicates()
+    media = multimodal.fabricate_media(docs).filter(F.col("mime") == "audio/wav")
+    return multimodal.audio_energy_windows(media)

