@@ -720,9 +720,13 @@ _OUT_DIMS = 8  # output the first 8 dims (stats still span all 64)
     ), s AS (
       SELECT i,
              CAST(s1 AS DOUBLE) / {_MOMENT_SCALE} / n AS mean_val,
-             sqrt(CAST(s2 AS DOUBLE) / {_MOMENT_SCALE} / {_MOMENT_SCALE} / n
+             -- greatest(0, ·): an all-identical corpus makes every dimension
+             -- constant; the E[x²]−mean² residual can be -1e-18 (DuckDB sqrt
+             -- RAISES; Spark NaNs past the ==0 guard) — clamp symmetrically
+             -- (found by the const_vec tie-storm probe)
+             sqrt(greatest(0, CAST(s2 AS DOUBLE) / {_MOMENT_SCALE} / {_MOMENT_SCALE} / n
                   - (CAST(s1 AS DOUBLE) / {_MOMENT_SCALE} / n)
-                    * (CAST(s1 AS DOUBLE) / {_MOMENT_SCALE} / n)) AS sd_val
+                    * (CAST(s1 AS DOUBLE) / {_MOMENT_SCALE} / n))) AS sd_val
       FROM stats
     )
     SELECT vec_id, q.i - 1 AS dim,
@@ -764,12 +768,17 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stats.select(
         "dim",
         mean.alias("mean_val"),
+        # greatest(0, ·): clamp the variance residual symmetrically with
+        # the oracle — const_vec probe; see event_value_anomalies
         F.sqrt(
-            F.col("s2").cast("double")
-            / F.lit(float(_MOMENT_SCALE))
-            / F.lit(float(_MOMENT_SCALE))
-            / F.col("n")
-            - mean * mean
+            F.greatest(
+                F.lit(0.0),
+                F.col("s2").cast("double")
+                / F.lit(float(_MOMENT_SCALE))
+                / F.lit(float(_MOMENT_SCALE))
+                / F.col("n")
+                - mean * mean,
+            )
         ).alias("sd_val"),
     )
     # zero-dispersion guard (same contract as the z-score family): a

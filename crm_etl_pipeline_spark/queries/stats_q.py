@@ -47,8 +47,13 @@ _SAMPLE_BUDGET = 100
     ), stats AS (
       SELECT event_type, n,
              CAST(s1 AS DOUBLE) / n AS mean_val,
-             sqrt(CAST(s2 AS DOUBLE) / n
-                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd_val
+             -- greatest(0, ·): an all-equal population's variance is a tiny
+             -- double residual of either sign; DuckDB sqrt RAISES on the
+             -- negative side (Spark yields NaN) — clamp symmetrically so a
+             -- negative residual reads exactly 0 in both engines (a positive
+             -- one flows through the identical IEEE chain; const_values probe)
+             sqrt(greatest(0, CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) AS sd_val
       FROM moments
     )
     SELECT event_id, e.event_type, value,
@@ -78,7 +83,11 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = moments.select(
         "event_type",
         mean.alias("mean_val"),
-        F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean).alias("sd_val"),
+        # greatest(0, ·): clamp the variance residual symmetrically with
+        # the oracle (DuckDB sqrt raises on a -1e-18 residual; Spark NaNs)
+        F.sqrt(
+            F.greatest(F.lit(0.0), F.col("s2").cast("double") / F.col("n") - mean * mean)
+        ).alias("sd_val"),
     )
     # zero-dispersion guard: a population with sd == 0 (all values
     # equal) has nothing measurably deviating — z is defined 0 and no

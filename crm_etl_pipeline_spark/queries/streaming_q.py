@@ -232,8 +232,10 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), stats AS (
       SELECT event_type, n,
              CAST(s1 AS DOUBLE) / n AS mean_val,
-             sqrt(CAST(s2 AS DOUBLE) / n
-                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd_val
+             -- greatest(0, ·): symmetric variance-residual clamp (see the
+             -- batch twin event_value_anomalies / the const_values probe)
+             sqrt(greatest(0, CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) AS sd_val
       FROM moments
     )
     SELECT event_id, e.event_type, value,
@@ -260,7 +262,11 @@ def streaming_moments_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = moments.select(
         "event_type",
         mean.alias("mean_val"),
-        F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean).alias("sd_val"),
+        # greatest(0, ·): clamp the variance residual symmetrically with
+        # the oracle (DuckDB sqrt raises on a -1e-18 residual; Spark NaNs)
+        F.sqrt(
+            F.greatest(F.lit(0.0), F.col("s2").cast("double") / F.col("n") - mean * mean)
+        ).alias("sd_val"),
     )
     # zero-dispersion guard, identical to the batch twin
     # event_value_anomalies: sd == 0 defines z = 0 and flags nothing

@@ -702,3 +702,55 @@ def test_null_embedding_rows_are_excluded_everywhere(spark, tmp_path):
     o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
     con.close()
     assert s == o
+
+
+def test_constant_population_zscore_contract(spark, tmp_path):
+    """Zero-dispersion residual contract from the round-8 const_vec /
+    const_values tie-storm probes, pinned: an all-equal population's
+    variance via E[x²]−mean² is a tiny double residual of EITHER sign —
+    DuckDB sqrt raises on the negative side while Spark sails into NaN,
+    past the == 0 guard. Both engines clamp sqrt(greatest(0, var))
+    symmetrically, which guarantees cross-engine agreement for either
+    residual sign (a +1e-18 residual yields tiny-sd z-scores computed
+    by the IDENTICAL IEEE chain in both engines). On these two pinned
+    populations the residual is non-positive, so additionally z = 0
+    exactly and nothing flags: (a) events with one constant value →
+    event_value_anomalies all-zero z; (b) an all-identical embedding
+    corpus → embedding_standardize all-zero z; both must also
+    hash-match their oracles on the mutated fixture."""
+    import duckdb
+
+    out = str(tmp_path / "const")
+    os.makedirs(out, exist_ok=True)
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    events = pq.read_table(f"{SF_DIR}/events.parquet")
+    events = events.set_column(
+        events.column_names.index("value"), "value",
+        pa.array([42.5] * events.num_rows, pa.float64()),
+    )
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    first = next(e for e in emb.column("embedding").to_pylist() if e is not None)
+    emb = emb.set_column(
+        emb.column_names.index("embedding"), "embedding",
+        pa.array([first] * emb.num_rows, emb.schema.field("embedding").type),
+    )
+    pq.write_table(events, f"{out}/events.parquet")
+    pq.write_table(emb, f"{out}/embeddings.parquet")
+    for t in tables:
+        if t not in ("events", "embeddings"):
+            os.symlink(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+
+    from tests.conftest import compare_query
+
+    duck = duckdb.connect()
+    for t in tables:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')"
+        )
+    for name in ("event_value_anomalies", "embedding_standardize"):
+        compare_query(spark, duck, REGISTRY[name], sf_dir=out)
+    zrows = REGISTRY["event_value_anomalies"].fn(spark, out).collect()
+    assert zrows and all(r.zscore == 0.0 and not r.is_anomaly for r in zrows)
+    srows = REGISTRY["embedding_standardize"].fn(spark, out).collect()
+    assert srows and all(r.z == 0.0 for r in srows)

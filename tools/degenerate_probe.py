@@ -9,7 +9,7 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~13 min at 38 probe batches / 354 query runs; needs an
+(~15 min at 41 probe batches / 400 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass at round-8 final HEAD: **331/331 OK** — all batches, including
 the round-8 additions: the empty_string_langs probe, the CSV sentinel
@@ -27,7 +27,22 @@ zero_vec/null_embeddings/dup_embs/empty_embeddings, 5/5 OK) and
 audio_energy_windows in three document batches (empty_documents/
 one_document/dup_docs, 3/3 OK — the dup_docs run exercising the
 doc_id identity dedup that keeps per-FILE window reductions and the
-oracle's GROUP BY in agreement). 362 total.
+oracle's GROUP BY in agreement). The three late-round-8 tie-storm
+batches — const_text (every document identical: one mega shingle
+bucket far over BUCKET_CAP, certifying the capped star-pair path
+cross-engine at sweep level for the first time), const_vec (every
+embedding identical: total ordering collapse in every distance
+ranking, one k-means/IVF/PQ cell), and const_values (every event
+value constant: all-equal-population variances) — ran batch-level
+38/38 OK after fixing the ONE real bug const_vec found:
+embedding_standardize's E[x²]−mean² variance leaves a ±1e-18 double
+residual on a constant dimension, and DuckDB sqrt RAISES on the
+negative side while Spark NaNs past the ==0 guard — closed by the
+symmetric sqrt(greatest(0, ·)) clamp in all three queries of the
+class (event_value_anomalies and streaming_moments_anomalies carried
+the same unclamped shape;
+tests/test_stats.py::test_constant_population_zscore_contract). 400
+total.
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -267,6 +282,45 @@ def duplicate_every_7th(tbl):
     return tbl.take(pa.array(sorted(idx)))
 
 
+def const_text_docs(tbl):
+    # mass-dup tie storm: EVERY document carries the same multi-line
+    # text — one mega shingle-bucket far over lsh.BUCKET_CAP, so the
+    # capped star-pair path (and the oracle's mirror of it) runs
+    # cross-engine for the first time at sweep level; idf/df collapse
+    # (df == N for every term); every line is corpus boilerplate
+    body = ("the quick brown spark line one alpha beta gamma\n"
+            "shared boilerplate middle line delta epsilon zeta\n"
+            "closing common line eta theta iota kappa")
+    return tbl.set_column(
+        tbl.column_names.index("text"), "text",
+        pa.array([body] * tbl.num_rows, pa.string()),
+    )
+
+
+def const_vec_embeddings(tbl):
+    # tie storm for the vector family: EVERY embedding is the same
+    # vector — all distances/cosines equal, every ranking a total tie,
+    # one k-means/IVF/PQ cell; any argmin/top-k missing its
+    # deterministic id tiebreaker diverges cross-engine
+    embs = tbl.column("embedding").to_pylist()
+    first = next(e for e in embs if e is not None)
+    return tbl.set_column(
+        tbl.column_names.index("embedding"), "embedding",
+        pa.array([first] * tbl.num_rows, tbl.schema.field("embedding").type),
+    )
+
+
+def const_value_events(tbl):
+    # zero-dispersion twin of const_vec for the events table: every
+    # event carries one constant nonzero value — per-type variances
+    # are all-equal-population residuals (the sqrt(greatest(0, .))
+    # contract), percentiles/winsor bounds collapse to a point
+    return tbl.set_column(
+        tbl.column_names.index("value"), "value",
+        pa.array([42.5] * tbl.num_rows, pa.float64()),
+    )
+
+
 def singleton_lineitem(tbl):
     return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
 
@@ -455,6 +509,25 @@ PROBES = [
       "gapfill_daily_user_revenue", "interpolate_daily_user_value",
       "attribution_last_touch", "range_join_clicks_before_purchase",
       "keyset_pagination_orders", "scd2_expire_versions"]),
+    ("const_text", {"documents": const_text_docs},
+     ["exact_dedup_documents", "minhash_near_dup", "simhash_near_dup",
+      "lsh_bucket_profile", "dedup_components", "prefix_filter_setsim_join",
+      "ngram_jaccard_verify", "contamination_ngram_overlap",
+      "boilerplate_line_removal", "repeated_span_mining",
+      "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
+      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens"]),
+    ("const_values", {"events": const_value_events},
+     ["event_value_anomalies", "streaming_moments_anomalies",
+      "winsorize_event_values", "robust_outliers_mad",
+      "value_percentiles", "approx_value_percentiles",
+      "incremental_agg_merge", "ewma_user_value"]),
+    ("const_vec", {"embeddings": const_vec_embeddings},
+     ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+      "ann_ivf_nprobe2", "ann_ivf_persisted_index", "ann_pq_adc",
+      "embedding_standardize", "embedding_quantize_int8",
+      "embedding_centroid_per_label", "embedding_norm_topk",
+      "embedding_kmeans", "kmeans_cluster_purity",
+      "knn_label_disagreement", "embedding_near_dup"]),
     ("dup_embs", {"embeddings": duplicate_every_7th},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_ivf_persisted_index",
