@@ -9,7 +9,7 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~15 min at 41 probe batches / 400 query runs; needs an
+(~15 min at 43 probe batches / 412 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass at round-8 final HEAD: **331/331 OK** — all batches, including
 the round-8 additions: the empty_string_langs probe, the CSV sentinel
@@ -41,7 +41,11 @@ negative side while Spark NaNs past the ==0 guard — closed by the
 symmetric sqrt(greatest(0, ·)) clamp in all three queries of the
 class (event_value_anomalies and streaming_moments_anomalies carried
 the same unclamped shape;
-tests/test_stats.py::test_constant_population_zscore_contract). 400
+tests/test_stats.py::test_constant_population_zscore_contract). Two
+further collapse batches ran 12/12 OK at the same HEAD: const_etype
+(every event one type — single-step funnels, probability-1 transition
+self-loops, empty DLQ/routing complements) and const_label (one
+embedding class — purity exactly 1, zero kNN disagreement). 412
 total.
 
 Findings to date (all fixed, each with a pinned regression test):
@@ -321,6 +325,26 @@ def const_value_events(tbl):
     )
 
 
+def const_etype_events(tbl):
+    # category collapse: EVERY event is one type — funnels have a
+    # single populated step, transition matrices one self-loop row
+    # (probability exactly 1), routing sends everything one way,
+    # per-type sketches hold one key
+    return tbl.set_column(
+        tbl.column_names.index("event_type"), "event_type",
+        pa.array(["view"] * tbl.num_rows, pa.string()),
+    )
+
+
+def const_label_embeddings(tbl):
+    # label collapse: one class — a single per-label centroid, purity
+    # exactly 1, zero kNN disagreement
+    return tbl.set_column(
+        tbl.column_names.index("label"), "label",
+        pa.array([3] * tbl.num_rows, tbl.schema.field("label").type),
+    )
+
+
 def singleton_lineitem(tbl):
     return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
 
@@ -516,6 +540,14 @@ PROBES = [
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
       "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens"]),
+    ("const_etype", {"events": const_etype_events},
+     ["event_type_routing", "funnel_conversion", "event_transition_matrix",
+      "session_path_trigrams", "countmin_heavy_hitters",
+      "approx_distinct_selfcheck", "attribution_last_touch",
+      "streaming_dlq", "retry_and_dead_letter"]),
+    ("const_label", {"embeddings": const_label_embeddings},
+     ["embedding_centroid_per_label", "kmeans_cluster_purity",
+      "knn_label_disagreement"]),
     ("const_values", {"events": const_value_events},
      ["event_value_anomalies", "streaming_moments_anomalies",
       "winsorize_event_values", "robust_outliers_mad",
