@@ -33,8 +33,12 @@ per-sample byte ranges (what a
 range-read stage fetches from a multi-GB mdat), while
 entropy-decoding the fetched video frames stays out of scope —
 container metadata and read plans are what the manifest/feature
-pipeline consumes. The Spark-side plumbing — schema, Arrow batching,
-UDF signature, partition behavior — is identical for every format.
+pipeline consumes. Audio goes one level deeper than metadata:
+``audio_energy_windows`` decodes the actual PCM (RIFF walk →
+interleaved int16) and reduces fixed 50-frame windows to exact
+integer energy/peak/silence statistics inside the Arrow batch. The
+Spark-side plumbing — schema, Arrow batching, UDF signature,
+partition behavior — is identical for every format.
 """
 
 from __future__ import annotations
