@@ -82,6 +82,20 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionAll(dups)
 
 
+def _casefold(col: Column) -> Column:
+    """Cross-engine case-fold (unicode_text probe, round 8): Spark's
+    lower() is Java toLowerCase, which applies Unicode SpecialCasing —
+    İ (U+0130) → 'i' + combining dot (U+0307) — and the
+    context-sensitive Final_Sigma rule (Σ → ς at word end), while
+    DuckDB's utf8proc lower() is the per-codepoint SIMPLE mapping
+    (İ → i, Σ → σ, unconditionally). The registry contract is the
+    simple mapping: context-free and stable across JVM Unicode data
+    versions. İ and Σ are the only two codepoints where Java's
+    locale-free toLowerCase diverges from the simple mapping, so
+    pre-translating them makes Spark's lower() coincide with it."""
+    return F.lower(F.translate(col, "\u0130\u03a3", "i\u03c3"))
+
+
 def _tokens(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
@@ -130,7 +144,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor deterministic rather than arrival-order-dependent.
     """
     corpus = _exact_corpus(spark, sf_dir)
-    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    normalized = _casefold(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return (
         corpus.select("doc_id", F.sha2(normalized, 256).alias("content_hash"))
         .groupBy("content_hash")
@@ -214,7 +228,7 @@ def token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size(toks).alias("n_ws_tokens"),
-            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), 0)).alias(
+            F.size(F.regexp_extract_all(_casefold(F.col("text")), F.lit(_BPE_PAT), 0)).alias(
                 "n_bpe_tokens"
             ),
             F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -1108,7 +1122,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = corpus.filter((F.size(toks) >= 40) & (distinct_ratio >= 0.3)).select(
         "doc_id", "lang", "text", F.size(toks).alias("n_tokens")
     )
-    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    normalized = _casefold(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     hashed = gated.select(
         "doc_id", "lang", "n_tokens", F.sha2(normalized, 256).alias("content_hash")
     )

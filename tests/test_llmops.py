@@ -656,3 +656,32 @@ def test_pq_adc_shape_and_quality(spark):
         corpus_mean = sum(d2.values()) / len(d2)
         adc_mean = sum(d2[r.cand_id] for r in rs) / len(rs)
         assert adc_mean < 0.97 * corpus_mean, (qid, adc_mean, corpus_mean)
+
+
+def test_casefold_simple_mapping_contract(spark):
+    """Case-fold contract from the round-8 unicode_text probe, pinned:
+    Spark's lower() is Java toLowerCase (SpecialCasing: İ → i +
+    combining dot; Final_Sigma: Σ → ς at word end) while DuckDB's is
+    the per-codepoint simple mapping — the ONLY two divergent
+    codepoints. _casefold pre-translates both, so every registry
+    normalization (exact/incremental dedup hashing, BPE token
+    counting) produces byte-identical strings in both engines."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.queries.llmops import _casefold
+
+    nasty = [
+        "Istanbul Iı İi Turkish dotless and dotted i",
+        "ΟΔΥΣΣΕΥΣ final sigma ΣΣ Σ",
+        "MIXED İΣİΣ cluster",
+        "plain ascii stays ascii 123",
+        "straße ẞ upper sharp s",  # ß / ẞ: simple mapping both engines
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(nasty)], "i int, text string")
+    got = {r.i: r.n for r in df.select("i", _casefold(F.col("text")).alias("n")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(nasty):
+        want = con.execute("SELECT lower(?)", [t]).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)

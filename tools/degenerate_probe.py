@@ -9,7 +9,7 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~15 min at 43 probe batches / 412 query runs; needs an
+(~16 min at 44 probe batches / 428 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass (late round 8, after the PQ/audio registrations, the tie-storm
 batches, and the variance-residual clamp): **412/412 OK**. The prior
@@ -47,8 +47,18 @@ tests/test_stats.py::test_constant_population_zscore_contract). Two
 further collapse batches ran 12/12 OK at the same HEAD: const_etype
 (every event one type — single-step funnels, probability-1 transition
 self-loops, empty DLQ/routing complements) and const_label (one
-embedding class — purity exactly 1, zero kNN disagreement). 412
-total.
+embedding class — purity exactly 1, zero kNN disagreement). The
+unicode_text batch (CJK, emoji+ZWJ, combining marks, Turkish dotted/
+dotless i, Greek capitals incl. word-final sigma, RTL, full-width
+forms — 16 text-family queries) found ONE real divergence:
+exact-dedup's content hashes differed on İ because Spark lower() is
+Java toLowerCase (SpecialCasing İ → i+U+0307, context-sensitive
+Final_Sigma Σ → ς) while DuckDB's is the per-codepoint simple
+mapping — closed by the _casefold pre-translation of the only two
+divergent codepoints at every lower() site (exact/incremental dedup
+hashing, BPE token counting;
+tests/test_llmops.py::test_casefold_simple_mapping_contract); 16/16
+OK after the fix. 428 total.
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -347,6 +357,24 @@ def const_label_embeddings(tbl):
     )
 
 
+def unicode_docs(tbl):
+    # non-ASCII stress for the text family: CJK (no spaces), emoji +
+    # ZWJ sequences, combining marks, Turkish dotted/dotless i, RTL,
+    # full-width digits — lower()/length()/regex tokenization must
+    # agree cross-engine on codepoint (not grapheme/locale) semantics
+    bodies = [
+        "\u6771\u4eac\u90fd\u6e2f\u533a\u306e\u30c7\u30fc\u30bf\u57fa\u76e4 spark \u5206\u6563\u51e6\u7406",
+        "family \U0001f468\u200d\U0001f469\u200d\U0001f467 emoji \U0001f680 rocket launch data",
+        "cafe\u0301 re\u0301sume\u0301 combining marks vs caf\u00e9 r\u00e9sum\u00e9 precomposed",
+        "Istanbul I\u0131 \u0130i Turkish dotless i \u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 final sigma \u03a3\u03a3 casing",
+        "\u05e9\u05dc\u05d5\u05dd rtl hebrew mixed with ltr spark tokens",
+        "\uff11\uff12\uff13 full-width digits \uff53\uff50\uff41\uff52\uff4b full-width latin",
+    ]
+    ids = tbl.column("doc_id").to_pylist()
+    txt = pa.array([bodies[i % len(bodies)] + f" tail{i}" for i in ids], pa.string())
+    return tbl.set_column(tbl.column_names.index("text"), "text", txt)
+
+
 def singleton_lineitem(tbl):
     return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
 
@@ -542,6 +570,13 @@ PROBES = [
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
       "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens"]),
+    ("unicode_text", {"documents": unicode_docs},
+     ["text_stats", "language_id_ngram", "vocab_top_tokens",
+      "token_rarity_score", "doc_fingerprint", "doc_quality_score",
+      "minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
+      "chunk_documents", "pii_redaction", "doc_repetition_ratio",
+      "tfidf_top_terms", "boilerplate_line_removal",
+      "token_profile", "dedup_incremental_new_docs"]),
     ("const_etype", {"events": const_etype_events},
      ["event_type_routing", "funnel_conversion", "event_transition_matrix",
       "session_path_trigrams", "countmin_heavy_hitters",
