@@ -110,6 +110,20 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # bucketed_join_colocated refresh — same footer/partition-pruning
 # machinery).
 #
+# Late-round-8 changed-code ledger (the c2 precedent: changed rows the
+# full window cannot absorb defer to the NEXT round's priority #1,
+# with the clean-fixture hash-unchanged proof pinned at HEAD): the
+# variance-residual clamp (sqrt(greatest(0, .)), const_vec sweep
+# finding) touched event_value_anomalies + streaming_moments_anomalies
+# (embedding_standardize, same fix, is already in-window at (a)), and
+# the _casefold simple-mapping contract (unicode_text sweep finding)
+# touched exact_dedup_documents + token_profile +
+# dedup_incremental_new_docs. All five are pytest-oracle-green AND
+# driver-contract-simulated at HEAD with clean-fixture hashes
+# unchanged (the clamp and the pre-translation are no-ops on the
+# all-ASCII, non-degenerate driver fixture); they are round-9 window
+# priority #1, ahead of the r5 rotation.
+#
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).
