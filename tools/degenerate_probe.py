@@ -11,8 +11,9 @@ fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 Run from the repo root:  python tools/degenerate_probe.py
 (~16 min at 44 probe batches / 428 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
-pass (late round 8, after the PQ/audio registrations, the tie-storm
-batches, and the variance-residual clamp): **412/412 OK**. The prior
+pass (late round 8 final HEAD, after the PQ/audio registrations, the
+tie-storm + category-collapse + unicode batches, and the
+variance-clamp + casefold fixes): **428/428 OK**. The prior
 round-8 certification was **331/331 OK** — all batches, including
 the round-8 additions: the empty_string_langs probe, the CSV sentinel
 values in nasty_text, empty-table probes over the four round-8
