@@ -117,7 +117,9 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # finding) touched event_value_anomalies + streaming_moments_anomalies
 # (embedding_standardize, same fix, is already in-window at (a)), and
 # the _casefold simple-mapping contract (unicode_text sweep finding)
-# touched exact_dedup_documents + token_profile +
+# plus the explicit _WS_CLASS whitespace set (whitespace_storm
+# finding: Java \s includes \x0B, RE2's does not) touched
+# exact_dedup_documents + token_profile +
 # dedup_incremental_new_docs. All five are pytest-oracle-green AND
 # driver-contract-simulated at HEAD with clean-fixture hashes
 # unchanged (the clamp and the pre-translation are no-ops on the

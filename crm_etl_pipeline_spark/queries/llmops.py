@@ -126,7 +126,7 @@ def _shingles_sql(tok_expr: str, n: int = 5) -> str:
     WITH corpus AS ({_EXACT_CORPUS_SQL}),
     hashed AS (
       SELECT doc_id,
-             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+             sha256(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS content_hash
       FROM corpus
     )
     SELECT content_hash,
@@ -144,7 +144,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor deterministic rather than arrival-order-dependent.
     """
     corpus = _exact_corpus(spark, sf_dir)
-    normalized = _casefold(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    normalized = _casefold(F.trim(F.regexp_replace(F.col("text"), "[" + _WS_CLASS + "]+", " ")))
     return (
         corpus.select("doc_id", F.sha2(normalized, 256).alias("content_hash"))
         .groupBy("content_hash")
@@ -162,7 +162,11 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks
-_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# \s is engine-divergent: Java's class includes \x0B (vertical tab),
+# RE2's does not (whitespace_storm probe, round 8) — spell the
+# whitespace set explicitly so both regex engines read identical bytes
+_WS_CLASS = r" \t\n\x0B\f\r"  # character-class body, both engines
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9" + _WS_CLASS + "]"
 
 
 @query(
@@ -1077,7 +1081,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
               / len(string_split(text, ' ')) >= 0.3
     ), hashed AS (
       SELECT doc_id, lang, n_tokens,
-             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+             sha256(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS content_hash
       FROM gated
     ), keep AS (
       SELECT content_hash, MIN(doc_id) AS doc_id FROM hashed GROUP BY content_hash
@@ -1122,7 +1126,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = corpus.filter((F.size(toks) >= 40) & (distinct_ratio >= 0.3)).select(
         "doc_id", "lang", "text", F.size(toks).alias("n_tokens")
     )
-    normalized = _casefold(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    normalized = _casefold(F.trim(F.regexp_replace(F.col("text"), "[" + _WS_CLASS + "]+", " ")))
     hashed = gated.select(
         "doc_id", "lang", "n_tokens", F.sha2(normalized, 256).alias("content_hash")
     )

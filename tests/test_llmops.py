@@ -685,3 +685,39 @@ def test_casefold_simple_mapping_contract(spark):
     for i, t in enumerate(nasty):
         want = con.execute("SELECT lower(?)", [t]).fetchone()[0]
         assert got[i] == want, (t, got[i], want)
+
+
+def test_whitespace_class_contract(spark):
+    """Whitespace contract from the round-8 whitespace_storm probe,
+    pinned: Java's regex \\s includes vertical tab (\\x0B); RE2's does
+    not — so every shared pattern spells the set explicitly
+    (_WS_CLASS) instead of using \\s. Vertical tab must collapse like
+    a space in the dedup normalization and count as whitespace (not a
+    mark token) in the BPE pre-tokenizer, identically in both
+    engines; NBSP is agreed NON-whitespace in both."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.queries.llmops import _BPE_PAT, _WS_CLASS, _casefold
+
+    bodies = [
+        "alpha\x0bbeta vertical\ttab",
+        "nb\xa0sp\xa0stays",
+        "multi   space\f\rrun",
+    ]
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(bodies)], "i int, text string")
+    norm = _casefold(F.trim(F.regexp_replace(F.col("text"), "[" + _WS_CLASS + "]+", " ")))
+    cnt = F.size(F.regexp_extract_all(_casefold(F.col("text")), F.lit(_BPE_PAT), 0))
+    got = {r.i: (r.n, r.c) for r in df.select("i", norm.alias("n"), cnt.alias("c")).collect()}
+    con = duckdb.connect()
+    for i, b in enumerate(bodies):
+        dn = con.execute(
+            "SELECT lower(trim(regexp_replace(?, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))", [b]
+        ).fetchone()[0]
+        dc = con.execute(
+            f"SELECT len(regexp_extract_all(lower(?), '{_BPE_PAT}'))", [b]
+        ).fetchone()[0]
+        assert got[i] == (dn, dc), (b, got[i], (dn, dc))
+    assert got[0][0] == "alpha beta vertical tab"
+    assert "\xa0" in got[1][0]  # NBSP is not whitespace in either engine

@@ -9,7 +9,7 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~16 min at 44 probe batches / 428 query runs; needs an
+(~16 min at 45 probe batches / 437 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass (late round 8 final HEAD, after the PQ/audio registrations, the
 tie-storm + category-collapse + unicode batches, and the
@@ -59,7 +59,13 @@ mapping — closed by the _casefold pre-translation of the only two
 divergent codepoints at every lower() site (exact/incremental dedup
 hashing, BPE token counting;
 tests/test_llmops.py::test_casefold_simple_mapping_contract); 16/16
-OK after the fix. 428 total.
+OK after the fix. Its whitespace_storm sibling (vertical tab, NBSP,
+form-feed/CR runs, framing storms — 9 queries) found the THIRD
+real round-8-late divergence: Java's regex \s includes \x0B while
+RE2's does not, so the dedup normalization and the BPE class now
+spell the whitespace set explicitly (_WS_CLASS;
+tests/test_llmops.py::test_whitespace_class_contract); 9/9 OK after
+the fix. 437 total.
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -376,6 +382,23 @@ def unicode_docs(tbl):
     return tbl.set_column(tbl.column_names.index("text"), "text", txt)
 
 
+def whitespace_storm_docs(tbl):
+    # exotic whitespace: vertical tab (in Java's \s but NOT RE2's),
+    # NBSP (in neither), form feed / CR / tab / newline runs, framing
+    # space storms — the normalization and BPE classes must be spelled
+    # as explicit character sets or the two regex engines diverge
+    ids = tbl.column("doc_id").to_pylist()
+    frames = [
+        "alpha\x0bbeta vertical\ttab",
+        "nb\xa0sp\xa0stays beta",
+        "multi   space\f\rrun gamma",
+        "  framing   storm\t\t",
+        "plain ascii control case",
+    ]
+    txt = pa.array([frames[i % len(frames)] + f" tail{i}" for i in ids], pa.string())
+    return tbl.set_column(tbl.column_names.index("text"), "text", txt)
+
+
 def singleton_lineitem(tbl):
     return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
 
@@ -571,6 +594,11 @@ PROBES = [
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
       "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens"]),
+    ("whitespace_storm", {"documents": whitespace_storm_docs},
+     ["exact_dedup_documents", "dedup_incremental_new_docs",
+      "token_profile", "text_stats", "vocab_top_tokens",
+      "chunk_documents", "pack_training_sequences",
+      "boilerplate_line_removal", "doc_quality_score"]),
     ("unicode_text", {"documents": unicode_docs},
      ["text_stats", "language_id_ngram", "vocab_top_tokens",
       "token_rarity_score", "doc_fingerprint", "doc_quality_score",
