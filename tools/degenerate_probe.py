@@ -12,8 +12,10 @@ Run from the repo root:  python tools/degenerate_probe.py
 (~16 min at 45 probe batches / 437 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass (late round 8 final HEAD, after the PQ/audio registrations, the
-tie-storm + category-collapse + unicode batches, and the
-variance-clamp + casefold fixes): **428/428 OK**. The prior
+tie-storm + category-collapse + unicode + whitespace batches, and the
+variance-clamp + casefold + whitespace-class fixes): **437/437 OK**
+(with the full pytest suite, 333 green, running concurrently — the
+sweep is a correctness harness, not a timing one). The prior
 round-8 certification was **331/331 OK** — all batches, including
 the round-8 additions: the empty_string_langs probe, the CSV sentinel
 values in nasty_text, empty-table probes over the four round-8
