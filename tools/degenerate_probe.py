@@ -401,6 +401,19 @@ def whitespace_storm_docs(tbl):
     return tbl.set_column(tbl.column_names.index("text"), "text", txt)
 
 
+def crlf_docs(tbl):
+    # Windows line endings: every newline becomes \r\n — line-grain
+    # queries split on '\n' and must treat the trailing \r
+    # identically in both engines (it is NOT trimmed: \r survives in
+    # the line hash), and the dedup normalization collapses both chars
+    ids = tbl.column("doc_id").to_pylist()
+    txts = tbl.column("text").to_pylist()
+    out = [(t.replace("\n", "\r\n") if t is not None else None) + f"\r\nextra line {i}"
+           for i, t in zip(ids, txts)]
+    return tbl.set_column(tbl.column_names.index("text"), "text",
+                          pa.array(out, pa.string()))
+
+
 def singleton_lineitem(tbl):
     return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
 
@@ -596,6 +609,10 @@ PROBES = [
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
       "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens"]),
+    ("crlf_docs", {"documents": crlf_docs},
+     ["boilerplate_line_removal", "exact_dedup_documents",
+      "chunk_documents", "text_stats", "doc_fingerprint",
+      "repeated_span_mining"]),
     ("whitespace_storm", {"documents": whitespace_storm_docs},
      ["exact_dedup_documents", "dedup_incremental_new_docs",
       "token_profile", "text_stats", "vocab_top_tokens",
