@@ -9,7 +9,7 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~16 min at 45 probe batches / 437 query runs; needs an
+(~16 min at 46 probe batches / 443 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass (late round 8 final HEAD, after the PQ/audio registrations, the
 tie-storm + category-collapse + unicode + whitespace batches, and the
@@ -67,7 +67,10 @@ real round-8-late divergence: Java's regex \s includes \x0B while
 RE2's does not, so the dedup normalization and the BPE class now
 spell the whitespace set explicitly (_WS_CLASS;
 tests/test_llmops.py::test_whitespace_class_contract); 9/9 OK after
-the fix. 437 total.
+the fix. The crlf_docs sibling (Windows \r\n line endings across the
+line-grain family — the trailing \r survives in line hashes
+identically, the normalization collapses both chars) ran 6/6 OK at
+the same HEAD. 443 total.
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
