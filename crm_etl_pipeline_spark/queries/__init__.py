@@ -120,10 +120,15 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # plus the explicit _WS_CLASS whitespace set (whitespace_storm
 # finding: Java \s includes \x0B, RE2's does not) touched
 # exact_dedup_documents + token_profile +
-# dedup_incremental_new_docs. All five are pytest-oracle-green AND
+# dedup_incremental_new_docs; the epoch-micros Arrow-boundary contract
+# (far_future_ts finding: one year-2400 clock-skew row killed the
+# applyInPandas stages via the pandas ns cast) touched ewma_user_value
+# (streaming_stateful_sessions, same fix, is already in-window at
+# (b)). All six are pytest-oracle-green AND
 # driver-contract-simulated at HEAD with clean-fixture hashes
-# unchanged (the clamp and the pre-translation are no-ops on the
-# all-ASCII, non-degenerate driver fixture); they are round-9 window
+# unchanged (the clamp, the pre-translation, and the micros
+# round-trip are no-ops on the all-ASCII, in-range, non-degenerate
+# driver fixture); they are round-9 window
 # priority #1, ahead of the r5 rotation.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest

@@ -472,18 +472,30 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursive CTE's NULL would poison every later step of that
     user's series — neither is the contract; an unobserved value simply
     isn't part of the average."""
+    # ts crosses the Python boundary as epoch-MICROS (int64): the Arrow
+    # bridge casts timestamp[us] to pandas datetime64[ns], which
+    # overflows on any clock-skew event past 2262-04-11 and would kill
+    # the whole stage for one bad row (far_future_ts probe, round 8);
+    # integer micros order identically and convert back JVM-side
     events = (
         table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
-        .select("user_id", "event_id", "ts", "value")
+        .select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value")
     )
 
     def ewma(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = pdf.sort_values(["ts_us", "event_id"])
         pdf["ewma"] = pdf["value"].ewm(alpha=0.5, adjust=False).mean()
         return pdf
 
-    return events.groupBy("user_id").applyInPandas(
+    out = events.groupBy("user_id").applyInPandas(
         ewma,
-        schema="user_id long, event_id long, ts timestamp, value double, ewma double",
+        schema="user_id long, event_id long, ts_us long, value double, ewma double",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "value",
+        "ewma",
     )

@@ -520,8 +520,13 @@ _SESSION_OUT = StructType(
         StructField("user_id", LongType()),
         StructField("session_id", LongType()),
         StructField("n_events", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        # epoch-MICROS, not TimestampType: the Arrow bridge materializes
+        # pandas datetime64[ns] inside the UDF, which overflows on any
+        # clock-skew event past 2262-04-11 and kills the whole stage
+        # (far_future_ts probe, round 8) — int64 micros cross the
+        # boundary unharmed; read_sessions converts back JVM-side
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
     ]
 )
 
@@ -568,8 +573,8 @@ def _sessionize_group(key, pdfs, state: GroupState):
             "user_id": user_id,
             "session_id": agg["sess"].astype("int64"),
             "n_events": agg["count"].astype("int64"),
-            "session_start": pd.to_datetime(agg["min"], unit="us"),
-            "session_end": pd.to_datetime(agg["max"], unit="us"),
+            "session_start_us": agg["min"].astype("int64"),
+            "session_end_us": agg["max"].astype("int64"),
         }
     )
     tail = agg.iloc[-1]
@@ -610,13 +615,19 @@ def stateful_sessionization(spark: SparkSession, sf_dir: str, out_path: str) -> 
 def read_sessions(spark: SparkSession, out_path: str) -> DataFrame:
     """Converged session table: last emission wins per session key."""
     w = Window.partitionBy("user_id", "session_id").orderBy(
-        F.col("session_end").desc(), F.col("n_events").desc()
+        F.col("session_end_us").desc(), F.col("n_events").desc()
     )
     return (
         spark.read.parquet(out_path)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+        )
     )
 
 

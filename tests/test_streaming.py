@@ -504,3 +504,44 @@ def test_streaming_rate_limit_converges_to_batch(spark):
     got = sorted(tuple(r) for r in streaming_rate_limit(spark, sf_dir).collect())
     want = sorted(tuple(r) for r in rate_limit_admission(spark, sf_dir).collect())
     assert got == want
+
+
+def test_clock_skew_event_survives_pandas_boundary(spark, tmp_path):
+    """Quarantine-philosophy contract from the round-8 far_future_ts
+    probe, pinned: ONE clock-skew event stamped year 2400 — past
+    pandas' datetime64[ns] ceiling (2262-04-11) — must not kill any
+    applyInPandas stage. Timestamps cross the Python boundary as
+    epoch-MICROS (int64) and convert back JVM-side, so the bad row is
+    processed CORRECTLY (it sorts last, opens its own session) rather
+    than crashing the task or being dropped."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "skew")
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(f"{src}/events.parquet")
+    ts = t.column("ts").to_pylist()
+    ts[5] = datetime.datetime(2400, 6, 1, 12, 0, 0)
+    t = t.set_column(
+        t.column_names.index("ts"), "ts", pa.array(ts, t.schema.field("ts").type)
+    )
+    pq.write_table(t, f"{out}/events.parquet")
+    for tb in ("region nation customer supplier part orders lineitem "
+               "documents embeddings").split():
+        os.symlink(f"{src}/{tb}.parquet", f"{out}/{tb}.parquet")
+
+    from crm_etl_pipeline_spark.registry import load_all
+
+    REGISTRY = load_all()
+    ewma = REGISTRY["ewma_user_value"].fn(spark, out).collect()
+    assert len(ewma) == t.num_rows
+    skewed = [r for r in ewma if r.ts.year == 2400]
+    assert len(skewed) == 1  # processed, not dropped or crashed
+
+    sess = REGISTRY["streaming_stateful_sessions"].fn(spark, out).collect()
+    far = [r for r in sess if r.session_start.year == 2400]
+    assert len(far) == 1 and far[0].n_events == 1  # its own session

@@ -9,7 +9,7 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~16 min at 46 probe batches / 443 query runs; needs an
+(~17 min at 47 probe batches / 452 query runs; needs an
 otherwise-idle Spark, like any measurement run). Last certified full
 pass (late round 8 final HEAD, after the PQ/audio registrations, the
 tie-storm + category-collapse + unicode + whitespace batches, and the
@@ -70,7 +70,17 @@ tests/test_llmops.py::test_whitespace_class_contract); 9/9 OK after
 the fix. The crlf_docs sibling (Windows \r\n line endings across the
 line-grain family — the trailing \r survives in line hashes
 identically, the normalization collapses both chars) ran 6/6 OK at
-the same HEAD. 443 total.
+the same HEAD. The far_future_ts batch (ONE event stamped year 2400,
+past pandas' datetime64[ns] ceiling) found the FOURTH real late-round
+bug: the EWMA input and the stateful-session OUTPUT crossed the
+Arrow/pandas boundary as timestamps, so one clock-skew row killed the
+whole stage (ArrowInvalid out-of-bounds ns cast) — closed by carrying
+epoch-micros (int64) across every applyInPandas boundary and
+converting back JVM-side (the quarantine philosophy: one bad row is
+never the task;
+tests/test_streaming.py::test_clock_skew_event_survives_pandas_boundary);
+9/9 OK after the fix, with the skew row processed correctly in both
+engines. 452 total.
 
 Findings to date (all fixed, each with a pinned regression test):
 pearson/cosine/mom_growth ANSI 0/0 crashes, props extractor
@@ -417,6 +427,21 @@ def crlf_docs(tbl):
                           pa.array(out, pa.string()))
 
 
+def far_future_ts(tbl):
+    # clock-skew garbage: one event stamped year 2400 — past pandas'
+    # datetime64[ns] ceiling (2262-04-11), so any timestamp crossing
+    # the Arrow/pandas boundary as a datetime kills the whole stage
+    # for one bad row; the contract is epoch-micros across every
+    # applyInPandas boundary (quarantine philosophy: one bad row is
+    # one bad row, never the task)
+    ts = tbl.column("ts").to_pylist()
+    ts[5] = datetime.datetime(2400, 6, 1, 12, 0, 0)
+    return tbl.set_column(
+        tbl.column_names.index("ts"), "ts",
+        pa.array(ts, tbl.schema.field("ts").type),
+    )
+
+
 def singleton_lineitem(tbl):
     return tbl.filter(pc.equal(tbl.column("l_linenumber"), 1))
 
@@ -612,6 +637,11 @@ PROBES = [
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
       "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens"]),
+    ("far_future_ts", {"events": far_future_ts},
+     ["ewma_user_value", "streaming_stateful_sessions",
+      "streaming_rate_limit", "sessionization", "session_window_builtin",
+      "event_dedup_last_write_wins", "asof_join_latest_order",
+      "tumbling_daily_counts", "scd2_current_view"]),
     ("crlf_docs", {"documents": crlf_docs},
      ["boilerplate_line_removal", "exact_dedup_documents",
       "chunk_documents", "text_stats", "doc_fingerprint",
