@@ -13,9 +13,11 @@ Run from the repo root:  python tools/degenerate_probe.py
 otherwise-idle Spark, like any measurement run). Last certified full
 pass (late round 8 final HEAD, after the PQ/audio registrations, the
 tie-storm + category-collapse + unicode + whitespace batches, and the
-variance-clamp + casefold + whitespace-class fixes): **437/437 OK**
-(with the full pytest suite, 333 green, running concurrently — the
-sweep is a correctness harness, not a timing one). The prior
+variance-clamp + casefold + whitespace-class + Arrow-boundary
+timestamp fixes): **452/452 OK** (with the full pytest suite, 334
+green, running concurrently — the sweep is a correctness harness, not
+a timing one); the 50-query round-8 window re-simulated 50/50
+full-hash green at the same HEAD. The prior
 round-8 certification was **331/331 OK** — all batches, including
 the round-8 additions: the empty_string_langs probe, the CSV sentinel
 values in nasty_text, empty-table probes over the four round-8
