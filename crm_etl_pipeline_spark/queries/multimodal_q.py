@@ -183,7 +183,8 @@ def multimodal_mp4_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact byte range in the multi-GB mdat — the stage that lets a
     frame-sampler fetch only wanted samples. Covers BOTH fabricated
     layouts: single-chunk docs (mp4 doc_id % 8 == 3) lay samples
-    back-to-back from byte 392; multi-chunk docs (doc_id % 8 == 7)
+    back-to-back from byte 416 (MP4_CHUNK_OFFSET — the stss addition
+    moved the data start); multi-chunk docs (doc_id % 8 == 7)
     follow the genuine stsc run-length map (5 samples in chunk 1, 3 in
     chunk 2) across two stco bases separated by a 16-byte unreferenced
     gap — offsets a cumulative-size walk CANNOT produce, so the hash

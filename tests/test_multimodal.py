@@ -276,7 +276,9 @@ def _rebuild_mp4_with_stbl(doc_id: int, stbl_leaves: bytes) -> bytes:
     """Rebuild a SINGLE-CHUNK fabricated file (doc_id % 8 == 3) with a
     hand-written stbl — keeps ftyp/mvhd/tkhd/mdhd and the mdat bytes,
     swaps the sample table (the single-chunk layout's fixed offsets:
-    mvhd 32:140, tkhd 148:240, mdhd 248:280, mdat from 384)."""
+    mvhd 32:140, tkhd 148:240, mdhd 248:280, mdat from 408 — moov is
+    384 bytes so mdat starts at 24 + 384 = 408, matching the b[408:]
+    slice below)."""
     import struct
 
     from crm_etl_pipeline_spark import multimodal
