@@ -81,6 +81,22 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       chi_square/benford/ols/robust_outliers/histogram_equi_depth
 #       r5 rows and the r8-fresh global_rank/copurchase_pagerank.
 #
+# Round-9 changed-code ledger (the c2 precedent: changed rows the full
+# window cannot absorb defer to the NEXT round's priority #1, with the
+# clean-fixture hash-unchanged proof pinned at HEAD): the dup_events
+# gateway probe found rate_limited_calls' hour-stage join-back on
+# event_id cross-matching byte-identical re-sends (2 deliveries ->
+# 4 rows); the fix replaces filter + join-back with a running
+# conditional count in BOTH engines (gateway_q.py), changing
+# rate_limit_admission (code+oracle, last row r6) and
+# streaming_rate_limit (oracle only — _ADMISSION_SQL is shared
+# verbatim; its stateful limiter was already delivery-grain, last row
+# r7). Hash-unchanged on clean fixtures: event_ids are unique there,
+# so the join-back matched exactly one row and the running count
+# produces identical hr values; both queries are pytest-oracle-green
+# at HEAD (tests/test_oracle.py -k rate_limit). Both are round-10
+# window priority #1.
+#
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).

@@ -26,6 +26,20 @@ exhausted for the rest of the hour, so every later event is rejected
 regardless of minute state. Window nesting is what makes the
 decomposition exact; sliding-window limiters do not decompose this way.
 
+Duplicate-delivery contract (round-9 dup_events sweep): the gateway
+family is COUNT-SENSITIVE by design — an at-least-once re-send is a
+second queue entry, the worker makes a second API call for it, and it
+consumes its own rate-limit quota / sequence slot / backoff penalty
+(PodioApiGateway.py:153-156). No identity dedup here, unlike the
+SCD2/dedup/vector families. That is only sound because nothing in the
+family joins back on event identity: the admission hour-rank is a
+running conditional count (a byte-identical copy shares (ts,
+event_id), so an event_id equi-join would cross-match the copies —
+the bug this contract replaced), the rotation schedule ranks
+deliveries, and the backoff audit is a pure groupBy count.
+tests/test_gateway.py::test_duplicated_deliveries_each_consume_quota
+pins the replay against the sequential limiter at delivery grain.
+
 Scale shape (100 TB): a single token's rate limiter is inherently a
 sequential counter, but the nested-fixed-window formulation shards it
 into independent per-minute and per-hour ranks — bounded windows (a
@@ -79,8 +93,10 @@ def rate_limited_calls(
     """Per-call admission under nested fixed-window caps: every event
     classified admitted / minute_throttled / hour_throttled. The
     two-stage rank decomposition is exactly greedy (module docstring).
-    Returned at call grain so tests can replay it against a sequential
-    limiter; the registered query aggregates to hour grain."""
+    Returned at delivery grain (one row per queue entry, duplicates
+    included — the count-sensitivity contract) so tests can replay it
+    against a sequential limiter; the registered query aggregates to
+    hour grain."""
     ev = table(spark, sf_dir, "events").select(
         "event_id",
         "ts",
@@ -89,23 +105,29 @@ def rate_limited_calls(
     )
     mw = Window.partitionBy("minute").orderBy("ts", "event_id")
     ev = ev.withColumn("minute_ok", F.row_number().over(mw) <= minute_cap)
-    hw = Window.partitionBy("hour").orderBy("ts", "event_id")
-    hr = (
-        ev.filter("minute_ok")
-        .withColumn("hr", F.row_number().over(hw))
-        .select("event_id", "hr")
+    # Hour-stage rank as a running conditional count (self-inclusive),
+    # NOT a filter + join-back on event_id: under at-least-once delivery
+    # a byte-identical re-send shares its event_id, and an equi-join on
+    # that key cross-matches the copies (2 deliveries -> 4 rows — the
+    # round-9 dup_events finding). The running sum keeps the query at
+    # delivery grain — each re-send is its own call consuming its own
+    # quota, mirroring the reference's worker making one API call per
+    # queue entry (PodioApiGateway.py:153-156) — and drops a whole
+    # shuffle join from the plan.
+    hw = (
+        Window.partitionBy("hour")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        ev.join(hr, "event_id", "left")
-        .select(
-            "event_id",
-            "ts",
-            "hour",
-            (F.col("minute_ok") & (F.col("hr") <= hour_cap)).alias("admitted"),
-            F.when(~F.col("minute_ok"), F.lit("minute_cap"))
-            .when(F.col("hr") > hour_cap, F.lit("hour_cap"))
-            .alias("throttle_reason"),
-        )
+    ev = ev.withColumn("hr", F.sum(F.col("minute_ok").cast("int")).over(hw))
+    return ev.select(
+        "event_id",
+        "ts",
+        "hour",
+        (F.col("minute_ok") & (F.col("hr") <= hour_cap)).alias("admitted"),
+        F.when(~F.col("minute_ok"), F.lit("minute_cap"))
+        .when(F.col("hr") > hour_cap, F.lit("hour_cap"))
+        .alias("throttle_reason"),
     )
 
 
@@ -119,21 +141,27 @@ _ADMISSION_SQL = f"""
              ROW_NUMBER() OVER (PARTITION BY date_trunc('minute', ts)
                                 ORDER BY ts, event_id) <= {_MINUTE_CAP} AS minute_ok
       FROM events
-    ), hranked AS (
-      SELECT event_id,
-             ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts, event_id) AS hr
-      FROM base WHERE minute_ok
+    ), ranked AS (
+      -- hour rank as a running conditional count, NOT a join-back on
+      -- event_id: mirrors the Spark side's delivery-grain formulation
+      -- (a byte-identical at-least-once re-send is its own call; an
+      -- event_id equi-join would cross-match the copies)
+      SELECT hour, minute_ok,
+             SUM(CASE WHEN minute_ok THEN 1 ELSE 0 END)
+               OVER (PARTITION BY hour ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hr
+      FROM base
     )
-    SELECT CAST(b.hour AS TIMESTAMP) AS hour,
+    SELECT CAST(hour AS TIMESTAMP) AS hour,
            COUNT(*) AS n_calls,
-           CAST(SUM(CASE WHEN b.minute_ok AND h.hr <= {_HOUR_CAP} THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN minute_ok AND hr <= {_HOUR_CAP} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_admitted,
-           CAST(SUM(CASE WHEN NOT b.minute_ok THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN NOT minute_ok THEN 1 ELSE 0 END) AS BIGINT)
              AS n_minute_throttled,
-           CAST(SUM(CASE WHEN b.minute_ok AND h.hr > {_HOUR_CAP} THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN minute_ok AND hr > {_HOUR_CAP} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hour_throttled
-    FROM base b LEFT JOIN hranked h ON b.event_id = h.event_id
-    GROUP BY b.hour
+    FROM ranked
+    GROUP BY hour
     """
 
 

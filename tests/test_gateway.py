@@ -107,6 +107,78 @@ def test_rotation_slots_are_contiguous_and_round_robin(spark):
             assert r["n_calls"] == gateway_q._ROTATE_EVERY
 
 
+def _sequential_limiter_deliveries(rows, minute_cap, hour_cap):
+    """Delivery-grain twin of _sequential_limiter: processes EVERY row
+    (duplicates included — each at-least-once re-send is its own API
+    call consuming its own quota) and returns the admitted multiset."""
+    minute_used: dict = {}
+    hour_used: dict = {}
+    out = []
+    for event_id, ts in sorted(rows, key=lambda r: (r[1], r[0])):
+        m = ts.replace(second=0, microsecond=0)
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        ok = minute_used.get(m, 0) < minute_cap and hour_used.get(h, 0) < hour_cap
+        if ok:
+            minute_used[m] = minute_used.get(m, 0) + 1
+            hour_used[h] = hour_used.get(h, 0) + 1
+        out.append((event_id, ok))
+    return sorted(out)
+
+
+def test_duplicated_deliveries_each_consume_quota(spark, tmp_path):
+    """The round-9 dup_events contract: a byte-identical re-send is a
+    second call. One output row per delivery (the old event_id
+    join-back cross-matched the copies: 2 deliveries -> 4 rows), and
+    the admitted multiset equals the sequential limiter processing
+    every delivery. Duplicated copies tie on (ts, event_id); being
+    byte-identical, either engine-side order yields the same multiset."""
+    rows = _planted_burst()
+    dup = rows + [r for i, r in enumerate(rows) if i % 7 == 0]
+    sf_dir = _write_events(spark, tmp_path, dup)
+    got = gateway_q.rate_limited_calls(spark, sf_dir).collect()
+    assert len(got) == len(dup)  # delivery grain: no join explosion
+    want = _sequential_limiter_deliveries(
+        dup, gateway_q._MINUTE_CAP, gateway_q._HOUR_CAP
+    )
+    assert sorted((r["event_id"], r["admitted"]) for r in got) == want
+
+
+def test_duplicated_deliveries_count_in_rotation_and_backoff(spark, tmp_path_factory):
+    """Count-sensitivity pins for the other two gateway queries: a
+    duplicated delivery takes its own rotation-sequence slot and its
+    own backoff penalty — total call counts scale with deliveries, not
+    distinct event ids (mirrors PodioApiGateway.py:153-156)."""
+    import pyarrow.parquet as pq_mod
+    import pyarrow as pa
+
+    src = "/root/testdata/sf0.01"
+    out = tmp_path_factory.mktemp("dupgw")
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents embeddings").split():
+        (out / f"{t}.parquet").symlink_to(f"{src}/{t}.parquet")
+    ev = pq_mod.read_table(f"{src}/events.parquet")
+    dup = pa.concat_tables([ev, ev.slice(0, ev.num_rows // 7)])
+    pq_mod.write_table(dup, str(out / "events.parquet"))
+
+    rot = gateway_q.credential_rotation_schedule(spark, str(out)).collect()
+    assert sum(r["n_calls"] for r in rot) == dup.num_rows
+    # slots stay exactly the rotation threshold — duplicates fill them
+    for r in rot:
+        if r["rotation_slot"] < len(rot) - 1:
+            assert r["n_calls"] == gateway_q._ROTATE_EVERY
+
+    base = {
+        r["failed_attempts"]: r["n_events"]
+        for r in gateway_q.backoff_penalty_audit(spark, src).collect()
+    }
+    dupd = {
+        r["failed_attempts"]: r["n_events"]
+        for r in gateway_q.backoff_penalty_audit(spark, str(out)).collect()
+    }
+    assert sum(dupd.values()) > sum(base.values())  # penalties accrue per delivery
+    assert all(dupd[k] >= v for k, v in base.items())
+
+
 # -- property check: greedy equivalence on hypothesis-generated bursts -------
 
 import pytest

@@ -721,3 +721,53 @@ def test_whitespace_class_contract(spark):
         assert got[i] == (dn, dc), (b, got[i], (dn, dc))
     assert got[0][0] == "alpha beta vertical tab"
     assert "\xa0" in got[1][0]  # NBSP is not whitespace in either engine
+
+
+def test_retrieval_duplicate_ingest_contract(spark, tmp_path):
+    """Round-9 dup-identity pin for the retrieval postings family: the
+    corpus is taken AS GIVEN (dedup is an explicit upstream operator,
+    exact_dedup_documents — retrieval does not second-guess it), so
+
+    - inverted_index_postings is INVARIANT under a byte-identical
+      re-ingest: df counts distinct documents and posting heads are
+      doc_id sets by construction (the groupBy(tok, doc_id) head
+      collapses the copies);
+    - bm25_topk_search is COUNT-SENSITIVE: a re-ingested copy doubles
+      its term frequencies and counts in N — deterministically, with
+      no join explosion (nothing joins back on doc_id).
+    Both behaviors are cross-engine (the dup_docs sweep batch runs both
+    queries on the duplicated fixture against DuckDB)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    src = "/root/testdata/sf0.001"
+    out = tmp_path / "dup"
+    out.mkdir()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        (out / f"{t}.parquet").symlink_to(f"{src}/{t}.parquet")
+    docs = pq_mod.read_table(f"{src}/documents.parquet")
+    ndup = docs.num_rows // 7 or 1
+    pq_mod.write_table(
+        pa.concat_tables([docs, docs.slice(0, ndup)]), str(out / "documents.parquet")
+    )
+    dup_ids = set(docs.column("doc_id").to_pylist()[:ndup])
+
+    inv = REGISTRY["inverted_index_postings"].fn
+    clean = sorted(map(tuple, inv(spark, src).collect()))
+    duped = sorted(map(tuple, inv(spark, str(out)).collect()))
+    assert clean == duped  # identity semantics: re-delivery changes nothing
+
+    bm25 = REGISTRY["bm25_topk_search"].fn
+    clean_rows = bm25(spark, src).collect()
+    dup_rows = bm25(spark, str(out)).collect()
+    # no explosion: still a top-<=10, one row per doc identity
+    assert len(dup_rows) <= 10
+    assert len({r.doc_id for r in dup_rows}) == len(dup_rows)
+    # count-sensitivity: the duplicated corpus shifts the fixed-point
+    # scores (tf doubles for re-ingested docs, N counts deliveries) —
+    # the ranking is of a different corpus, not a corrupted one
+    assert {(r.doc_id, r.score_fp) for r in dup_rows} != {
+        (r.doc_id, r.score_fp) for r in clean_rows
+    }
+    assert dup_ids  # the mutation actually duplicated something

@@ -693,7 +693,12 @@ PROBES = [
       "fifo_head", "sessionization", "streaming_scd2_state",
       "retry_and_dead_letter", "incremental_agg_merge",
       "asof_join_latest_order", "event_type_routing",
-      "rate_limit_admission", "tumbling_daily_counts"]),
+      "rate_limit_admission", "tumbling_daily_counts",
+      # round-9: the rest of the count-sensitive gateway family
+      # (contract in gateway_q's module docstring) + the streaming
+      # limiter twin whose oracle is _ADMISSION_SQL verbatim
+      "credential_rotation_schedule", "backoff_penalty_audit",
+      "streaming_rate_limit"]),
     ("null_user_ids", {"events": null_every_10th("user_id")},
      ["sessionization", "event_transition_matrix", "funnel_conversion",
       "latest_order_per_customer", "asof_join_latest_order",
@@ -731,9 +736,16 @@ PROBES = [
 
 
 def main():
+    # optional batch-name filter: python tools/degenerate_probe.py dup_events ...
+    only = set(sys.argv[1:])
+    probes = [p for p in PROBES if not only or p[0] in only]
+    if only and len(probes) != len(only):
+        missing = only - {p[0] for p in probes}
+        print(f"unknown batch name(s): {sorted(missing)}")
+        return 2
     spark = get_spark("degenerate-probe")
     failures = 0
-    for name, muts, qnames in PROBES:
+    for name, muts, qnames in probes:
         d = make_fixture(name, muts)
         for qn in qnames:
             if qn not in REGISTRY:
