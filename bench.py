@@ -56,6 +56,12 @@ TIER2 = [
     "rate_limit_admission",
     "abc_pareto_classification",
     "prefix_filter_setsim_join",
+    # round-9 additions (registered late round 8, kept out mid-round
+    # for reading comparability): the PQ-ADC compressed-domain scan
+    # (ANN family) and the two Arrow-codec multimodal stages
+    "ann_pq_adc",
+    "audio_energy_windows",
+    "multimodal_mp4_seek_plan",
 ]
 
 # Tier 3 (new in round 8): the MAINTENANCE jobs — write-inclusive
@@ -69,6 +75,10 @@ TIER3 = [
     "schema_evolution_read",
     "partition_evolution_regrain",
     "scd2_expire_versions",
+    # round-9 addition: rebuilds the Morton-clustered layout each run
+    # (write-inclusive by construction), so it belongs with the
+    # maintenance jobs, not the read-only tiers
+    "zorder_range_scan",
 ]
 
 
