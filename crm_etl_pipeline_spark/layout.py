@@ -104,6 +104,62 @@ def write_zordered(df: DataFrame, path: str, zcol: str, n_files: int) -> None:
     )
 
 
+def write_zordered_segments(df: DataFrame, path: str, zcol: str, seg_col: str) -> None:
+    """Write a Z-ordered store as one directory per CURVE SEGMENT
+    (``seg_col`` must be a prefix of ``zcol`` — e.g. ``zval >> k`` — so
+    every segment directory covers a contiguous curve range, hence a
+    bounded box in both original dimensions). The repartition on the
+    segment key lands each segment's rows in O(1) files, sorted along
+    the curve. Unlike write_zordered's range partitioning, segment
+    boundaries are STATIC (a bit prefix), which is what makes
+    incremental maintenance possible: a later delta row maps to its
+    segment by arithmetic alone — no boundary metadata to read or
+    version."""
+    (
+        df.repartition(F.col(seg_col))
+        .sortWithinPartitions(seg_col, zcol)
+        .write.mode("overwrite")
+        .partitionBy(seg_col)
+        .parquet(path)
+    )
+
+
+def compact_zordered_increment(
+    spark: SparkSession, store_path: str, delta: DataFrame, zcol: str, seg_col: str
+) -> None:
+    """Incremental Z-order compaction — merge unsorted delta rows into
+    the curve order rewriting ONLY the segments they touch: the
+    Z-order twin of streaming.compact_store. The merged frame is
+    (touched base segments ∪ delta) re-sorted along the curve; the
+    write uses Spark's dynamic partition overwrite, so a segment
+    directory absent from the merged frame is left byte-identical on
+    disk (asserted in tests/test_layout.py). At 100 TB this is the
+    whole point: a day's appends touch the few curve segments their
+    (time, key) boxes map to, and the maintenance job's cost is
+    proportional to the TOUCHED data, never the store size."""
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
+    affected = delta.select(seg_col).distinct()
+    base = spark.read.parquet(store_path)
+    # checkpoint BEFORE the overwrite: the merged frame reads the very
+    # files the write replaces, and a lazy plan would scan them mid-
+    # overwrite (Spark rejects the self-overwrite outright when it can
+    # see it). The checkpoint materializes exactly the touched data —
+    # the same bytes the job must move anyway, not an extra pass over
+    # the store.
+    merged = reliable_checkpoint(
+        base.join(F.broadcast(affected), seg_col, "left_semi").unionByName(delta)
+    )
+    (
+        merged.repartition(F.col(seg_col))
+        .sortWithinPartitions(seg_col, zcol)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(seg_col)
+        .parquet(store_path)
+    )
+
+
 def regrain_month(spark: SparkSession, day_path: str, month_path: str) -> None:
     """Partition evolution: re-grain a day-partitioned store to month
     directories. A store laid out for day-grain queries accumulates

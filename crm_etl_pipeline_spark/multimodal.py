@@ -361,8 +361,26 @@ def fabricate_media(docs: DataFrame) -> DataFrame:
     """Fabricate REAL media bytes per doc by doc_id % 4: 0 → PCM WAV,
     1 → 24-bit BMP, 2 → 8-bit RGB PNG, 3 → ISO-BMFF MP4. mapInPandas
     because binary packing is not column algebra — this is the fixture
-    generator, not the hot path."""
-    flat = docs.select("doc_id")
+    generator, not the hot path.
+
+    The explicit-width repartition is load-bearing: the input is a
+    doc_id-only frame (bytes-per-row ~8) whose upstream exchange AQE
+    coalesces BY INPUT SIZE — at sf10 the whole 125 k-file fabricate +
+    decode pipeline was landing on 2 tasks while 30 cores idled
+    (round-9 audio-decade finding; AQE sizes partitions by shuffle
+    bytes and cannot see per-row compute cost). A user-numbered
+    repartition is exempt from AQE coalescing, so the codec stage gets
+    deterministic width at every scale — and it must be the COLUMN-LESS
+    round-robin form: ``repartition(n, "doc_id")`` reproduces the
+    hashpartitioning(doc_id, n) the callers' upstream dedup exchange
+    already provides, so the optimizer removes it as redundant and AQE
+    coalesces the surviving ENSURE_REQUIREMENTS exchange right back to
+    2 tasks (observed before this fix). The REAL corpus path
+    (decode_media over stored payloads) never needs this — there the
+    input bytes ARE the payloads, and byte-proportional splits
+    parallelize naturally."""
+    sc = docs.sparkSession.sparkContext
+    flat = docs.select("doc_id").repartition(sc.defaultParallelism)
     builders = {0: _wav_bytes, 1: _bmp_bytes, 2: _png_bytes, 3: _mp4_bytes}
     mimes = {0: "audio/wav", 1: "image/bmp", 2: "image/png", 3: "video/mp4"}
 

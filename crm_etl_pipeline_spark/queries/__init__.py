@@ -56,12 +56,25 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       dedup_incremental_new_docs, ewma_user_value,
 #       streaming_moments_anomalies) are ALSO r5 rows, so the ledger
 #       absorbs 4 of the 39-row r5 tier.
-#   (b) ALL 35 remaining r5 rows — the oldest tier in the registry —
-#       so after this round no driver row is older than r6 and the
-#       entire r5 tier is refreshed (nothing rotates to round 10 from
-#       it; the round-8 verdict's "3 left over" assumed no overlap
-#       with the ledger).
-#   (c) catalog_tree, the one r6 row whose family (catalog) otherwise
+#   (b) 34 of the 35 remaining r5 rows — the oldest tier in the
+#       registry — so after this round no driver row but one is older
+#       than r6 (the round-8 verdict's "3 left over" assumed no
+#       overlap with the ledger; the actual overlap is 4, which is
+#       what makes room for (c) and (d)). The one r5 row left out is
+#       partition_pruned_scan, ceded to the new layout registration —
+#       see (c).
+#   (c) zorder_incremental_compact, REGISTERED this round (never
+#       driver-checked = highest priority after changed code): the
+#       round-8 verdict's stretch item (a) — incremental Z-order
+#       compaction, the curve twin of scd2_compact_small_files. It
+#       takes partition_pruned_scan's slot (ceded to the layout
+#       family's in-window members: this new registration plus the
+#       r8-fresh zorder_range_scan / partition_evolution_regrain rows
+#       exercise the same footer/partition-pruning machinery;
+#       partition_pruned_scan itself stays pytest-oracle-green at HEAD
+#       and rotates in round 10's window, priority right after the
+#       rate-limit ledger rows).
+#   (d) catalog_tree, the one r6 row whose family (catalog) otherwise
 #       has ZERO in-window representation this round — S3/S6 coverage.
 #       The other 38 r6 rows (all pytest-oracle-green at HEAD via
 #       tests/test_oracle.py) are 3 rounds old after this window and
@@ -97,6 +110,20 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # at HEAD (tests/test_oracle.py -k rate_limit). Both are round-10
 # window priority #1.
 #
+# Second round-9 ledger entry: the audio top-decade measurement found
+# fabricate_media's codec stage running on 2 AQE-coalesced tasks (the
+# doc_id-only shuffle is ~8 bytes/row, so AQE sizes the stage by
+# shuffle bytes while the per-row Python cost idles 30 cores); the fix
+# is a column-less explicit repartition before mapInPandas
+# (multimodal.py — 45.5 s → 5.2 s at sf10, 9×). Partitioning-only
+# change, results provably identical (all 8 multimodal queries
+# pytest-oracle-green at HEAD). One of the 8 (multimodal_byte_dedup)
+# is in THIS round's window and gets driver-certified under the new
+# code; the other 7 (manifest, features, real_decode, frame_sample,
+# decode_quarantine, mp4_seek_plan, audio_energy_windows — all r8
+# rows) are round-10 window priority #1 alongside the two rate-limit
+# rows.
+#
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).
@@ -116,7 +143,8 @@ DRIVER_PRIORITY: list[str] = [
     "event_value_anomalies",
     "streaming_moments_anomalies",
     "ewma_user_value",
-    # --- (b) the 35 remaining r5 rows, oldest tier in the registry ---
+    # --- (b) 34 of the 35 remaining r5 rows, oldest tier in the
+    # registry (partition_pruned_scan ceded to (c), preamble note) ---
     "approx_distinct_selfcheck",
     "attribution_last_touch",
     "backoff_penalty_audit",
@@ -137,7 +165,6 @@ DRIVER_PRIORITY: list[str] = [
     "keyset_pagination_orders",
     "kmv_set_intersection",
     "ols_frequency_monetary",
-    "partition_pruned_scan",
     "pii_redaction",
     "pps_systematic_sample",
     "prefix_filter_setsim_join",
@@ -152,6 +179,9 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_stream_stream_join",
     "token_rarity_score",
     "winsorize_event_values",
-    # --- (c) the one r6 row whose family is otherwise unrepresented ---
+    # --- (c) registered this round, never driver-checked (takes
+    # partition_pruned_scan's slot — cede note in the preamble) ---
+    "zorder_incremental_compact",
+    # --- (d) the one r6 row whose family is otherwise unrepresented ---
     "catalog_tree",
 ]

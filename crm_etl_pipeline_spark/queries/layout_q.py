@@ -222,6 +222,145 @@ def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one curve-segment directory per 128 z-values: a STATIC bit prefix of
+# the 32-bit Morton position, so base and delta agree on segment
+# assignment by arithmetic alone (no boundary metadata); at 100 TB the
+# shift is the file-size budget knob, not a correctness parameter
+ZSEG_SHIFT = 7
+
+
+@query(
+    "zorder_incremental_compact",
+    # unchanged-results + curve-math proof: the oracle recomputes every
+    # row, its Morton position, and its segment from the raw parquet
+    # truth — a row lost by the semi-join, duplicated by the union, or
+    # landed in the wrong segment by the dynamic overwrite breaks the
+    # hash
+    oracle=f"""
+    WITH m AS (SELECT MIN(CAST(ts AS DATE)) AS min_day FROM events),
+    b AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             date_diff('day', min_day, CAST(ts AS DATE)) AS day_idx,
+             user_id // 16 AS u_bucket
+      FROM events, m
+    ),
+    z AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             CAST(day_idx AS INT) AS day_idx,
+             CAST({_spread_sql('day_idx')}
+                  | ({_spread_sql('u_bucket')} << 1) AS BIGINT) AS zval
+      FROM b
+    )
+    SELECT event_id, ts, user_id, event_type, value, day_idx, zval,
+           CAST(zval >> {ZSEG_SHIFT} AS INT) AS seg
+    FROM z
+    """,
+    survey="S1/F1/L5 layout maintenance (incremental Z-order compaction: deltas merged into the curve rewriting only touched segments; unchanged-results-hash proof)",
+)
+def zorder_incremental_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance gap ``zorder_range_scan`` leaves open: that query
+    rebuilds the whole clustered layout per run, but a live store takes
+    streaming appends that arrive UNSORTED — left in place they rot the
+    clustering (new files span the whole curve, 2-D pruning degrades to
+    full scans). This query runs the incremental job: lay the first 25
+    days out as the Z-ordered base (one directory per static curve
+    segment, ``zval >> {shift}``), append the last 5 days as four
+    unsorted small-file delta chunks (the streaming shape — recent
+    event-time, any curve position), then fold the delta into the curve
+    with ``layout.compact_zordered_increment``: touched base segments ∪
+    delta, re-sorted, written via dynamic partition overwrite so
+    untouched segment directories are left byte-identical (file-listing
+    proof in tests/test_layout.py; at sf0.01 segments 0-1 — early
+    days — are provably untouched by a recent-days delta).
+
+    The oracle recomputes every row, Morton position, and segment
+    assignment from the raw truth — compaction must be invisible to
+    readers except through file layout, the same unchanged-results
+    contract as ``scd2_compact_small_files`` and
+    ``partition_evolution_regrain``.
+
+    Scale shape: the job's cost is the TOUCHED segments' data plus the
+    delta — never the store size. A day of appends maps to the curve
+    region its (time, key) box covers; everything else is a left-semi
+    prune against a broadcast of the affected-segment ids. The static
+    bit-prefix segmentation is what removes the boundary-metadata read
+    a range-partitioned layout would need before every merge."""
+    import shutil
+
+    wd = _workdir("zinc", sf_dir)
+    # self-contained per invocation: the delta log is append-mode, so a
+    # re-run in the same session (bench warm-ups) would silently double
+    # it — same discipline as scd2_compact_small_files
+    shutil.rmtree(wd, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    if ev.isEmpty():
+        # empty-in/empty-out contract (degenerate sweep): a partitioned
+        # write of zero rows lands no files and the read-back cannot
+        # infer a schema — mirror partition_evolution_regrain
+        return spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, day_idx int, zval long, seg int",
+        )
+    anchor = ev.agg(F.min(F.to_date("ts")).alias("min_day")).select(
+        "min_day",
+        F.least(F.greatest(F.dayofmonth("min_day"), F.lit(1)), F.lit(1))
+        .cast("int")
+        .alias("_k"),
+    )
+    curved = (
+        ev.withColumn(
+            "_k",
+            F.least(F.greatest(F.dayofmonth(F.to_date("ts")), F.lit(1)), F.lit(1)).cast(
+                "int"
+            ),
+        )
+        .join(F.broadcast(anchor), "_k")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            F.datediff(F.to_date("ts"), F.col("min_day"))
+            .cast("int")
+            .alias("day_idx"),
+            F.expr("user_id div 16").alias("u_bucket"),
+        )
+        .withColumn(
+            "zval", layout.zvalue(F.col("day_idx"), F.col("u_bucket")).cast("bigint")
+        )
+        .withColumn("seg", F.shiftright(F.col("zval"), ZSEG_SHIFT).cast("int"))
+        .drop("u_bucket")
+    )
+    store = os.path.join(wd, "events_zseg")
+    layout.write_zordered_segments(
+        curved.filter(F.col("day_idx") < 25), store, "zval", "seg"
+    )
+    # the streaming tail: last 5 days arrive as 4 unsorted append chunks
+    tail = curved.filter(F.col("day_idx") >= 25)
+    if not tail.isEmpty():  # a <25-day corpus (const_ts sweep) has no tail:
+        # nothing to merge, and a zero-row append lands no parquet files
+        # for the read-back to infer a schema from
+        delta_log = os.path.join(wd, "delta_log")
+        for i in range(4):
+            tail.filter(F.col("event_id") % 4 == i).write.mode("append").parquet(
+                delta_log
+            )
+        delta = spark.read.parquet(delta_log)
+        layout.compact_zordered_increment(spark, store, delta, "zval", "seg")
+    return spark.read.parquet(store).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("day_idx").cast("int").alias("day_idx"),
+        "zval",
+        F.col("seg").cast("int").alias("seg"),
+    )
+
+
 @query(
     "partition_evolution_regrain",
     # unchanged-results proof: the oracle never sees either store —

@@ -37,7 +37,20 @@ def get_spark(app_name: str = "crm_etl_pipeline_spark", cpus: int | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # env-overridable split size: the cluster default (128 MB) is
+        # right for columnar scan work, but a per-ROW-expensive stage
+        # (the multimodal Arrow codecs: ~0.3 ms/file of Python per WAV/
+        # MP4) saturates a 100 TB cluster only because the real corpus
+        # is millions of files — a single-file local fixture needs
+        # smaller splits to reproduce that parallelism (the sf10
+        # documents fixture is ONE 145 MB row group = one task at the
+        # default; SCALE.md audio decade documents the artifact)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)
+            ),
+        )
         # events.parquet stores TIMESTAMP(NANOS); read nanos as long once,
         # globally, instead of mutating session conf inside readers
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
