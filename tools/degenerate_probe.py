@@ -9,12 +9,21 @@ and asserts both engines produce identical canonical rows (or both
 fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
-(~17 min at 47 probe batches / 452 query runs; needs an
-otherwise-idle Spark, like any measurement run). Last certified full
-pass (late round 8 final HEAD, after the PQ/audio registrations, the
-tie-storm + category-collapse + unicode + whitespace batches, and the
-variance-clamp + casefold + whitespace-class + Arrow-boundary
-timestamp fixes): **452/452 OK** (with the full pytest suite, 334
+(optionally pass batch names to run a subset: `python
+tools/degenerate_probe.py dup_events const_ts`). ~17 min at 47 probe
+batches / 457 query runs; needs an otherwise-idle Spark, like any
+measurement run. Last certified full pass (round 9 final HEAD, after
+the rate-limit running-count rewrite, the fabricate-media width fix,
+the zorder_incremental_compact registration, and the round-9 batch
+growth — dup_events +3: credential_rotation_schedule,
+backoff_penalty_audit, streaming_rate_limit under the count-sensitive
+gateway contract; empty_events and const_ts each
++zorder_incremental_compact): **457/457 OK** (full pytest suite, 340
+green, running concurrently — the sweep is a correctness harness, not
+a timing one). The prior certification (late round 8 final HEAD,
+after the PQ/audio registrations, the tie-storm + category-collapse +
+unicode + whitespace batches, and the variance-clamp + casefold +
+whitespace-class + Arrow-boundary timestamp fixes) was **452/452 OK** (with the full pytest suite, 334
 green, running concurrently — the sweep is a correctness harness, not
 a timing one); the 50-query round-8 window re-simulated 50/50
 full-hash green at the same HEAD. The prior
