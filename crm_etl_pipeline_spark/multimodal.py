@@ -227,25 +227,32 @@ def _png_bytes(doc_id: int) -> bytes:
 
 
 #: Fixed sample-table geometry of the fabricated MP4s: 8 uniform-size
-#: samples, and a genuine stss sync-sample table marking samples 1 and
+#: samples, a genuine stss sync-sample table marking samples 1 and
 #: 5 (1-based) as keyframes — the seek plan a frame-sampler consumes
-#: carries is_sync per sample. Single-chunk variant (mp4 doc_id % 8 ==
-#: 3): stsd/stts/stss/stsz/stco, data starts at byte 416 (ftyp 24 +
-#: moov 384 + mdat header 8), file exactly 480 + 8·(doc_id % 16)
+#: carries is_sync per sample — and a genuine single-entry edit list
+#: (trak → edts → elst, inserted between tkhd and mdia) whose
+#: media_time trims (doc_id % 3) sample-durations off the front of the
+#: presentation (the encoder-priming-trim shape; every third doc gets
+#: the identity edit media_time=0). The edts subtree is 36 fixed bytes
+#: (elst v0, one entry), so every post-tkhd offset sits 36 bytes past
+#: its round-8 position. Single-chunk variant (mp4 doc_id % 8 ==
+#: 3): stsd/stts/stss/stsz/stco, data starts at byte 452 (ftyp 24 +
+#: moov 420 + mdat header 8), file exactly 516 + 8·(doc_id % 16)
 #: bytes. Multi-chunk variant (doc_id % 8 == 7): a genuine stsc
 #: run-length map splits the samples 5+3 across two chunks with a
 #: 16-byte unreferenced gap between them (spec-legal mdat padding —
 #: the second chunk's position can ONLY come from stco, never from
 #: cumulative sizes), moov grows by exactly 44 bytes (stsc 40 + one
-#: extra stco entry 4), so chunk 1 starts at 460 and the file is
-#: exactly 540 + 8·(doc_id % 16) bytes. Uniform sizes + fixed box
+#: extra stco entry 4), so chunk 1 starts at 496 and the file is
+#: exactly 576 + 8·(doc_id % 16) bytes. Uniform sizes + fixed box
 #: sizes keep BOTH variants closed-form in doc_id.
 MP4_N_SAMPLES = 8
-MP4_CHUNK_OFFSET = 416
-MP4_MC_CHUNK_OFFSET = 460  # 416 + the 44-byte moov growth
+MP4_CHUNK_OFFSET = 452
+MP4_MC_CHUNK_OFFSET = 496  # 452 + the 44-byte moov growth
 MP4_MC_SPLIT = (5, 3)  # stsc run lengths: chunk 1 holds 5 samples, chunk 2 holds 3
 MP4_MC_GAP = 16  # unreferenced bytes between the two chunks inside mdat
 MP4_SYNC_SAMPLES = (1, 5)  # stss entries, 1-based sample numbers
+MP4_EDTS_BYTES = 36  # edts(8) + elst(8 + ver/flags 4 + count 4 + one v0 entry 12)
 
 
 def _mp4_bytes(doc_id: int) -> bytes:
@@ -254,7 +261,9 @@ def _mp4_bytes(doc_id: int) -> bytes:
     sample table is genuine: stsd, stts (two runs summing exactly to
     the media duration), stss (sync samples 1 and 5 — the keyframes a
     frame-sampler seeks), stsz (8 uniform samples of 8 + doc_id % 16
-    bytes), stco (one chunk at file offset 416) — and, for the
+    bytes), stco (one chunk at file offset 452) — plus a genuine
+    single-entry elst edit list in trak→edts trimming
+    (doc_id % 3)·delta ticks off the presentation start — and, for the
     multi-chunk variant (doc_id % 8 == 7), a real stsc run-length map
     distributing those samples 5+3 over two stco chunks separated by a
     16-byte unreferenced gap. Every box carries its real big-endian
@@ -262,9 +271,9 @@ def _mp4_bytes(doc_id: int) -> bytes:
     are closed-form in doc_id: width = 16 + doc_id % 32, height =
     16 + (13·doc_id) % 32, duration = 1000 + doc_id % 9000 ticks at the
     90 kHz movie timescale, sample size 8 + doc_id % 16. All header
-    boxes are fixed-size (ftyp 24; moov 384 single-chunk / 428
-    multi-chunk), so the file is exactly 480 + 8·(doc_id % 16) bytes
-    single-chunk and 540 + 8·(doc_id % 16) multi-chunk — the closed
+    boxes are fixed-size (ftyp 24; moov 420 single-chunk / 464
+    multi-chunk), so the file is exactly 516 + 8·(doc_id % 16) bytes
+    single-chunk and 576 + 8·(doc_id % 16) multi-chunk — the closed
     forms the oracles check."""
     import struct
 
@@ -310,6 +319,18 @@ def _mp4_bytes(doc_id: int) -> bytes:
         struct.pack(">IIIII", 0, 0, 0, MP4_TIMESCALE, duration)
         + struct.pack(">HH", 0x55C4, 0),
     )
+    # edts→elst v0, ONE entry: presentation covers the media from
+    # media_time = (doc_id % 3)·delta onward at rate 1.0 — the standard
+    # encoder-priming trim; doc_id % 3 == 0 is the identity edit
+    media_time = (doc_id % 3) * (duration // MP4_N_SAMPLES)
+    edts = box(
+        b"edts",
+        box(
+            b"elst",
+            struct.pack(">II", 0, 1)
+            + struct.pack(">IiHH", duration - media_time, media_time, 1, 0),
+        ),
+    )
     # sample table, all fixed-size boxes:
     # stsd with no entries (16 B) — the fixture carries no codec config;
     # stts as two runs that sum EXACTLY to the media duration (32 B);
@@ -354,7 +375,7 @@ def _mp4_bytes(doc_id: int) -> bytes:
         stbl = box(b"stbl", stsd + stts + stss + stsz + stco)
     mdia = box(b"mdia", mdhd + box(b"minf", stbl))
     mdat = box(b"mdat", bytes((doc_id + i) % 256 for i in range(n_data)))
-    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia)) + mdat
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + edts + mdia)) + mdat
 
 
 def fabricate_media(docs: DataFrame) -> DataFrame:
@@ -540,9 +561,19 @@ def _parse_mp4_samples(b: bytes):
     the next entry's, and samples lay out back-to-back WITHIN their
     chunk only (offset = chunk base + cumulative sizes inside that
     chunk; chunk positions come exclusively from stco — chunks may be
-    separated by unreferenced mdat bytes) — and stss flags the sync
+    separated by unreferenced mdat bytes) — stss flags the sync
     samples (keyframes) a frame-sampler can decode from; per spec, an
-    ABSENT stss means every sample is sync. With no stsc box every
+    ABSENT stss means every sample is sync. stts decode deltas give
+    each sample its media decode time, and the trak-level edts→elst
+    edit list (when present) maps that to the PRESENTATION timeline:
+    the supported shape is the ubiquitous single non-empty edit at
+    rate 1.0 (the encoder-priming trim) — pt_ticks = decode_time −
+    media_time, and a sample whose decode time precedes media_time is
+    pre-roll (presented=False: fetched for decoder warm-up, never
+    shown). An ABSENT elst is the identity edit per spec. Multiple
+    edits, empty edits (media_time −1), dwell rates, and elst v1 are
+    real spec shapes this walk does NOT model — it refuses them loudly
+    rather than emit a wrong timeline. With no stsc box every
     sample sits in the first chunk, which is only well-defined for a
     single-chunk stco — a multi-chunk file missing its stsc is corrupt
     and fails loudly."""
@@ -552,12 +583,36 @@ def _parse_mp4_samples(b: bytes):
     sizes: list[int] | None = None
     chunk_offsets: list[int] = []
     stsc_runs: list[tuple[int, int]] = []  # (first_chunk 1-based, samples_per_chunk)
+    stts_runs: list[tuple[int, int]] = []  # (sample_count, delta_ticks)
     sync_samples: set[int] | None = None  # 1-based; None = no stss = all sync
+    media_time = 0  # elst presentation origin; 0 = identity edit
+
+    def walk_edts(s: int, e: int) -> None:
+        nonlocal media_time
+        for btype, cs, ce in _mp4_boxes(b, s, e):
+            if btype != b"elst":
+                continue
+            version = b[cs]
+            assert version == 0, f"elst v{version} (64-bit) not modeled — refusing"
+            (count,) = struct.unpack_from(">I", b, cs + 4)
+            assert count == 1, (
+                f"elst with {count} edits — only the single-edit priming-trim "
+                "shape is modeled; refusing rather than emit a wrong timeline"
+            )
+            _seg_dur, mt, rate_int, rate_frac = struct.unpack_from(">IiHH", b, cs + 8)
+            assert mt >= 0, "empty edit (media_time -1) not modeled — refusing"
+            assert (rate_int, rate_frac) == (1, 0), "dwell/slow-motion edit rates not modeled"
+            media_time = mt
 
     def walk_stbl(s: int, e: int) -> None:
-        nonlocal sizes, chunk_offsets, stsc_runs, sync_samples
+        nonlocal sizes, chunk_offsets, stsc_runs, stts_runs, sync_samples
         for btype, cs, ce in _mp4_boxes(b, s, e):
-            if btype == b"stss":
+            if btype == b"stts":
+                (count,) = struct.unpack_from(">I", b, cs + 4)
+                stts_runs = [
+                    struct.unpack_from(">II", b, cs + 8 + 8 * i) for i in range(count)
+                ]
+            elif btype == b"stss":
                 (count,) = struct.unpack_from(">I", b, cs + 4)
                 sync_samples = set(struct.unpack_from(f">{count}I", b, cs + 8))
             elif btype == b"stsz":
@@ -586,6 +641,8 @@ def _parse_mp4_samples(b: bytes):
             if t1 != b"trak":
                 continue
             for t2, s2, e2 in _mp4_boxes(b, s1, e1):
+                if t2 == b"edts":
+                    walk_edts(s2, e2)
                 if t2 != b"mdia":
                     continue
                 for t3, s3, e3 in _mp4_boxes(b, s2, e2):
@@ -595,6 +652,15 @@ def _parse_mp4_samples(b: bytes):
                         if t4 == b"stbl":
                             walk_stbl(s4, e4)
     assert sizes is not None and chunk_offsets, "mp4 missing stsz/stco"
+    assert stts_runs, "mp4 missing stts — decode times undefined"
+    # expand stts: decode_time(i) = sum of the deltas of samples 0..i-1
+    decode_times: list[int] = []
+    t = 0
+    for count, delta_ticks in stts_runs:
+        for _ in range(count):
+            decode_times.append(t)
+            t += delta_ticks
+    assert len(decode_times) >= len(sizes), "stts covers fewer samples than stsz"
     if not stsc_runs:
         # no chunk map: only meaningful when there is exactly one chunk
         assert len(chunk_offsets) == 1, (
@@ -624,7 +690,10 @@ def _parse_mp4_samples(b: bytes):
                 size = sizes[sample_idx]
                 assert pos + size <= len(b), "sample table points past end of file"
                 is_sync = sync_samples is None or (sample_idx + 1) in sync_samples
-                out.append((sample_idx, pos, size, is_sync))
+                dt = decode_times[sample_idx]
+                out.append(
+                    (sample_idx, pos, size, is_sync, dt - media_time, dt >= media_time)
+                )
                 pos += size
                 sample_idx += 1
     assert sample_idx == n, (
@@ -641,6 +710,11 @@ MP4_SAMPLE_SCHEMA = StructType(
         StructField("byte_offset", LongType()),
         StructField("sample_size", IntegerType()),
         StructField("is_sync", BooleanType()),
+        # edit-list presentation view: pt_ticks = decode time − elst
+        # media_time (negative ⇒ trimmed pre-roll); presented = the
+        # sample's own time survives the initial trim
+        StructField("pt_ticks", LongType()),
+        StructField("presented", BooleanType()),
     ]
 )
 
@@ -664,9 +738,11 @@ def mp4_sample_offsets(media: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = [
-                (int(doc_id), idx, off, size, is_sync)
+                (int(doc_id), idx, off, size, is_sync, pt, shown)
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
-                for idx, off, size, is_sync in _parse_mp4_samples(bytes(payload))
+                for idx, off, size, is_sync, pt, shown in _parse_mp4_samples(
+                    bytes(payload)
+                )
             ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MP4_SAMPLE_SCHEMA.fields]

@@ -124,6 +124,20 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # rows) are round-10 window priority #1 alongside the two rate-limit
 # rows.
 #
+# Third round-9 ledger entry (the round-8 verdict's stretch item (b)):
+# the fabricated MP4s gained a genuine single-entry elst edit list
+# (trak→edts, 36 fixed bytes — every post-tkhd offset moved +36) and
+# the sample-table walk now crosses stts decode times with the edit:
+# multimodal_mp4_seek_plan emits pt_ticks/presented (the
+# priming-trim presentation view, closed-form (i − doc_id%3)·delta in
+# the oracle). VALUE-changing for the mp4-family oracles — file
+# lengths are now 516/576 + 8·(doc_id%16) in multimodal_features and
+# multimodal_real_decode, and the seek-plan offsets moved to 452/496
+# — changed symmetrically in Spark and SQL, pytest-oracle-green and
+# sweep-recertified at HEAD. All affected rows were already queued at
+# the entry above; multimodal_byte_dedup (in-window this round) gets
+# driver-certified against the new fixture bytes directly.
+#
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).

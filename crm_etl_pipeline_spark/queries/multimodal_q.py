@@ -60,8 +60,8 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
                 WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
-                ELSE CASE WHEN doc_id % 8 = 7 THEN 540 + 8 * (doc_id % 16)
-                          ELSE 480 + 8 * (doc_id % 16) END
+                ELSE CASE WHEN doc_id % 8 = 7 THEN 576 + 8 * (doc_id % 16)
+                          ELSE 516 + 8 * (doc_id % 16) END
                 END AS INT) AS n_bytes,
            CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 4 AS INT)
@@ -99,8 +99,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 54 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
                             * (16 + (7 * doc_id) % 32)
                 WHEN 2 THEN 68 + (16 + (11 * doc_id) % 32) * (1 + 3 * (16 + doc_id % 32))
-                ELSE CASE WHEN doc_id % 8 = 7 THEN 540 + 8 * (doc_id % 16)
-                          ELSE 480 + 8 * (doc_id % 16) END
+                ELSE CASE WHEN doc_id % 8 = 7 THEN 576 + 8 * (doc_id % 16)
+                          ELSE 516 + 8 * (doc_id % 16) END
                 END AS INT) AS n_bytes,
            CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 + doc_id % 32 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 4 AS INT)
@@ -131,8 +131,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the parameters closed-form from doc_id — any layout bug
     in fabricator OR parser breaks the match (the PNG file size is
     closed-form because the IDAT zlib stream uses stored blocks, the
-    MP4's because every header box is fixed-size — 480 + 8·(doc_id%16)
-    bytes single-chunk, 540 + 8·(doc_id%16) for the multi-chunk stsc
+    MP4's because every header box is fixed-size — 516 + 8·(doc_id%16)
+    bytes single-chunk, 576 + 8·(doc_id%16) for the multi-chunk stsc
     variant every mp4 doc_id % 8 == 7 gets; see
     multimodal._png_bytes/_mp4_bytes). No codec stubs remain."""
     media = multimodal.fabricate_media(table(spark, sf_dir, "documents"))
@@ -165,17 +165,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(i AS INT) AS sample_idx,
            CAST(CASE
                 WHEN doc_id % 8 = 7 AND i >= 5
-                THEN 460 + 5 * (8 + doc_id % 16) + 16 + (i - 5) * (8 + doc_id % 16)
+                THEN 496 + 5 * (8 + doc_id % 16) + 16 + (i - 5) * (8 + doc_id % 16)
                 WHEN doc_id % 8 = 7
-                THEN 460 + i * (8 + doc_id % 16)
-                ELSE 416 + i * (8 + doc_id % 16)
+                THEN 496 + i * (8 + doc_id % 16)
+                ELSE 452 + i * (8 + doc_id % 16)
                 END AS BIGINT) AS byte_offset,
            CAST(8 + doc_id % 16 AS INT) AS sample_size,
-           i IN (0, 4) AS is_sync
+           i IN (0, 4) AS is_sync,
+           CAST((i - doc_id % 3) * ((1000 + doc_id % 9000) // 8) AS BIGINT)
+             AS pt_ticks,
+           i >= doc_id % 3 AS presented
     FROM documents, unnest(range(0, 8)) t(i)
     WHERE doc_id % 4 = 3
     """,
-    survey="§2.9 multimodal (MP4 per-sample seek plan from the genuine stsz/stsc/stco sample table, incl. the multi-chunk run-length walk)",
+    survey="§2.9 multimodal (MP4 per-sample seek plan from the genuine stsz/stsc/stco/stts sample table + the elst edit list, incl. the multi-chunk run-length walk)",
 )
 def multimodal_mp4_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The container-driven range-read plan for video at scale: parse
@@ -183,21 +186,39 @@ def multimodal_mp4_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact byte range in the multi-GB mdat — the stage that lets a
     frame-sampler fetch only wanted samples. Covers BOTH fabricated
     layouts: single-chunk docs (mp4 doc_id % 8 == 3) lay samples
-    back-to-back from byte 416 (MP4_CHUNK_OFFSET — the stss addition
-    moved the data start); multi-chunk docs (doc_id % 8 == 7)
+    back-to-back from byte 452 (MP4_CHUNK_OFFSET — the stss and elst
+    additions moved the data start); multi-chunk docs (doc_id % 8 == 7)
     follow the genuine stsc run-length map (5 samples in chunk 1, 3 in
     chunk 2) across two stco bases separated by a 16-byte unreferenced
     gap — offsets a cumulative-size walk CANNOT produce, so the hash
     certifies the run-length walk itself. The oracle recomputes every
     (offset, size) closed-form from doc_id: chunk 2's base is
-    460 + 5·size + 16 (five chunk-1 samples plus the gap), and the
+    496 + 5·size + 16 (five chunk-1 samples plus the gap), and the
     stss walk yields is_sync exactly on samples 1 and 5 (1-based) —
-    the keyframe-only plan is ``WHERE is_sync``. Arrow-batched
-    mapInPandas over binary payloads, non-MP4 rows filtered JVM-side
-    before Python."""
+    the keyframe-only plan is ``WHERE is_sync``.
+
+    Round-9 addition — the edit-list presentation view: each trak
+    carries a genuine single-entry elst trimming (doc_id % 3) sample
+    durations off the presentation start (the encoder-priming shape),
+    and the walk crosses it with the stts decode times: pt_ticks =
+    decode_time − media_time (negative on trimmed pre-roll) and
+    presented = the sample survives the trim — closed-form
+    (i − doc_id % 3)·delta with delta = duration // 8, so the hash
+    certifies the stts expansion AND the edit arithmetic. The
+    fetch-plan reading: a player seeking to presentation 0 still
+    range-reads the pre-roll samples (they are in the plan, flagged),
+    but a thumbnailer samples only ``WHERE presented AND is_sync``.
+    Arrow-batched mapInPandas over binary payloads, non-MP4 rows
+    filtered JVM-side before Python."""
     media = multimodal.fabricate_media(table(spark, sf_dir, "documents"))
     return multimodal.mp4_sample_offsets(media).select(
-        "doc_id", "sample_idx", "byte_offset", "sample_size", "is_sync"
+        "doc_id",
+        "sample_idx",
+        "byte_offset",
+        "sample_size",
+        "is_sync",
+        "pt_ticks",
+        "presented",
     )
 
 

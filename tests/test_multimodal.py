@@ -76,7 +76,8 @@ def test_unknown_mime_raises(spark):
 def test_fabricated_mp4_is_valid():
     """MP4 sanity independent of our parser: box magics and closed-form
     fields at their FIXED offsets for the fabricated layout (ftyp 24 +
-    moov hdr 8 → mvhd payload @40, trak→tkhd payload @156, mdat @384),
+    moov hdr 8 → mvhd payload @40, trak→tkhd payload @156, edts @240,
+    mdat box @444),
     plus the closed-form total length the oracle relies on.
     Single-chunk variants only (mp4 doc_id % 8 == 3) — the multi-chunk
     layout's offsets are pinned by test_fabricated_mp4_multi_chunk."""
@@ -87,7 +88,7 @@ def test_fabricated_mp4_is_valid():
     for doc_id in (3, 11, 19, 123, 347, 499):
         assert doc_id % 8 == 3  # single-chunk slots of the mp4 rotation
         b = multimodal._mp4_bytes(doc_id)
-        assert len(b) == 480 + 8 * (doc_id % 16)
+        assert len(b) == 516 + 8 * (doc_id % 16)
         assert b[4:8] == b"ftyp" and b[8:12] == b"isom"
         assert b[28:32] == b"moov" and b[36:40] == b"mvhd"
         ts, dur = struct.unpack_from(">II", b, 52)
@@ -96,25 +97,32 @@ def test_fabricated_mp4_is_valid():
         wfix, hfix = struct.unpack_from(">II", b, 232)  # tkhd dims (16.16)
         assert wfix == (16 + doc_id % 32) << 16
         assert hfix == (16 + (13 * doc_id) % 32) << 16
-        mdat_size = struct.unpack_from(">I", b, 408)[0]
-        assert b[412:416] == b"mdat"
+        # elst at its fixed offset: edts @240, elst payload @256 —
+        # one v0 entry whose media_time is the (doc_id % 3)·delta trim
+        assert b[244:248] == b"edts" and b[252:256] == b"elst"
+        assert struct.unpack_from(">I", b, 260)[0] == 1  # entry count
+        _sd, mt, r_int, r_frac = struct.unpack_from(">IiHH", b, 264)
+        assert mt == (doc_id % 3) * (dur // multimodal.MP4_N_SAMPLES)
+        assert (r_int, r_frac) == (1, 0)
+        mdat_size = struct.unpack_from(">I", b, 444)[0]
+        assert b[448:452] == b"mdat"
         assert mdat_size == 8 + multimodal.MP4_N_SAMPLES * (8 + doc_id % 16)
         # the stts runs must sum exactly to the media duration
-        # (stbl payload @296: stsd 16 B, then stts box @312 → entries @328)
-        assert b[316:320] == b"stts"
-        n1, d1, n2, d2 = struct.unpack_from(">IIII", b, 328)
+        # (stbl payload @332: stsd 16 B, then stts box @348 → entries @364)
+        assert b[352:356] == b"stts"
+        n1, d1, n2, d2 = struct.unpack_from(">IIII", b, 364)
         assert n1 * d1 + n2 * d2 == dur and n1 + n2 == multimodal.MP4_N_SAMPLES
-        # stss follows stts → box @344, entries @360: sync samples 1 and 5
-        assert b[348:352] == b"stss"
-        assert struct.unpack_from(">I", b, 356)[0] == len(multimodal.MP4_SYNC_SAMPLES)
-        assert struct.unpack_from(">2I", b, 360) == multimodal.MP4_SYNC_SAMPLES
+        # stss follows stts → box @380, entries @396: sync samples 1 and 5
+        assert b[384:388] == b"stss"
+        assert struct.unpack_from(">I", b, 392)[0] == len(multimodal.MP4_SYNC_SAMPLES)
+        assert struct.unpack_from(">2I", b, 396) == multimodal.MP4_SYNC_SAMPLES
 
 
 def test_fabricated_mp4_multi_chunk():
     """The multi-chunk variant (mp4 doc_id % 8 == 7): closed-form total
-    length 540 + 8·(doc_id % 16), a genuine 2-run stsc at its fixed
-    offset (stbl payload @296: stsd 16 + stts 32 + stss 24 → stsc
-    @368), two stco entries whose second base equals chunk1 + 5·size +
+    length 576 + 8·(doc_id % 16), a genuine 2-run stsc at its fixed
+    offset (stbl payload @332: stsd 16 + stts 32 + stss 24 → stsc
+    @404), two stco entries whose second base equals chunk1 + 5·size +
     GAP (the unreferenced-gap layout no cumulative-size walk can
     reproduce), and the same mvhd/tkhd closed forms at the single-chunk
     offsets (the 44-byte stsc growth is all inside stbl, after them)."""
@@ -126,25 +134,25 @@ def test_fabricated_mp4_multi_chunk():
         assert doc_id % 8 == 7
         b = multimodal._mp4_bytes(doc_id)
         size = 8 + doc_id % 16
-        assert len(b) == 540 + 8 * (doc_id % 16)
+        assert len(b) == 576 + 8 * (doc_id % 16)
         assert b[4:8] == b"ftyp" and b[28:32] == b"moov"
         ts, dur = struct.unpack_from(">II", b, 52)
         assert ts == multimodal.MP4_TIMESCALE and dur == 1000 + doc_id % 9000
         wfix, hfix = struct.unpack_from(">II", b, 232)
         assert wfix == (16 + doc_id % 32) << 16
         assert hfix == (16 + (13 * doc_id) % 32) << 16
-        # stss @344 (after stsd 16 + stts 32), then stsc @368
-        assert b[348:352] == b"stss"
-        assert struct.unpack_from(">2I", b, 360) == multimodal.MP4_SYNC_SAMPLES
-        assert b[372:376] == b"stsc"
-        n_ent = struct.unpack_from(">I", b, 380)[0]
+        # stss @380 (after stsd 16 + stts 32), then stsc @404
+        assert b[384:388] == b"stss"
+        assert struct.unpack_from(">2I", b, 396) == multimodal.MP4_SYNC_SAMPLES
+        assert b[408:412] == b"stsc"
+        n_ent = struct.unpack_from(">I", b, 416)[0]
         assert n_ent == 2
-        fc1, spc1, _, fc2, spc2, _ = struct.unpack_from(">6I", b, 384)
+        fc1, spc1, _, fc2, spc2, _ = struct.unpack_from(">6I", b, 420)
         assert (fc1, spc1) == (1, multimodal.MP4_MC_SPLIT[0])
         assert (fc2, spc2) == (2, multimodal.MP4_MC_SPLIT[1])
-        # stco follows stsc (40 → @408) + stsz (20) → box @428, entries @444
-        assert b[432:436] == b"stco"
-        c1, c2 = struct.unpack_from(">II", b, 444)
+        # stco follows stsc (40 → @444) + stsz (20) → box @464, entries @480
+        assert b[468:472] == b"stco"
+        c1, c2 = struct.unpack_from(">II", b, 480)
         assert c1 == multimodal.MP4_MC_CHUNK_OFFSET
         assert c2 == c1 + multimodal.MP4_MC_SPLIT[0] * size + multimodal.MP4_MC_GAP
         # mdat header right before chunk 1; payload runs to end of file
@@ -161,10 +169,10 @@ def test_mp4_64bit_largesize_and_to_end_boxes(spark):
     from crm_etl_pipeline_spark import multimodal
 
     b = multimodal._mp4_bytes(10)
-    moov = b[24:408]
+    moov = b[24:444]
     # rewrite moov as a largesize box and make mdat run to end-of-file
     moov64 = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov[8:])) + moov[8:]
-    mdat0 = struct.pack(">I", 0) + b"mdat" + b[416:]
+    mdat0 = struct.pack(">I", 0) + b"mdat" + b[452:]
     rewritten = b[:24] + moov64 + mdat0
     row = spark.createDataFrame(
         [(10, "video/mp4", bytearray(rewritten))],
@@ -201,12 +209,19 @@ def test_mp4_sample_offsets_closed_form(spark):
         assert all(r.sample_size == size for r in rows)
         # stss closed form: samples 1 and 5 (1-based) are the keyframes
         assert [r.sample_idx for r in rows if r.is_sync] == [0, 4]
+        # elst closed form: the single edit trims (doc_id % 3) sample
+        # durations — pt_ticks = (i − doc_id % 3)·delta, pre-roll
+        # samples flagged not-presented
+        delta = (1000 + doc_id % 9000) // multimodal.MP4_N_SAMPLES
+        for r in rows:
+            assert r.pt_ticks == (r.sample_idx - doc_id % 3) * delta
+            assert r.presented == (r.sample_idx >= doc_id % 3)
         if doc_id % 8 == 3:
             saw_single = True
             for r in rows:
                 assert r.byte_offset == multimodal.MP4_CHUNK_OFFSET + r.sample_idx * size
             # the final sample ends exactly at end-of-file (single-chunk mdat)
-            assert multimodal.MP4_CHUNK_OFFSET + multimodal.MP4_N_SAMPLES * size == 480 + 8 * (
+            assert multimodal.MP4_CHUNK_OFFSET + multimodal.MP4_N_SAMPLES * size == 516 + 8 * (
                 doc_id % 16
             )
         else:
@@ -218,7 +233,7 @@ def test_mp4_sample_offsets_closed_form(spark):
             for r in rows[n5:]:
                 assert r.byte_offset == c2 + (r.sample_idx - n5) * size
             # the final sample ends exactly at end-of-file
-            assert c2 + n3 * size == 540 + 8 * (doc_id % 16)
+            assert c2 + n3 * size == 576 + 8 * (doc_id % 16)
     assert saw_single and saw_multi
 
 
@@ -251,10 +266,15 @@ def test_mp4_sample_offsets_per_sample_stsz_and_co64(spark):
     stbl = box(b"stbl", stsd + stts + stsz + co64)
     mvhd = b[32:140]
     tkhd = b[148:240]
-    mdhd = b[248:280]
+    mdhd = b[284:316]  # shifted +36 past the edts subtree
     mdia = box(b"mdia", mdhd + box(b"minf", stbl))
+    # the rebuilt trak drops edts — exercising the walk's absent-elst
+    # identity-edit default
     moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
-    rewritten = b[:24] + moov + b[408:]
+    # co64 still DECLARES the original chunk base (452); the rebuilt
+    # moov is smaller, so pad the tail to keep the declared sample
+    # ranges inside the file for the walk's bounds check
+    rewritten = b[:24] + moov + b[444:] + b"\x00" * 64
     row = spark.createDataFrame(
         [(doc_id, "video/mp4", bytearray(rewritten))],
         "doc_id long, mime string, payload binary",
@@ -275,10 +295,12 @@ def test_mp4_sample_offsets_per_sample_stsz_and_co64(spark):
 def _rebuild_mp4_with_stbl(doc_id: int, stbl_leaves: bytes) -> bytes:
     """Rebuild a SINGLE-CHUNK fabricated file (doc_id % 8 == 3) with a
     hand-written stbl — keeps ftyp/mvhd/tkhd/mdhd and the mdat bytes,
-    swaps the sample table (the single-chunk layout's fixed offsets:
-    mvhd 32:140, tkhd 148:240, mdhd 248:280, mdat from 408 — moov is
-    384 bytes so mdat starts at 24 + 384 = 408, matching the b[408:]
-    slice below)."""
+    drops the edts subtree (rebuilt files exercise the absent-elst
+    identity-edit default), and swaps the sample table (the
+    single-chunk layout's fixed offsets: mvhd 32:140, tkhd 148:240,
+    mdhd 284:316 — past the 36-byte edts at 240 — and mdat from 444:
+    moov is 420 bytes so mdat starts at 24 + 420 = 444, matching the
+    b[444:] slice below)."""
     import struct
 
     from crm_etl_pipeline_spark import multimodal
@@ -289,9 +311,9 @@ def _rebuild_mp4_with_stbl(doc_id: int, stbl_leaves: bytes) -> bytes:
     def box(btype, payload):
         return struct.pack(">I", 8 + len(payload)) + btype + payload
 
-    mdia = box(b"mdia", b[248:280] + box(b"minf", box(b"stbl", stbl_leaves)))
+    mdia = box(b"mdia", b[284:316] + box(b"minf", box(b"stbl", stbl_leaves)))
     moov = box(b"moov", b[32:140] + box(b"trak", b[148:240] + mdia))
-    return b[:24] + moov + b[408:]
+    return b[:24] + moov + b[444:]
 
 
 def test_mp4_multi_chunk_without_stsc_rejected():
@@ -369,10 +391,11 @@ def test_mp4_stsc_run_spanning_multiple_chunks():
     data_start = probe.index(b"mdat") + 4
     bases = [data_start + c * 2 * size for c in range(4)]
     plan = multimodal._parse_mp4_samples(build(bases))
-    assert [idx for idx, _, _, _ in plan] == list(range(n))
-    for idx, off, sz, is_sync in plan:
+    assert [idx for idx, *_ in plan] == list(range(n))
+    for idx, off, sz, is_sync, pt, shown in plan:
         assert sz == size
         assert is_sync  # no stss in the rebuilt stbl → per spec, all sync
+        assert shown and pt == idx * delta  # no elst → identity edit
         chunk, within = divmod(idx, 2)
         assert off == bases[chunk] + within * size
 
