@@ -138,6 +138,24 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # the entry above; multimodal_byte_dedup (in-window this round) gets
 # driver-certified against the new fixture bytes directly.
 #
+# Fourth round-9 ledger entry: the new nan_inf_embeddings sweep batch
+# found that ONE NaN/Inf component killed every embedding query in
+# BOTH engines (fixed-point dot's NaN -> long cast: ANSI
+# ARITHMETIC_OVERFLOW / DuckDB ConversionException — 13/13 crashed).
+# Fixed by extending the NULL-vector contract to non-finite
+# components: embeddings_q._emb gains the ~exists(isnan|isinf) filter
+# and all 14 oracle scans gain the mirroring list_bool_or predicate
+# (tests/test_stats.py::test_nonfinite_embedding_rows_are_excluded_everywhere).
+# No-op on clean fixtures (hash-unchanged; pytest-oracle-green at
+# HEAD). kmeans_cluster_purity and embedding_near_dup are in THIS
+# round's window and get certified under the extended contract; the
+# other 12 embedding rows (ann_cosine_topk, ann_lsh_bucketed,
+# ann_ivf_probe, ann_ivf_nprobe2, ann_pq_adc,
+# ann_ivf_persisted_index, embedding_standardize,
+# embedding_quantize_int8, embedding_centroid_per_label,
+# embedding_norm_topk, embedding_kmeans, knn_label_disagreement —
+# r7/r8 rows) join the round-10 ledger.
+#
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).

@@ -37,16 +37,32 @@ from crm_etl_pipeline_spark.registry import query
 
 
 def _emb(spark: SparkSession, sf_dir: str):
-    """NULL-vector contract (round-7 sweep finding): a row whose
-    embedding is NULL cannot participate in any vector operator —
-    it has no direction, no norm, no cell. Excluded symmetrically:
-    every Spark load goes through this filter and every oracle scan
-    of the embeddings view carries WHERE embedding IS NOT NULL (inner
-    joins back to already-filtered vec_id sets need no repeat). On
-    the driver fixture (no NULL vectors) both are no-ops, so value
-    hashes are unchanged; the null_embeddings sweep probe pins the
-    degenerate agreement."""
-    return table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    """NULL-vector contract (round-7 sweep finding) extended to
+    non-finite components (round-9 nan_inf_embeddings finding): a row
+    whose embedding is NULL, or carries a NaN/Inf component, cannot
+    participate in any vector operator — it has no usable direction,
+    norm, or cell, and one such row otherwise kills the WHOLE stage
+    (the fixed-point dot's NaN -> long cast is an ANSI
+    ARITHMETIC_OVERFLOW in Spark and a ConversionException in DuckDB —
+    13/13 embedding queries crashed on the probe). Excluded
+    symmetrically: every Spark load goes through this filter and every
+    oracle scan of the embeddings view carries the matching IS NOT
+    NULL + finite-components predicate (inner joins back to
+    already-filtered vec_id sets need no repeat). On the driver
+    fixture (no NULL or corrupt vectors) both are no-ops, so value
+    hashes are unchanged; the null_embeddings and nan_inf_embeddings
+    sweep probes pin the degenerate agreement — the quarantine
+    philosophy: one corrupt row is one excluded row, never the task."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .filter(
+            ~F.exists(
+                "embedding",
+                lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            )
+        )
+    )
 
 _SCALE = 1e12  # fixed-point quantum for float reductions
 _DIM = 64
@@ -88,7 +104,7 @@ def _fixed_dot_sql(a: str, b: str) -> str:
     WITH n AS (
       SELECT vec_id, label,
              {_fixed_dot_sql('embedding', 'embedding')} AS n2q
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     )
     SELECT vec_id, label, CAST(n2q AS BIGINT) AS n2q,
            SQRT(CAST(n2q AS DOUBLE) / 1e12) AS l2_norm
@@ -137,11 +153,11 @@ def _cos_col() -> Column:
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe,
              {_fixed_dot_sql('embedding', 'embedding')} AS qn2
-      FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_N_QUERIES}
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x))) AND vec_id < {_N_QUERIES}
     ), c AS (
       SELECT vec_id AS cand_id, embedding AS ce,
              {_fixed_dot_sql('embedding', 'embedding')} AS cn2
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     ), scored AS (
       SELECT query_id, cand_id, qn2, cn2,
              {_fixed_dot_sql('qe', 'ce')} AS dotq
@@ -210,7 +226,7 @@ _SIGN_BUCKET_SQL = " + ".join(
     WITH e AS (
       SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket,
              {_fixed_dot_sql('embedding', 'embedding')} AS n2
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     ), q AS (
       SELECT vec_id AS query_id, embedding AS qe, bucket, n2 AS qn2
       FROM e WHERE vec_id < {_N_QUERIES}
@@ -278,7 +294,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
              / 1e12 / COUNT(*) AS mean_val
     FROM embeddings, unnest(range(1, 65)) t(i)
-    WHERE embedding IS NOT NULL
+    WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     GROUP BY label, i
     """,
     survey="§2.9 similarity search (per-label centroids — the IVF training step)",
@@ -319,7 +335,7 @@ _PERT_DIM = 10  # outside the 8 sign-bucket dims → clone lands in the same buc
       -- duplicated row would inflate bucket membership/rank caps and
       -- emit duplicate candidate pairs
       SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     ), corpus AS (
       SELECT vec_id, vd FROM base
       UNION ALL
@@ -435,7 +451,7 @@ _CENTROID_SQL = f"""
              CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
                / 1e12 / COUNT(*) AS c
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
       GROUP BY label, i
 """
 
@@ -449,7 +465,7 @@ _ASSIGN_SQL = f"""
              SUM(CAST(FLOOR((CAST(e.embedding[dim] AS DOUBLE) - cen.c)
                             * (CAST(e.embedding[dim] AS DOUBLE) - cen.c) * 1e12) AS BIGINT)) AS d2q
       FROM embeddings e, centroids cen
-      WHERE e.embedding IS NOT NULL
+      WHERE e.embedding IS NOT NULL AND NOT list_bool_or(list_transform(e.embedding, x -> isnan(x) OR isinf(x)))
       GROUP BY e.vec_id, cen.label
     )
 """
@@ -714,7 +730,7 @@ _OUT_DIMS = 8  # output the first 8 dims (stats still span all 64)
       SELECT vec_id, i,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     ), stats AS (
       SELECT i, COUNT(*) AS n, SUM(xq) AS s1, SUM(xq * xq) AS s2 FROM q GROUP BY i
     ), s AS (
@@ -802,7 +818,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, i,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     ), ext AS (
       SELECT i, MIN(xq) AS mn, MAX(xq) AS mx FROM q GROUP BY i
     )
@@ -891,7 +907,7 @@ def _dist_q(vd: Column, cv: Column) -> Column:
       -- the oracle's per-(vec,cluster) distance GROUP BY or the M-step
       -- mean contributions (mirrors the Spark dropDuplicates)
       SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     ), seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cluster, vd AS cv
@@ -1079,10 +1095,10 @@ _NOISE_K = 5
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
-      FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_NOISE_PROBES}
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x))) AND vec_id < {_NOISE_PROBES}
     ), c AS (
       SELECT vec_id AS cand_id, embedding AS ce, label AS clabel
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     ), scored AS (
       SELECT query_id, qlabel, cand_id, clabel,
              {_fixed_dot_sql('qe', 'ce')} AS dotq
@@ -1172,7 +1188,7 @@ _PQ_ADC_ORACLE = f"""
       -- a byte-identical re-ingested vector must not double its M-step
       -- weight or its ADC contribution rows
       SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
     ), sv AS (
       SELECT vec_id, s AS sub, vd[(s*{_PQ_SD}+1):(s*{_PQ_SD}+{_PQ_SD})] AS svec
       FROM emb, unnest(range(0, {_PQ_M})) t(s)

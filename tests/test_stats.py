@@ -754,3 +754,64 @@ def test_constant_population_zscore_contract(spark, tmp_path):
     assert zrows and all(r.zscore == 0.0 and not r.is_anomaly for r in zrows)
     srows = REGISTRY["embedding_standardize"].fn(spark, out).collect()
     assert srows and all(r.z == 0.0 for r in srows)
+
+
+def test_nonfinite_embedding_rows_are_excluded_everywhere(spark, tmp_path):
+    """Non-finite-component contract (round-9 nan_inf_embeddings sweep
+    probe), the corruption twin of the NULL-vector contract: before it,
+    ONE NaN or Inf component killed every embedding query in BOTH
+    engines (the fixed-point dot's NaN -> long cast is an ANSI
+    ARITHMETIC_OVERFLOW in Spark and a ConversionException in DuckDB —
+    13/13 crashed, the task, not the row). Pin: with NaN and Inf
+    components injected, standardize emits exactly the finite rows and
+    both engines agree bit-for-bit on the moment-sensitive query — one
+    corrupt row is one excluded row, never the task."""
+    import duckdb
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vals = emb.column("embedding").to_pylist()
+    corrupt_pos = set()
+    for i in range(0, len(vals), 17):
+        vals[i] = [float("nan")] + list(vals[i][1:])
+        corrupt_pos.add(i)
+    for i in range(0, len(vals), 23):
+        if i not in corrupt_pos:
+            vals[i] = list(vals[i][:-1]) + [float("inf")]
+            corrupt_pos.add(i)
+    emb = emb.set_column(
+        emb.column_names.index("embedding"),
+        "embedding",
+        pa.array(vals, emb.schema.field("embedding").type),
+    )
+    out = str(tmp_path / "nanvec")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(emb, f"{out}/embeddings.parquet")
+
+    ids = emb.column("vec_id").to_pylist()
+    corrupt_ids = {ids[i] for i in corrupt_pos}
+    q = REGISTRY["embedding_standardize"]
+    df = q.fn(spark, out)
+    out_ids = {r.vec_id for r in df.select("vec_id").distinct().collect()}
+    assert out_ids.isdisjoint(corrupt_ids)  # no corrupt row survives
+    assert out_ids == set(ids) - corrupt_ids  # every finite vector does
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{out}/embeddings.parquet')"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    cols = sorted(df.columns)
+    s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+    res = con.execute(q.oracle)
+    names = [d[0] for d in res.description]
+    perm = [names.index(c) for c in sorted(names)]
+    o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+    con.close()
+    assert s == o

@@ -10,15 +10,19 @@ fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
 (optionally pass batch names to run a subset: `python
-tools/degenerate_probe.py dup_events const_ts`). ~17 min at 47 probe
-batches / 457 query runs; needs an otherwise-idle Spark, like any
+tools/degenerate_probe.py dup_events const_ts`). ~18 min at 48 probe
+batches / 471 query runs; needs an otherwise-idle Spark, like any
 measurement run. Last certified full pass (round 9 final HEAD, after
 the rate-limit running-count rewrite, the fabricate-media width fix,
-the zorder_incremental_compact registration, and the round-9 batch
+the zorder_incremental_compact registration, the MP4 elst edit-list
+revision, the non-finite-embedding contract, and the round-9 batch
 growth — dup_events +3: credential_rotation_schedule,
 backoff_penalty_audit, streaming_rate_limit under the count-sensitive
 gateway contract; empty_events and const_ts each
-+zorder_incremental_compact): **457/457 OK** (full pytest suite, 340
++zorder_incremental_compact; NEW nan_inf_embeddings batch ×14, which
+found the round-9 crash class: ONE NaN/Inf component killed all 13
+embedding queries in both engines until the _emb non-finite exclusion
+extended the NULL-vector contract): **471/471 OK** (full pytest suite, 341
 green, running concurrently — the sweep is a correctness harness, not
 a timing one). The prior certification (late round 8 final HEAD,
 after the PQ/audio registrations, the tie-storm + category-collapse +
@@ -248,6 +252,25 @@ def single_month_orders(tbl):
 def zero_first_vec(tbl):
     embs = tbl.column("embedding").to_pylist()
     embs[0] = [0.0] * len(embs[0])
+    return tbl.set_column(
+        tbl.column_names.index("embedding"),
+        "embedding",
+        pa.array(embs, tbl.schema.field("embedding").type),
+    )
+
+
+def nan_inf_embeddings(tbl):
+    # float payload corruption (round-9 probe): a NaN component in
+    # every 17th vector, +Inf in every 23rd — non-finite floats are
+    # the upstream-corruption twin of the NULL-vector contract (a
+    # corrupted vector has no usable direction/norm/cell either)
+    embs = tbl.column("embedding").to_pylist()
+    for i in range(0, len(embs), 17):
+        if embs[i] is not None:
+            embs[i] = [float("nan")] + list(embs[i][1:])
+    for i in range(0, len(embs), 23):
+        if embs[i] is not None:
+            embs[i] = list(embs[i][:-1]) + [float("inf")]
     return tbl.set_column(
         tbl.column_names.index("embedding"),
         "embedding",
@@ -689,6 +712,13 @@ PROBES = [
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
+      "knn_label_disagreement", "embedding_near_dup"]),
+    ("nan_inf_embeddings", {"embeddings": nan_inf_embeddings},
+     ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+      "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
+      "embedding_standardize",
+      "embedding_quantize_int8", "embedding_centroid_per_label",
+      "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
       "knn_label_disagreement", "embedding_near_dup"]),
     ("dup_embs", {"embeddings": duplicate_every_7th},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
