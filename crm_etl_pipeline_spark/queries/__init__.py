@@ -156,6 +156,23 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # embedding_norm_topk, embedding_kmeans, knn_label_disagreement —
 # r7/r8 rows) join the round-10 ledger.
 #
+# Fifth round-9 ledger entry: the new extreme_values sweep batch
+# (±8.8e13 values + one 9.9e15 row) found three cross-engine classes:
+# DuckDB's DECIMAL(18)x(18) int64 fast-path multiply overflows on
+# extreme squares (moments oracles widen one factor to DECIMAL(19,2));
+# DuckDB's DECIMAL->DOUBLE cast double-rounds past 2^53 scaled units
+# where Spark's BigDecimal cast is correctly rounded (oracles route
+# the edge cast through VARCHAR — string parse is correctly rounded in
+# both engines); and CAST(FLOOR(garbage) AS INT) overflowed in both
+# (backoff maps attempts in wide arithmetic before the narrow cast).
+# All no-ops at clean-fixture magnitudes
+# (tests/test_stats.py::test_extreme_magnitude_contract; the five
+# touched queries are pytest-oracle-green at HEAD).
+# event_value_anomalies, streaming_moments_anomalies, and
+# backoff_penalty_audit are in THIS round's window and get certified
+# under the new contracts; salted_user_event_totals (r8) and
+# tumbling_daily_counts (r7) join the round-10 ledger.
+#
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).

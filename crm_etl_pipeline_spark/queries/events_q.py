@@ -135,7 +135,11 @@ def retry_and_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           -- VARCHAR-routed edge cast: correctly rounded decimal ->
+           -- double in both engines (extreme_values probe; see
+           -- salted_user_event_totals)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS total_value
     FROM events GROUP BY 1, 2
     """,
     survey="ST-windows (tumbling agg, batch form of watermark+window)",

@@ -263,7 +263,11 @@ def credential_rotation_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN failed_attempts >= {_DLQ_ATTEMPTS}
                 THEN 'dead_letter' ELSE 'requeue' END AS disposition
     FROM (
-      SELECT CAST(FLOOR(value) AS INT) % 12 AS failed_attempts
+      -- mod in wide arithmetic BEFORE the INT cast: a garbage-magnitude
+      -- value made CAST(FLOOR(v) AS INT) overflow in both engines
+      -- (extreme_values probe); ABS keeps the ladder index sane for
+      -- negative garbage (clean fixture has no negatives — no-op there)
+      SELECT CAST(ABS(FLOOR(value)) % 12 AS INT) AS failed_attempts
       FROM events WHERE event_type = 'error'
     )
     GROUP BY failed_attempts
@@ -278,7 +282,9 @@ def backoff_penalty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     double, so POW here is deterministic cross-engine (unlike the
     ln/exp the repo avoids elsewhere). One scan, one bounded groupBy
     (12 keys) with map-side partial aggregation — flat at any scale."""
-    attempts = (F.floor(F.col("value")).cast("int") % 12).alias("failed_attempts")
+    attempts = (
+        (F.abs(F.floor(F.col("value"))) % 12).cast("int").alias("failed_attempts")
+    )
     penalty = F.least(F.pow(F.lit(2), F.col("failed_attempts")), F.lit(_BACKOFF_CAP_S))
     return (
         table(spark, sf_dir, "events")

@@ -42,18 +42,30 @@ _SAMPLE_BUDGET = 100
       SELECT event_type,
              COUNT(*) AS n,
              SUM(CAST(value AS DECIMAL(18,2))) AS s1,
-             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+             -- one factor widened to DECIMAL(19,2): DuckDB's
+             -- DECIMAL(18)x(18) fast path multiplies int64 storage and
+             -- overflows at extreme magnitudes (extreme_values probe);
+             -- the widened factor forces the int128 path. Spark's
+             -- (18,2)x(18,2) -> (37,4) is already exact
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(19,2))
+                 * CAST(value AS DECIMAL(18,2))) AS s2
       FROM events GROUP BY event_type
     ), stats AS (
       SELECT event_type, n,
-             CAST(s1 AS DOUBLE) / n AS mean_val,
+             -- decimal -> double via VARCHAR: DuckDB's direct cast is
+             -- scaled-int -> double THEN /10^s — double rounding, one
+             -- ulp off past 2^53 scaled units; the string parse is
+             -- correctly rounded, matching Spark's BigDecimal cast
+             -- (extreme_values probe)
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS mean_val,
              -- greatest(0, ·): an all-equal population's variance is a tiny
              -- double residual of either sign; DuckDB sqrt RAISES on the
              -- negative side (Spark yields NaN) — clamp symmetrically so a
              -- negative residual reads exactly 0 in both engines (a positive
              -- one flows through the identical IEEE chain; const_values probe)
-             sqrt(greatest(0, CAST(s2 AS DOUBLE) / n
-                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) AS sd_val
+             sqrt(greatest(0, CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                  - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n))) AS sd_val
       FROM moments
     )
     SELECT event_id, e.event_type, value,

@@ -227,15 +227,19 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(*) AS n,
              SUM(CAST(value AS DECIMAL(18,2))) AS s1,
-             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+             -- widened factor + VARCHAR-routed casts: see the batch
+             -- twin event_value_anomalies (extreme_values probe)
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(19,2))
+                 * CAST(value AS DECIMAL(18,2))) AS s2
       FROM events GROUP BY event_type
     ), stats AS (
       SELECT event_type, n,
-             CAST(s1 AS DOUBLE) / n AS mean_val,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS mean_val,
              -- greatest(0, ·): symmetric variance-residual clamp (see the
              -- batch twin event_value_anomalies / the const_values probe)
-             sqrt(greatest(0, CAST(s2 AS DOUBLE) / n
-                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) AS sd_val
+             sqrt(greatest(0, CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                  - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n))) AS sd_val
       FROM moments
     )
     SELECT event_id, e.event_type, value,

@@ -272,7 +272,11 @@ def sliding_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           -- decimal -> double via VARCHAR: DuckDB's direct cast double-
+           -- rounds past 2^53 scaled units (extreme_values probe); the
+           -- string parse is correctly rounded like Spark's BigDecimal
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS total_value
     FROM events GROUP BY user_id
     """,
     survey="skew pattern (salted two-phase aggregation == plain groupBy)",

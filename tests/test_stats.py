@@ -815,3 +815,65 @@ def test_nonfinite_embedding_rows_are_excluded_everywhere(spark, tmp_path):
     o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
     con.close()
     assert s == o
+
+
+def test_extreme_magnitude_contract(spark, tmp_path):
+    """Extreme-magnitude contract (round-9 extreme_values sweep probe),
+    three classes pinned on a fixture with ±8.8e13 values and one row
+    at 9.9e15 (just under the DECIMAL(18,2) per-row ceiling):
+
+    1. DuckDB's DECIMAL(18)x(18) multiply runs an int64 fast path that
+       overflows on extreme squares — the moments oracles widen one
+       factor to DECIMAL(19,2), forcing int128 (Spark's (37,4) result
+       was already exact).
+    2. DuckDB's DECIMAL -> DOUBLE cast converts the scaled integer to
+       double THEN divides by 10^s — double rounding, one ulp off past
+       2^53 scaled units, where Spark's BigDecimal cast is correctly
+       rounded. Oracles route the edge cast through VARCHAR (string
+       parse is correctly rounded in both engines).
+    3. CAST(FLOOR(garbage) AS INT) overflowed in both engines — the
+       backoff attempts mapping now takes the mod in wide arithmetic
+       BEFORE the narrow cast.
+
+    All three are no-ops at clean-fixture magnitudes. Pin: both engines
+    agree bit-for-bit on the mutated fixture for a moments query, a
+    decimal-sum query, and the backoff ladder."""
+    import duckdb
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet")
+    vals = ev.column("value").to_pylist()
+    for i in range(0, len(vals), 13):
+        vals[i] = 8.8e13 if (i // 13) % 2 == 0 else -8.8e13
+    vals[3] = 9.9e15
+    ev = ev.set_column(ev.column_names.index("value"), "value",
+                       pa.array(vals, pa.float64()))
+    out = str(tmp_path / "extreme")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(ev, f"{out}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}/events.parquet')"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        if isinstance(v, bool):
+            return str(v).lower()
+        return str(v)
+
+    for name in ("event_value_anomalies", "salted_user_event_totals",
+                 "backoff_penalty_audit"):
+        q = REGISTRY[name]
+        df = q.fn(spark, out)
+        cols = sorted(df.columns)
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+        assert s == o, name
+    con.close()

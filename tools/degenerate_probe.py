@@ -10,9 +10,19 @@ fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
 (optionally pass batch names to run a subset: `python
-tools/degenerate_probe.py dup_events const_ts`). ~18 min at 48 probe
-batches / 471 query runs; needs an otherwise-idle Spark, like any
-measurement run. Last certified full pass (round 9 final HEAD, after
+tools/degenerate_probe.py dup_events const_ts`). ~19 min at 49 probe
+batches / 484 query runs; needs an otherwise-idle Spark, like any
+measurement run. The round-9 extreme_values batch (×13: ±8.8e13
+values + one 9.9e15 row) found THREE more cross-engine classes, all
+fixed with clean-fixture no-ops
+(tests/test_stats.py::test_extreme_magnitude_contract): DuckDB's
+DECIMAL(18)x(18) int64 fast-path multiply overflow (moments oracles
+widen one factor to DECIMAL(19,2)), DuckDB's DECIMAL->DOUBLE
+double-rounding past 2^53 scaled units (oracles route the edge cast
+through VARCHAR — the string parse is correctly rounded, matching
+Spark's BigDecimal cast), and the backoff ladder's
+CAST(FLOOR(garbage) AS INT) overflow (mod in wide arithmetic before
+the narrow cast). Last certified full pass (round 9 final HEAD, after
 the rate-limit running-count rewrite, the fabricate-media width fix,
 the zorder_incremental_compact registration, the MP4 elst edit-list
 revision, the non-finite-embedding contract, and the round-9 batch
@@ -22,9 +32,10 @@ gateway contract; empty_events and const_ts each
 +zorder_incremental_compact; NEW nan_inf_embeddings batch ×14, which
 found the round-9 crash class: ONE NaN/Inf component killed all 13
 embedding queries in both engines until the _emb non-finite exclusion
-extended the NULL-vector contract): **471/471 OK** (full pytest suite, 341
-green, running concurrently — the sweep is a correctness harness, not
-a timing one). The prior certification (late round 8 final HEAD,
+extended the NULL-vector contract; extreme_values ×13 as described
+above): **484/484 OK** (full pytest suite, 342 green, running
+concurrently — the sweep is a correctness harness, not a timing
+one). The prior certification (late round 8 final HEAD,
 after the PQ/audio registrations, the tie-storm + category-collapse +
 unicode + whitespace batches, and the variance-clamp + casefold +
 whitespace-class + Arrow-boundary timestamp fixes) was **452/452 OK** (with the full pytest suite, 334
@@ -256,6 +267,23 @@ def zero_first_vec(tbl):
         tbl.column_names.index("embedding"),
         "embedding",
         pa.array(embs, tbl.schema.field("embedding").type),
+    )
+
+
+def extreme_values(tbl):
+    # magnitude storm (round-9 probe): every 13th event value is
+    # ±8.8e13 (alternating sign — the clean fixture has NO negative
+    # values, so sign handling is probed too) and one row sits at
+    # 9.9e15, just under the DECIMAL(18,2) per-row ceiling (1e16).
+    # Targets: exact-DECIMAL moment accumulation headroom, ANSI casts
+    # that assumed human-scale values, interpolation/percentile math
+    vals = tbl.column("value").to_pylist()
+    for i in range(0, len(vals), 13):
+        vals[i] = 8.8e13 if (i // 13) % 2 == 0 else -8.8e13
+    if len(vals) > 3:
+        vals[3] = 9.9e15
+    return tbl.set_column(
+        tbl.column_names.index("value"), "value", pa.array(vals, pa.float64())
     )
 
 
@@ -713,6 +741,14 @@ PROBES = [
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
       "knn_label_disagreement", "embedding_near_dup"]),
+    ("extreme_values", {"events": extreme_values},
+     ["event_value_anomalies", "streaming_moments_anomalies",
+      "winsorize_event_values", "robust_outliers_mad",
+      "value_percentiles", "approx_value_percentiles",
+      "incremental_agg_merge", "ewma_user_value",
+      "salted_user_event_totals", "gapfill_daily_user_revenue",
+      "sliding_1h_user_value", "tumbling_daily_counts",
+      "backoff_penalty_audit"]),
     ("nan_inf_embeddings", {"embeddings": nan_inf_embeddings},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
