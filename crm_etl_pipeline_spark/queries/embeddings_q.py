@@ -50,16 +50,27 @@ def _emb(spark: SparkSession, sf_dir: str):
     NULL + finite-components predicate (inner joins back to
     already-filtered vec_id sets need no repeat). On the driver
     fixture (no NULL or corrupt vectors) both are no-ops, so value
-    hashes are unchanged; the null_embeddings and nan_inf_embeddings
-    sweep probes pin the degenerate agreement — the quarantine
-    philosophy: one corrupt row is one excluded row, never the task."""
+    hashes are unchanged; the null_embeddings, nan_inf_embeddings and
+    null_component_embeddings sweep probes pin the degenerate
+    agreement — the quarantine philosophy: one corrupt row is one
+    excluded row, never the task.
+
+    NULL *components* are explicitly corrupt too (round-10 advisor
+    find): without the isNull() disjunct, Spark's three-valued
+    ~exists(...) drops a [1.0, NULL, 2.0] row (predicate over the NULL
+    element yields NULL -> exists NULL -> filter drops) while DuckDB's
+    NOT list_bool_or(...) ignores NULL lambda results and KEEPS it,
+    feeding NULL into the fixed-point pipeline — a latent cross-engine
+    split. Both sides now name x IS NULL a corruption outright."""
     return (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
         .filter(
             ~F.exists(
                 "embedding",
-                lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+                lambda x: x.isNull()
+                | F.isnan(x)
+                | (F.abs(x) == F.lit(float("inf"))),
             )
         )
     )
@@ -104,7 +115,7 @@ def _fixed_dot_sql(a: str, b: str) -> str:
     WITH n AS (
       SELECT vec_id, label,
              {_fixed_dot_sql('embedding', 'embedding')} AS n2q
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     )
     SELECT vec_id, label, CAST(n2q AS BIGINT) AS n2q,
            SQRT(CAST(n2q AS DOUBLE) / 1e12) AS l2_norm
@@ -153,11 +164,11 @@ def _cos_col() -> Column:
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe,
              {_fixed_dot_sql('embedding', 'embedding')} AS qn2
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x))) AND vec_id < {_N_QUERIES}
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND vec_id < {_N_QUERIES}
     ), c AS (
       SELECT vec_id AS cand_id, embedding AS ce,
              {_fixed_dot_sql('embedding', 'embedding')} AS cn2
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     ), scored AS (
       SELECT query_id, cand_id, qn2, cn2,
              {_fixed_dot_sql('qe', 'ce')} AS dotq
@@ -226,7 +237,7 @@ _SIGN_BUCKET_SQL = " + ".join(
     WITH e AS (
       SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket,
              {_fixed_dot_sql('embedding', 'embedding')} AS n2
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     ), q AS (
       SELECT vec_id AS query_id, embedding AS qe, bucket, n2 AS qn2
       FROM e WHERE vec_id < {_N_QUERIES}
@@ -294,7 +305,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
              / 1e12 / COUNT(*) AS mean_val
     FROM embeddings, unnest(range(1, 65)) t(i)
-    WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+    WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     GROUP BY label, i
     """,
     survey="§2.9 similarity search (per-label centroids — the IVF training step)",
@@ -335,7 +346,7 @@ _PERT_DIM = 10  # outside the 8 sign-bucket dims → clone lands in the same buc
       -- duplicated row would inflate bucket membership/rank caps and
       -- emit duplicate candidate pairs
       SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     ), corpus AS (
       SELECT vec_id, vd FROM base
       UNION ALL
@@ -451,7 +462,7 @@ _CENTROID_SQL = f"""
              CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
                / 1e12 / COUNT(*) AS c
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
       GROUP BY label, i
 """
 
@@ -465,7 +476,7 @@ _ASSIGN_SQL = f"""
              SUM(CAST(FLOOR((CAST(e.embedding[dim] AS DOUBLE) - cen.c)
                             * (CAST(e.embedding[dim] AS DOUBLE) - cen.c) * 1e12) AS BIGINT)) AS d2q
       FROM embeddings e, centroids cen
-      WHERE e.embedding IS NOT NULL AND NOT list_bool_or(list_transform(e.embedding, x -> isnan(x) OR isinf(x)))
+      WHERE e.embedding IS NOT NULL AND NOT list_bool_or(list_transform(e.embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
       GROUP BY e.vec_id, cen.label
     )
 """
@@ -730,7 +741,7 @@ _OUT_DIMS = 8  # output the first 8 dims (stats still span all 64)
       SELECT vec_id, i,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     ), stats AS (
       SELECT i, COUNT(*) AS n, SUM(xq) AS s1, SUM(xq * xq) AS s2 FROM q GROUP BY i
     ), s AS (
@@ -818,7 +829,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, i,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     ), ext AS (
       SELECT i, MIN(xq) AS mn, MAX(xq) AS mx FROM q GROUP BY i
     )
@@ -907,7 +918,7 @@ def _dist_q(vd: Column, cv: Column) -> Column:
       -- the oracle's per-(vec,cluster) distance GROUP BY or the M-step
       -- mean contributions (mirrors the Spark dropDuplicates)
       SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     ), seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cluster, vd AS cv
@@ -1095,10 +1106,10 @@ _NOISE_K = 5
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x))) AND vec_id < {_NOISE_PROBES}
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND vec_id < {_NOISE_PROBES}
     ), c AS (
       SELECT vec_id AS cand_id, embedding AS ce, label AS clabel
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     ), scored AS (
       SELECT query_id, qlabel, cand_id, clabel,
              {_fixed_dot_sql('qe', 'ce')} AS dotq
@@ -1188,7 +1199,7 @@ _PQ_ADC_ORACLE = f"""
       -- a byte-identical re-ingested vector must not double its M-step
       -- weight or its ADC contribution rows
       SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
     ), sv AS (
       SELECT vec_id, s AS sub, vd[(s*{_PQ_SD}+1):(s*{_PQ_SD}+{_PQ_SD})] AS svec
       FROM emb, unnest(range(0, {_PQ_M})) t(s)

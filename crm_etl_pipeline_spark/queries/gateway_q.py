@@ -28,9 +28,16 @@ decomposition exact; sliding-window limiters do not decompose this way.
 
 Duplicate-delivery contract (round-9 dup_events sweep): the gateway
 family is COUNT-SENSITIVE by design — an at-least-once re-send is a
-second queue entry, the worker makes a second API call for it, and it
-consumes its own rate-limit quota / sequence slot / backoff penalty
-(PodioApiGateway.py:153-156). No identity dedup here, unlike the
+second queue entry, and each entry PULLED drives its own
+get_podio_item_values API call (PodioApiGateway.py:124), consuming its
+own rate-limit quota / sequence slot / backoff penalty. One softening
+(round-10 advisor correction): the reference's SUCCESS path
+delete_many's ALL pending to_do_event_queue entries for the item
+(PodioApiGateway.py:143-145), so duplicate copies still queued when
+one copy completes are dropped without a call — "every re-send
+consumes quota" holds exactly for copies pulled before a completion,
+which is the shape these batch analytics model (every delivered row
+was pulled). No identity dedup here, unlike the
 SCD2/dedup/vector families. That is only sound because nothing in the
 family joins back on event identity: the admission hour-rank is a
 running conditional count (a byte-identical copy shares (ts,
@@ -263,11 +270,25 @@ def credential_rotation_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN failed_attempts >= {_DLQ_ATTEMPTS}
                 THEN 'dead_letter' ELSE 'requeue' END AS disposition
     FROM (
-      -- mod in wide arithmetic BEFORE the INT cast: a garbage-magnitude
-      -- value made CAST(FLOOR(v) AS INT) overflow in both engines
-      -- (extreme_values probe); ABS keeps the ladder index sane for
-      -- negative garbage (clean fixture has no negatives — no-op there)
-      SELECT CAST(ABS(FLOOR(value)) % 12 AS INT) AS failed_attempts
+      -- mod ENTIRELY in double BEFORE any integer appears: a
+      -- garbage-magnitude value made CAST(FLOOR(v) AS INT) overflow in
+      -- both engines (extreme_values probe), and the round-9 fix
+      -- ABS(FLOOR(v)) % 12 still materialized FLOOR(v) as an integer —
+      -- Spark's floor(double) returns LONG, so |v| beyond ~9.2e18
+      -- raised ANSI overflow there while this all-double oracle
+      -- succeeded (round-10 advisor find). The % operator here is
+      -- DuckDB's exact IEEE fmod, matching Spark's Remainder —
+      -- DuckDB's fmod() FUNCTION is a different, inexact kernel
+      -- (fmod(9.5e18, 12) = 0, not the true remainder 8; pinned in
+      -- tests/test_stats.py::test_extreme_magnitude_contract). IEEE
+      -- fmod and FLOOR are exact in double, so the reordering is
+      -- deterministic cross-engine; for v >= 0, FLOOR(fmod(v,12)) ==
+      -- FLOOR(v) % 12 (write v = 12q + r: both reduce to FLOOR(r)),
+      -- and every current probe magnitude is integral, so values are
+      -- unchanged everywhere the old expression didn't crash. ABS
+      -- keeps the ladder index sane for negative garbage (clean
+      -- fixture has no negatives).
+      SELECT CAST(FLOOR(ABS(value) % 12) AS INT) AS failed_attempts
       FROM events WHERE event_type = 'error'
     )
     GROUP BY failed_attempts
@@ -283,7 +304,7 @@ def backoff_penalty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln/exp the repo avoids elsewhere). One scan, one bounded groupBy
     (12 keys) with map-side partial aggregation — flat at any scale."""
     attempts = (
-        (F.abs(F.floor(F.col("value"))) % 12).cast("int").alias("failed_attempts")
+        F.floor(F.abs(F.col("value")) % 12).cast("int").alias("failed_attempts")
     )
     penalty = F.least(F.pow(F.lit(2), F.col("failed_attempts")), F.lit(_BACKOFF_CAP_S))
     return (

@@ -817,6 +817,67 @@ def test_nonfinite_embedding_rows_are_excluded_everywhere(spark, tmp_path):
     assert s == o
 
 
+def test_null_component_embedding_rows_are_excluded_everywhere(spark, tmp_path):
+    """NULL-component contract (round-10 advisor find), the third leg
+    of the corrupt-vector family: before it, a [1.0, NULL, 2.0] row
+    SPLIT the engines — Spark's three-valued ~exists(...) dropped it
+    (lambda over the NULL element yields NULL, exists yields NULL, the
+    filter drops) while DuckDB's NOT list_bool_or(...) ignores NULL
+    lambda results and kept it, feeding NULL into the fixed-point dot.
+    Pin: with NULL components injected, both engines exclude exactly
+    the corrupt rows and agree bit-for-bit on the moment-sensitive
+    query."""
+    import duckdb
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vals = emb.column("embedding").to_pylist()
+    corrupt_pos = set()
+    for i in range(0, len(vals), 19):
+        if vals[i] is not None and len(vals[i]) >= 3:
+            v = list(vals[i])
+            v[1] = None
+            vals[i] = v
+            corrupt_pos.add(i)
+    assert corrupt_pos  # the probe must actually inject something
+    emb = emb.set_column(
+        emb.column_names.index("embedding"),
+        "embedding",
+        pa.array(vals, emb.schema.field("embedding").type),
+    )
+    out = str(tmp_path / "nullcomp")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(emb, f"{out}/embeddings.parquet")
+
+    ids = emb.column("vec_id").to_pylist()
+    corrupt_ids = {ids[i] for i in corrupt_pos}
+    q = REGISTRY["embedding_standardize"]
+    df = q.fn(spark, out)
+    out_ids = {r.vec_id for r in df.select("vec_id").distinct().collect()}
+    assert out_ids.isdisjoint(corrupt_ids)  # no corrupt row survives
+    assert out_ids == set(ids) - corrupt_ids  # every clean vector does
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{out}/embeddings.parquet')"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    cols = sorted(df.columns)
+    s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+    res = con.execute(q.oracle)
+    names = [d[0] for d in res.description]
+    perm = [names.index(c) for c in sorted(names)]
+    o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+    con.close()
+    assert s == o
+
+
 def test_extreme_magnitude_contract(spark, tmp_path):
     """Extreme-magnitude contract (round-9 extreme_values sweep probe),
     three classes pinned on a fixture with ±8.8e13 values and one row
@@ -833,7 +894,15 @@ def test_extreme_magnitude_contract(spark, tmp_path):
        parse is correctly rounded in both engines).
     3. CAST(FLOOR(garbage) AS INT) overflowed in both engines — the
        backoff attempts mapping now takes the mod in wide arithmetic
-       BEFORE the narrow cast.
+       BEFORE the narrow cast. Round-10 advisor find: the round-9 fix
+       (ABS(FLOOR(v)) % 12) still materialized FLOOR(v) as an integer,
+       so Spark's floor(double)->LONG raised ANSI overflow beyond
+       ~9.2e18 while DuckDB's all-double path succeeded. The ladder is
+       now all-double on BOTH sides (FLOOR(fmod(ABS(v), 12))), pinned
+       below on a separate backoff-only fixture at 9.5e18 (the decimal
+       moments queries have a documented 1e16 per-row contract ceiling,
+       so the beyond-int64 magnitude only applies to the ladder) plus a
+       fractional negative exercising the reordered floor/mod.
 
     All three are no-ops at clean-fixture magnitudes. Pin: both engines
     agree bit-for-bit on the mutated fixture for a moments query, a
@@ -877,3 +946,34 @@ def test_extreme_magnitude_contract(spark, tmp_path):
         o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
         assert s == o, name
     con.close()
+
+    # backoff-only follow-up: |v| beyond int64 (9.5e18 > 2^63) and a
+    # fractional negative — the shapes the all-double ladder fixed
+    vals2 = ev.column("value").to_pylist()
+    vals2[7] = 9.5e18
+    vals2[11] = -7.5
+    ev2 = ev.set_column(ev.column_names.index("value"), "value",
+                        pa.array(vals2, pa.float64()))
+    # the ladder only sees event_type='error' rows — force the filter
+    etypes = ev2.column("event_type").to_pylist()
+    etypes[7] = "error"
+    etypes[11] = "error"
+    ev2 = ev2.set_column(ev2.column_names.index("event_type"), "event_type",
+                         pa.array(etypes, ev2.schema.field("event_type").type))
+    out2 = str(tmp_path / "extreme_int64")
+    os.makedirs(out2, exist_ok=True)
+    pq.write_table(ev2, f"{out2}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{out2}/events.parquet')"
+    )
+    q = REGISTRY["backoff_penalty_audit"]
+    df = q.fn(spark, out2)
+    cols = sorted(df.columns)
+    s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+    res = con.execute(q.oracle)
+    names = [d[0] for d in res.description]
+    perm = [names.index(c) for c in sorted(names)]
+    o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+    con.close()
+    assert s == o

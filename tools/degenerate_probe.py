@@ -306,6 +306,27 @@ def nan_inf_embeddings(tbl):
     )
 
 
+def null_component_embeddings(tbl):
+    # NULL payload corruption (round-10 advisor find): a NULL component
+    # in every 19th vector. Before the contract extension the engines
+    # SPLIT on this shape — Spark's three-valued ~exists(...) dropped
+    # the row (lambda over NULL -> NULL -> exists NULL -> filter
+    # drops) while DuckDB's NOT list_bool_or(...) ignored the NULL
+    # lambda result and KEPT it, feeding NULL into the fixed-point
+    # pipeline. Both engines now name x IS NULL corrupt outright.
+    embs = tbl.column("embedding").to_pylist()
+    for i in range(0, len(embs), 19):
+        if embs[i] is not None and len(embs[i]) >= 3:
+            v = list(embs[i])
+            v[1] = None
+            embs[i] = v
+    return tbl.set_column(
+        tbl.column_names.index("embedding"),
+        "embedding",
+        pa.array(embs, tbl.schema.field("embedding").type),
+    )
+
+
 def garbage_props(tbl):
     opts = [
         "{not json", "", '{"k":', "null", "[]", '{"a":1}',
@@ -750,6 +771,13 @@ PROBES = [
       "sliding_1h_user_value", "tumbling_daily_counts",
       "backoff_penalty_audit"]),
     ("nan_inf_embeddings", {"embeddings": nan_inf_embeddings},
+     ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+      "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
+      "embedding_standardize",
+      "embedding_quantize_int8", "embedding_centroid_per_label",
+      "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
+      "knn_label_disagreement", "embedding_near_dup"]),
+    ("null_component_embeddings", {"embeddings": null_component_embeddings},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
       "embedding_standardize",
