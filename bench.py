@@ -79,6 +79,11 @@ TIER3 = [
     # (write-inclusive by construction), so it belongs with the
     # maintenance jobs, not the read-only tiers
     "zorder_range_scan",
+    # round-10 addition (BENCHNOTES named it the tier-3 candidate at
+    # its round-9 registration; kept out mid-round-9 for reading
+    # comparability): the incremental Z-order merge — delta-touched
+    # curve segments only, via dynamic partition overwrite
+    "zorder_incremental_compact",
 ]
 
 

@@ -83,6 +83,20 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #         sweep batch and
 #         test_null_component_embedding_rows_are_excluded_everywhere
 #         pin the degenerate agreement.
+#   (b2) utf8_ingest_quarantine, REGISTERED this round (never
+#       driver-checked = highest priority after changed code): the
+#       round-9 verdict's task 3 — the malformed multi-byte UTF-8
+#       probe, resolved as an ingest-boundary contract. The probe
+#       measured the raw engine behaviors (DuckDB task-fails at
+#       read_parquet on an invalid-UTF8 string column; Spark scans
+#       byte-wise-tolerantly; Spark's ANSI decode crashes the stage;
+#       the two binary->string CASTs don't even share semantics), so
+#       wire text must enter as BINARY through an explicit
+#       validate-or-quarantine gate: Spark try_validate_utf8
+#       intrinsic, DuckDB an RFC 3629 RE2 regex over hex(payload).
+#       Engine facts pinned in
+#       tests/test_sources.py::test_utf8_wire_contract_engine_facts;
+#       six document sweep batches extended with the new query.
 #   (c) partition_pruned_scan — the registry's oldest driver row (r5),
 #       ceded its round-9 slot to the zorder_incremental_compact
 #       registration with a documented cede note; rotates now, as that
@@ -144,6 +158,8 @@ DRIVER_PRIORITY: list[str] = [
     "backoff_penalty_audit",
     "kmeans_cluster_purity",
     "embedding_near_dup",
+    # --- (b2) registered this round, never driver-checked ---
+    "utf8_ingest_quarantine",
     # --- (c) the oldest driver row, honoring its round-9 cede note ---
     "partition_pruned_scan",
     # --- (d) 22 of the 33 remaining r6 rows, oldest tier ---

@@ -344,3 +344,169 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "priority",
     )
+
+
+# RFC 3629 UTF-8, written over UPPERCASE hex byte pairs (the output of
+# hex(blob) in DuckDB / F.hex(binary) in Spark). One alternation per
+# well-formed sequence class:
+#   00-7F | (C2-DF) cont | E0 (A0-BF) cont | (E1-EC) cont cont |
+#   ED (80-9F) cont | (EE-EF) cont cont | F0 (90-BF) cont cont |
+#   (F1-F3) cont cont cont | F4 (80-8F) cont cont,  cont = 80-BF.
+# Rejects exactly what a strict decoder rejects: truncated sequences,
+# bare continuation bytes, overlongs (C0/C1, E0 80-9F, F0 80-8F),
+# UTF-8-encoded surrogates (ED A0-BF), and beyond-U+10FFFF (F4 90+,
+# F5-FF). Verified against Python's strict codec and Spark's
+# is_valid_utf8 on 13 edge shapes (tests/test_sources.py). DuckDB's
+# regexp engine is RE2 — linear time, no backtracking blowup on long
+# documents.
+_UTF8_HEX_RX = (
+    "^(?:[0-7][0-9A-F]"
+    "|(?:C[2-9A-F]|D[0-9A-F])[89AB][0-9A-F]"
+    "|E0[AB][0-9A-F][89AB][0-9A-F]"
+    "|E[1-9A-C][89AB][0-9A-F][89AB][0-9A-F]"
+    "|ED[89][0-9A-F][89AB][0-9A-F]"
+    "|E[EF][89AB][0-9A-F][89AB][0-9A-F]"
+    "|F0[9AB][0-9A-F](?:[89AB][0-9A-F]){2}"
+    "|F[1-3](?:[89AB][0-9A-F]){3}"
+    "|F48[0-9A-F](?:[89AB][0-9A-F]){2}"
+    ")*$"
+)
+
+# wire-corruption shapes injected by doc_id (first matching rule wins),
+# as (hex bytes, where) — mirrored literally in the oracle's CASE
+_WIRE_CORRUPTIONS = [
+    (7, 3, "E282", "append", "truncated_lead"),    # 3-byte lead cut at a chunk boundary
+    (11, 5, "FF", "prepend", "invalid_lead"),      # byte that is never legal in UTF-8
+    (13, 9, "C0AF", "append", "overlong"),         # overlong encoding of '/'
+    (17, 2, "EDA080", "append", "surrogate"),      # UTF-8-encoded UTF-16 surrogate
+]
+
+
+def _wire_case_sql() -> tuple[str, str]:
+    """The (payload CASE, injected-kind CASE) SQL fragments."""
+    pay, kind = [], []
+    for mod, rem, hx, where, label in _WIRE_CORRUPTIONS:
+        expr = (
+            f"encode(text) || from_hex('{hx}')"
+            if where == "append"
+            else f"from_hex('{hx}') || encode(text)"
+        )
+        pay.append(f"WHEN doc_id % {mod} = {rem} THEN {expr}")
+        kind.append(f"WHEN doc_id % {mod} = {rem} THEN '{label}'")
+    return (
+        "CASE " + " ".join(pay) + " ELSE encode(text) END",
+        "CASE " + " ".join(kind) + " ELSE 'clean' END",
+    )
+
+
+_PAYLOAD_SQL, _KIND_SQL = _wire_case_sql()
+
+
+@query(
+    "utf8_ingest_quarantine",
+    oracle=f"""
+    WITH wire AS (
+      SELECT doc_id,
+             {_PAYLOAD_SQL} AS payload,
+             {_KIND_SQL} AS injected
+      FROM documents
+    ),
+    checked AS (
+      SELECT doc_id, injected, payload,
+             CASE WHEN payload IS NULL THEN FALSE
+                  ELSE regexp_matches(hex(payload), '{_UTF8_HEX_RX}')
+             END AS is_valid
+      FROM wire
+    )
+    SELECT doc_id,
+           octet_length(payload) AS n_wire_bytes,
+           injected,
+           is_valid,
+           CASE WHEN payload IS NULL THEN 'null_payload'
+                WHEN is_valid THEN 'ok' ELSE 'quarantined' END AS status,
+           CASE WHEN is_valid THEN length(decode(payload)) END AS n_chars
+    FROM checked
+    """,
+    survey="S7 ingest boundary (wire bytes -> validated text; malformed multi-byte UTF-8 quarantine)",
+)
+def utf8_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate-or-quarantine at the text ingest boundary: wire bytes
+    become engine strings ONLY through an explicit UTF-8 validity gate,
+    never a bare cast. The reference ingests webhook/REST payloads as
+    trusted text (`PodioApiGateway.py:111-137`); at 100 TB of scraped
+    training data the wire is NOT trusted, and the round-10 probe that
+    motivated this query measured what each engine does when invalid
+    multi-byte UTF-8 reaches a parquet string column:
+
+    - DuckDB refuses to SCAN the file (InvalidInputException at
+      read_parquet) — the TASK dies, not the row;
+    - Spark scans and silently processes the bytes (UTF8String is
+      byte-wise tolerant: length/lower/LIKE all "work" on garbage),
+      so corruption propagates into every downstream text metric;
+    - Spark's ANSI `decode(payload, 'UTF-8')` CRASHES the stage
+      (MALFORMED_CHARACTER_CODING), so decode is a gate that fails the
+      task, not the row;
+    - the two engines' binary->string CASTS don't even agree on
+      semantics: Spark's is an unchecked byte wrap, DuckDB's is a
+      lossless \\x-escape rendering.
+
+    Hence the contract, same philosophy as the NULL-vector rule: one
+    corrupt document is one quarantined row, never the task. The query
+    fabricates wire payloads from the documents fixture (the multimodal
+    fabricate precedent — corruption is deterministic in doc_id, so
+    every branch is exercised on the clean fixture and under every
+    document sweep batch): four malformed shapes a real pipe produces —
+    a multi-byte sequence truncated at a chunk boundary, an invalid
+    lead byte, an overlong encoding, a UTF-8-encoded surrogate — then
+    gates them: Spark with the native `try_validate_utf8` intrinsic
+    (NULL on invalid, stays inside whole-stage codegen), DuckDB by
+    validating RFC 3629 as an RE2 regex over hex(payload) (linear
+    time; `_UTF8_HEX_RX` above) because DuckDB 1.0 has no tolerant
+    decode and its strict `decode()` is only safe under a lazily
+    evaluated CASE.
+
+    Scale shape: one scan, zero shuffles, no Python — fabrication,
+    validation and the quarantine verdict are all per-row column
+    expressions inside one codegen stage; the quarantine is a STATUS
+    COLUMN the next stage filters on, so the clean 99.99% never blocks
+    on the corrupt tail. NULL payloads get their own status (a missing
+    document is not a malformed one)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = F.encode(F.col("text"), "UTF-8")
+
+    payload = None
+    kind = None
+    for mod, rem, hx, where, label in _WIRE_CORRUPTIONS:
+        cond = F.col("doc_id") % mod == rem
+        corrupted = (
+            F.concat(base, F.unhex(F.lit(hx)))
+            if where == "append"
+            else F.concat(F.unhex(F.lit(hx)), base)
+        )
+        payload = F.when(cond, corrupted) if payload is None else payload.when(cond, corrupted)
+        kind = F.when(cond, F.lit(label)) if kind is None else kind.when(cond, F.lit(label))
+    payload = payload.otherwise(base)
+    kind = kind.otherwise(F.lit("clean"))
+
+    wire = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        kind.alias("injected"),
+    )
+    # cast(binary as string) is Spark's unchecked byte wrap;
+    # try_validate_utf8 is the actual gate (NULL = malformed)
+    decoded = F.try_validate_utf8(F.col("payload").cast("string"))
+    checked = wire.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_wire_bytes"),
+        "injected",
+        F.when(F.col("payload").isNull(), F.lit(False))
+        .otherwise(decoded.isNotNull())
+        .alias("is_valid"),
+        F.when(F.col("payload").isNull(), F.lit("null_payload"))
+        .when(decoded.isNotNull(), F.lit("ok"))
+        .otherwise(F.lit("quarantined"))
+        .alias("status"),
+        F.when(F.col("payload").isNotNull(), F.length(decoded)).alias("n_chars"),
+    )
+    return checked

@@ -188,3 +188,86 @@ def test_drift_mapping_drives_the_evolution_read(spark, tmp_path):
     old_only = unify_renamed(spark.read.parquet(g1), pairs)
     assert "name" not in old_only.columns and "full_name" in old_only.columns
     assert all(r.full_name is not None for r in old_only.collect())
+
+
+def test_utf8_wire_contract_engine_facts(spark, tmp_path):
+    """The three engine facts the utf8_ingest_quarantine contract
+    rests on (round-10 probe; each would silently invalidate the
+    design if an engine upgrade changed it):
+
+    1. a parquet STRING column containing invalid UTF-8 bytes is a
+       TASK-level failure in DuckDB (read_parquet refuses) while Spark
+       scans it tolerantly — so text from an untrusted wire must land
+       as BINARY, never string;
+    2. Spark's is_valid_utf8 / try_validate_utf8 verdicts agree with a
+       strict RFC 3629 decoder (Python's utf-8 codec) on the edge
+       shapes: truncated sequences, bare continuation bytes, invalid
+       leads, overlongs, surrogates, beyond-U+10FFFF;
+    3. the DuckDB oracle's hex-regex validator (_UTF8_HEX_RX) produces
+       the same verdicts — it IS the cross-engine bridge.
+    """
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.queries.sources_q import _UTF8_HEX_RX
+
+    # -- fact 1: invalid UTF-8 smuggled into a parquet string column
+    bad = [b"hello", b"caf\xe9 latin1", b"ok"]
+    offsets, data = [0], b""
+    for v in bad:
+        data += v
+        offsets.append(len(data))
+    arr = pa.StringArray.from_buffers(
+        len(bad),
+        pa.array(offsets, pa.int32()).buffers()[1],
+        pa.py_buffer(data),
+    )
+    p = str(tmp_path / "badutf8.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(bad)), pa.int64()), "text": arr}), p
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(f"SELECT length(text) FROM read_parquet('{p}')").fetchall()
+        raise AssertionError("DuckDB now scans invalid-UTF8 parquet strings")
+    except duckdb.InvalidInputException:
+        pass  # the task-level refusal the contract is built around
+    # Spark scans the same bytes without error (byte-wise tolerant)
+    rows = spark.read.parquet(p).select(F.length("text").alias("n")).collect()
+    assert len(rows) == 3
+
+    # -- facts 2+3: verdict agreement on edge shapes
+    cases = [
+        b"hello", b"caf\xe9", b"\xff\xfe", b"trunc \xe2\x82",
+        b"over \xc0\xaf", "ok €".encode(), b"cont \x82",
+        b"\xed\xa0\x80", b"\xf4\x90\x80\x80", "\U0001f389".encode(),
+        b"", b"\xed\x9f\xbf", b"\xee\x80\x80",
+    ]
+    want = []
+    for c in cases:
+        try:
+            c.decode("utf-8")
+            want.append(True)
+        except UnicodeDecodeError:
+            want.append(False)
+
+    df = spark.createDataFrame([(c.hex(),) for c in cases], "h string")
+    got_spark = [
+        (r.v, r.tv)
+        for r in df.select(
+            F.is_valid_utf8(F.unhex("h").cast("string")).alias("v"),
+            F.try_validate_utf8(F.unhex("h").cast("string")).isNotNull().alias("tv"),
+        ).collect()
+    ]
+    assert [v for v, _ in got_spark] == want
+    assert [tv for _, tv in got_spark] == want
+
+    got_duck = [
+        bool(
+            con.execute(
+                f"SELECT regexp_matches(hex(from_hex('{c.hex()}')), '{_UTF8_HEX_RX}')"
+            ).fetchone()[0]
+        )
+        for c in cases
+    ]
+    con.close()
+    assert got_duck == want

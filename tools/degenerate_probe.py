@@ -576,7 +576,7 @@ PROBES = [
       "abc_pareto_classification", "rfm_segmentation"]),
     ("empty_docs", {"documents": const_col("text", "", pa.string())},
      ["bm25_topk_search", "token_rarity_score", "chunk_documents",
-      "text_stats", "inverted_index_postings", "boilerplate_line_removal"]),
+      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine"]),
     ("unique_docs", {"documents": unique_docs},
      ["minhash_near_dup", "simhash_near_dup", "dedup_components",
       "prefix_filter_setsim_join", "exact_dedup_documents", "ngram_jaccard_verify"]),
@@ -627,7 +627,7 @@ PROBES = [
       "version_counts_per_key"]),
     ("null_text", {"documents": null_every_10th("text")},
      ["text_stats", "token_rarity_score", "chunk_documents", "bm25_topk_search",
-      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal"]),
+      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine"]),
     ("one_lineitem", {"lineitem": one_row},
      ["rollup_revenue", "cube_lineitem_flags", "pivot_status_by_priority",
       "grouping_sets_region_segment"]),
@@ -671,13 +671,13 @@ PROBES = [
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "curation_pipeline",
-      "chunk_documents", "language_temperature_sample", "audio_energy_windows"]),
+      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine"]),
     ("one_document", {"documents": one_document},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
-      "pii_redaction", "pack_training_sequences", "audio_energy_windows"]),
+      "pii_redaction", "pack_training_sequences", "audio_energy_windows", "utf8_ingest_quarantine"]),
     ("null_langs", {"documents": null_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
       "train_split_stratified", "language_id_ngram"]),
@@ -701,7 +701,7 @@ PROBES = [
       "bm25_topk_search", "language_temperature_sample",
       "train_split_stratified", "pack_training_sequences",
       "multimodal_byte_dedup", "doc_quality_score",
-      "embedding_near_dup", "audio_energy_windows"]),
+      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine"]),
     ("const_ts", {"events": const_ts_events},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
@@ -741,7 +741,7 @@ PROBES = [
       "minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
       "chunk_documents", "pii_redaction", "doc_repetition_ratio",
       "tfidf_top_terms", "boilerplate_line_removal",
-      "token_profile", "dedup_incremental_new_docs"]),
+      "token_profile", "dedup_incremental_new_docs", "utf8_ingest_quarantine"]),
     ("const_etype", {"events": const_etype_events},
      ["event_type_routing", "funnel_conversion", "event_transition_matrix",
       "session_path_trigrams", "countmin_heavy_hitters",
