@@ -97,12 +97,22 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       Engine facts pinned in
 #       tests/test_sources.py::test_utf8_wire_contract_engine_facts;
 #       six document sweep batches extended with the new query.
+#   (b3) streaming_zorder_ingest, REGISTERED this round (never
+#       driver-checked): the round-9 verdict's stretch item 7 —
+#       streaming ingest into the Z-ordered store (readStream →
+#       seg-partitioned foreachBatch deltas → incremental curve
+#       compaction), sharing layout_q.ZCURVE_ORACLE_SQL verbatim with
+#       its batch twin (ingest-path invariance is the contract;
+#       structural pins in tests/test_streaming.py::
+#       test_zorder_ingest_stream_micro_batches_and_delta_shape). Its
+#       slot comes from ceding event_type_routing (r6) to round 11 —
+#       see the defer list in (d).
 #   (c) partition_pruned_scan — the registry's oldest driver row (r5),
 #       ceded its round-9 slot to the zorder_incremental_compact
 #       registration with a documented cede note; rotates now, as that
 #       note promised.
-#   (d) 22 of the 33 remaining r6 rows (the oldest tier after (c)),
-#       oldest-first fill. The 11 r6 rows deferred to round 11, each
+#   (d) 21 of the 33 remaining r6 rows (the oldest tier after (c)),
+#       oldest-first fill. The 12 r6 rows deferred to round 11, each
 #       with a named in-window-or-fresher twin exercising the same
 #       machinery meanwhile (all 11 are pytest-oracle-green at HEAD
 #       via tests/test_oracle.py):
@@ -119,12 +129,18 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       catalog machinery), mom_revenue_growth (cohort_retention r9),
 #       pearson_correlation_matrix (chi_square_segment_nation +
 #       ols_frequency_monetary r9), triangle_count
-#       (copurchase_pagerank r8-fresh graph twin).
+#       (copurchase_pagerank r8-fresh graph twin), event_type_routing
+#       (ceded to the streaming_zorder_ingest registration at (b3);
+#       its routing machinery is twin-covered by the in-window
+#       fifo_head + event_dedup_last_write_wins and the r9-fresh
+#       streaming_dlq_replay, and its const_etype sweep batch ran OK
+#       at the round-9 final HEAD).
 #
-# Age accounting if this window lands 50/50: r10:50, r9:39, r8:43,
-# r7:34, r6:11 — max age 4 rounds only for the 11 documented defers
-# above (each twin-covered), satisfying the round-9 verdict's "no row
-# should predate r7 except by documented cede".
+# Age accounting if this window lands 50/50: r10:50 (incl. the two
+# new registrations), r9:39, r8:43, r7:34, r6:12 — max age 4 rounds
+# only for the 12 documented defers above (each twin-covered),
+# satisfying the round-9 verdict's "no row should predate r7 except
+# by documented cede".
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
@@ -160,6 +176,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_near_dup",
     # --- (b2) registered this round, never driver-checked ---
     "utf8_ingest_quarantine",
+    "streaming_zorder_ingest",
     # --- (c) the oldest driver row, honoring its round-9 cede note ---
     "partition_pruned_scan",
     # --- (d) 22 of the 33 remaining r6 rows, oldest tier ---
@@ -168,7 +185,6 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_apply_snapshot",
     "chunk_documents",
     "event_dedup_last_write_wins",
-    "event_type_routing",
     "fifo_head",
     "hidden_field_projection",
     "interpolate_daily_user_value",

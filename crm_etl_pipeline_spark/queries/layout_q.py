@@ -228,15 +228,16 @@ def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shift is the file-size budget knob, not a correctness parameter
 ZSEG_SHIFT = 7
 
-
-@query(
-    "zorder_incremental_compact",
-    # unchanged-results + curve-math proof: the oracle recomputes every
-    # row, its Morton position, and its segment from the raw parquet
-    # truth — a row lost by the semi-join, duplicated by the union, or
-    # landed in the wrong segment by the dynamic overwrite breaks the
-    # hash
-    oracle=f"""
+# unchanged-results + curve-math proof shared VERBATIM by
+# zorder_incremental_compact and streaming_zorder_ingest (the
+# _ADMISSION_SQL precedent): the oracle recomputes every row, its
+# Morton position, and its segment from the raw parquet truth — a row
+# lost by the semi-join, duplicated by the union/at-least-once append,
+# or landed in the wrong segment by the dynamic overwrite breaks the
+# hash. Both queries must converge to the SAME store state because the
+# store contract (curve position is arithmetic on the row) does not
+# care whether deltas arrived by batch chunks or micro-batches.
+ZCURVE_ORACLE_SQL = f"""
     WITH m AS (SELECT MIN(CAST(ts AS DATE)) AS min_day FROM events),
     b AS (
       SELECT event_id, ts, user_id, event_type, value,
@@ -254,7 +255,12 @@ ZSEG_SHIFT = 7
     SELECT event_id, ts, user_id, event_type, value, day_idx, zval,
            CAST(zval >> {ZSEG_SHIFT} AS INT) AS seg
     FROM z
-    """,
+    """
+
+
+@query(
+    "zorder_incremental_compact",
+    oracle=ZCURVE_ORACLE_SQL,
     survey="S1/F1/L5 layout maintenance (incremental Z-order compaction: deltas merged into the curve rewriting only touched segments; unchanged-results-hash proof)",
 )
 def zorder_incremental_compact(spark: SparkSession, sf_dir: str) -> DataFrame:

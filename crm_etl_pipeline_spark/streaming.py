@@ -887,3 +887,150 @@ def late_arrival_audit_stream(spark: SparkSession, sf_dir: str, workdir: str) ->
     )
     q.awaitTermination()
     return out
+
+
+def _curve_columns(ev: DataFrame, anchor: DataFrame) -> DataFrame:
+    """Curve-position columns for the Z-ordered event store — the SAME
+    arithmetic as layout_q.zorder_incremental_compact's batch path (the
+    store contract: a row's curve position is a function of the row and
+    the store's anchor metadata, never of which ingest path carried
+    it). ``anchor`` is the one-row (min_day, _k=1) frame the store was
+    created with; joined as a broadcast so no driver-side collect ever
+    happens, batch or micro-batch."""
+    from crm_etl_pipeline_spark import layout
+    from crm_etl_pipeline_spark.queries.layout_q import ZSEG_SHIFT
+
+    return (
+        ev.withColumn("_k", F.lit(1).cast("int"))
+        .join(F.broadcast(anchor), "_k")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            F.datediff(F.to_date("ts"), F.col("min_day")).cast("int").alias("day_idx"),
+            F.expr("user_id div 16").alias("u_bucket"),
+        )
+        .withColumn(
+            "zval", layout.zvalue(F.col("day_idx"), F.col("u_bucket")).cast("bigint")
+        )
+        .withColumn("seg", F.shiftright(F.col("zval"), ZSEG_SHIFT).cast("int"))
+        .drop("u_bucket")
+    )
+
+
+def zorder_ingest_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str | None:
+    """Close the webhook→warehouse loop the reference implies
+    (`PodioApiGateway.py:111-137`: events arrive continuously and land
+    in the store): a LIVE ingest path into the Z-ordered event store,
+    so the curve layout and the stream are one pipeline instead of
+    batch-append-then-hope.
+
+    Three stages, mirroring how a real store runs:
+
+    1. **Bootstrap (batch)** — the historical corpus (day_idx < 25)
+       lands as the segment-partitioned Z-ordered base
+       (``layout.write_zordered_segments``), and the store's anchor
+       day (min event date) is fixed as store metadata. Day-index
+       arithmetic against a FIXED anchor is what makes streaming
+       possible at all: a micro-batch cannot recompute a global MIN,
+       and must not — the anchor belongs to the store, not the query.
+    2. **Live tail (stream)** — the last 5 days arrive as four
+       arrival files replayed through a real file-source readStream
+       (``maxFilesPerTrigger=1`` → four genuine micro-batches, monotone
+       mtimes for deterministic order). ``foreachBatch`` curves each
+       micro-batch against the broadcast anchor and appends it to the
+       delta log PARTITIONED BY SEGMENT — each micro-batch writes only
+       the curve segments it touches, which is exactly the delta shape
+       ``layout.compact_zordered_increment`` merges. O(batch) work per
+       trigger; the base store is never read on the hot path.
+    3. **Maintenance (incremental compaction)** — fold the accumulated
+       seg-partitioned delta into the curve, rewriting only touched
+       segments via dynamic partition overwrite.
+
+    Returns the store path (None for an empty corpus). The read-back
+    must hash-equal the batch twin's oracle: the store state is
+    defined by the rows and the anchor, not by the ingest path.
+
+    Scale shape: step 2 is the steady state — per micro-batch cost is
+    O(batch log batch) for the curve sort of ONE batch, zero reads of
+    the store, zero shuffles beyond the per-segment write partitioning;
+    at-least-once redelivery lands duplicate rows in the delta log and
+    the compactor's union keeps them (the event store is
+    delivery-grain, same as the version log; dedup is a downstream
+    contract — see event_dedup_last_write_wins)."""
+    from crm_etl_pipeline_spark import layout
+    from crm_etl_pipeline_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    if ev.isEmpty():
+        return None
+    anchor = ev.agg(
+        F.min(F.to_date("ts")).alias("min_day"), F.lit(1).cast("int").alias("_k")
+    )
+    curved = _curve_columns(ev, anchor)
+
+    store = os.path.join(workdir, "events_zseg")
+    layout.write_zordered_segments(
+        curved.filter(F.col("day_idx") < 25), store, "zval", "seg"
+    )
+
+    # the raw wire columns of the live tail (the producer sends events,
+    # not curve positions — day_idx/zval are recomputed at ingest)
+    tail = curved.filter(F.col("day_idx") >= 25).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    if tail.isEmpty():
+        # a <25-day corpus (const_ts sweep) has no live tail: the
+        # bootstrap IS the store, nothing streams, nothing merges
+        return store
+
+    # four arrival files with monotone mtimes = deterministic
+    # micro-batch order for the file source (raw wire columns — the
+    # curve position is computed at ingest, not by the producer)
+    arrivals = os.path.join(workdir, "arrivals")
+    os.makedirs(arrivals, exist_ok=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        for i in range(4):
+            chunk_dir = os.path.join(tmp, f"c{i}")
+            tail.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(chunk_dir)
+            part = next(
+                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(arrivals, f"e{i}.parquet")
+            os.replace(os.path.join(chunk_dir, part), dst)
+            os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    delta_log = os.path.join(workdir, "delta_log")
+    schema = spark.read.parquet(os.path.join(arrivals, "e0.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals)
+    )
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        # curve THIS batch against the store anchor and land it
+        # seg-partitioned: the micro-batch touches only its own curve
+        # segments' directories — the compactor's expected delta shape
+        (
+            _curve_columns(batch, anchor)
+            .write.mode("append")
+            .partitionBy("seg")
+            .parquet(delta_log)
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", os.path.join(workdir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    delta = spark.read.parquet(delta_log)
+    layout.compact_zordered_increment(spark, store, delta, "zval", "seg")
+    return store

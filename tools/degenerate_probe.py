@@ -664,7 +664,8 @@ PROBES = [
       "json_source_roundtrip", "orc_source_roundtrip",
       "ab_test_conversion", "fifo_head", "event_dedup_last_write_wins",
       "partition_evolution_regrain", "scd2_expire_versions",
-      "zorder_range_scan", "zorder_incremental_compact"]),
+      "zorder_range_scan", "zorder_incremental_compact",
+      "streaming_zorder_ingest"]),
     ("empty_documents", {"documents": empty_table},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
@@ -705,7 +706,7 @@ PROBES = [
     ("const_ts", {"events": const_ts_events},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
-      "zorder_incremental_compact",
+      "zorder_incremental_compact", "streaming_zorder_ingest",
       "scd2_versioned_store", "scd2_current_view", "ewma_user_value",
       "running_revenue", "sliding_1h_user_value", "lag_order_gap_days",
       "streaming_scd2_state", "streaming_tumbling_counts",
