@@ -898,7 +898,7 @@ def _curve_columns(ev: DataFrame, anchor: DataFrame) -> DataFrame:
     created with; joined as a broadcast so no driver-side collect ever
     happens, batch or micro-batch."""
     from crm_etl_pipeline_spark import layout
-    from crm_etl_pipeline_spark.queries.layout_q import ZSEG_SHIFT
+    from crm_etl_pipeline_spark.queries.layout_q import ZGRAIN_UBUCKET, ZSEG_SHIFT
 
     return (
         ev.withColumn("_k", F.lit(1).cast("int"))
@@ -910,7 +910,7 @@ def _curve_columns(ev: DataFrame, anchor: DataFrame) -> DataFrame:
             "event_type",
             "value",
             F.datediff(F.to_date("ts"), F.col("min_day")).cast("int").alias("day_idx"),
-            F.expr("user_id div 16").alias("u_bucket"),
+            F.expr(f"user_id div {ZGRAIN_UBUCKET}").alias("u_bucket"),
         )
         .withColumn(
             "zval", layout.zvalue(F.col("day_idx"), F.col("u_bucket")).cast("bigint")

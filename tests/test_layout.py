@@ -364,3 +364,20 @@ def test_zorder_incremental_query_rerun_is_self_contained(spark):
     a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_zcurve_grain_knobs_default_to_registered_behavior():
+    """The round-10 grain knobs (SPARK_GRAFT_ZGRAIN_UBUCKET /
+    SPARK_GRAFT_ZSEG_SHIFT) exist for the scale harness; with the env
+    unset the oracle SQL and the Spark expressions must reproduce the
+    registered grain byte-for-byte (the driver certifies THIS grain)."""
+    import os
+
+    from crm_etl_pipeline_spark.queries import layout_q
+
+    assert "SPARK_GRAFT_ZGRAIN_UBUCKET" not in os.environ
+    assert "SPARK_GRAFT_ZSEG_SHIFT" not in os.environ
+    assert layout_q.ZGRAIN_UBUCKET == 16
+    assert layout_q.ZSEG_SHIFT == 7
+    assert "user_id // 16 AS u_bucket" in layout_q.ZCURVE_ORACLE_SQL
+    assert f">> {layout_q.ZSEG_SHIFT}" in layout_q.ZCURVE_ORACLE_SQL
