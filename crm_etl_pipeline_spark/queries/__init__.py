@@ -142,6 +142,18 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # satisfying the round-9 verdict's "no row should predate r7 except
 # by documented cede".
 #
+# Round-10 changed-code ledger (c2 precedent — changed rows this full
+# window cannot absorb defer to round 11's priority #1, with the
+# clean-fixture hash-unchanged proof pinned at HEAD):
+# zorder_incremental_compact's grain expression was parameterized
+# (ZGRAIN_UBUCKET/ZSEG_SHIFT env knobs for the scale harness, commit
+# 9f02760); defaults reproduce the registered grain byte-for-byte
+# (test_zcurve_grain_knobs_default_to_registered_behavior) and the
+# query re-verified full-hash at sf0.01 under defaults at HEAD. Its
+# oracle/code pair is shared with streaming_zorder_ingest, which IS
+# in this window and gets driver-certified under the new code; the
+# batch twin rotates into round 11's window as priority #1.
+#
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).
