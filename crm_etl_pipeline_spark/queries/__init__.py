@@ -145,7 +145,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # Round-10 changed-code ledger (c2 precedent — changed rows this full
 # window cannot absorb defer to round 11's priority #1, with the
 # clean-fixture hash-unchanged proof pinned at HEAD):
-# zorder_incremental_compact's grain expression was parameterized
+# (1) zorder_incremental_compact's grain expression was parameterized
 # (ZGRAIN_UBUCKET/ZSEG_SHIFT env knobs for the scale harness, commit
 # 9f02760); defaults reproduce the registered grain byte-for-byte
 # (test_zcurve_grain_knobs_default_to_registered_behavior) and the
@@ -153,6 +153,21 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # oracle/code pair is shared with streaming_zorder_ingest, which IS
 # in this window and gets driver-certified under the new code; the
 # batch twin rotates into round 11's window as priority #1.
+# (2) The identity-collision contract (the round-10 id_collision_docs
+# probe find — SAME doc_id, DIFFERENT bytes — split four pipelines
+# cross-engine): identity-grain document loaders now resolve one
+# deterministic winner per doc_id (llmops._one_per_doc /
+# _DOCS_ONE_SQL, mirrored in the oracles). Ten rows changed:
+# minhash_near_dup, lsh_bucket_profile, ngram_jaccard_verify,
+# simhash_near_dup, dedup_components, repeated_span_mining,
+# prefix_filter_setsim_join (via the shared _near_corpus /
+# _NEAR_CORPUS_SQL chokepoint), boilerplate_line_removal,
+# curation_pipeline, pack_training_sequences (their own loaders).
+# Hash-unchanged on clean fixtures (no collisions there; byte-dup
+# rows pick the same winner the round-8 DISTINCT did): all ten are
+# pytest-oracle-green at HEAD, the id_collision_docs batch runs 18/18
+# OK, and tests/test_llmops.py::test_identity_collision_contract pins
+# the degenerate agreement. All ten join round 11's priority #1.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50

@@ -57,11 +57,62 @@ _EXACT_CORPUS_SQL = f"""
     SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 5 = 0
 """
 
+# --- identity-collision contract (round-10 id_collision_docs probe) ---
+# doc_id is the document IDENTITY. A collision — the SAME doc_id
+# carrying DIFFERENT bytes (two ingest shards minting one id) — broke
+# four identity-grain pipelines cross-engine: minhash's per-id
+# signature collapse unioned both texts' shingles while the oracle
+# kept two signature rows; packing's (md5(id), id) ordering tied on
+# two different-length rows (nondeterministic cumulative sums);
+# curation's survivor semi-join on doc_id resurrected both contents;
+# boilerplate's per-id reassembly merged two documents' lines. The
+# contract: identity-grain loaders resolve ONE deterministic winner
+# per doc_id — the lexicographically smallest payload, NULLS FIRST —
+# identically in both engines, at the loader chokepoint (the _emb
+# NULL-vector precedent). Byte-identical duplicates pick the same
+# winner as the round-8 DISTINCT did, so clean/dup fixtures are
+# hash-unchanged. Per-ROW doc queries (chunking, fingerprints, tf-idf,
+# BM25, token stats, UTF-8 gate, ...) pass collisions through
+# SYMMETRICALLY instead and stay contract-free by design — the
+# id_collision_docs sweep batch certifies both groups.
+_DOCS_ONE_SQL = """
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY text ASC NULLS FIRST) AS _rn
+      FROM documents) WHERE _rn = 1
+"""
+
+_DOCS_ONE_LANG_SQL = """
+    SELECT doc_id, lang, text FROM (
+      SELECT doc_id, lang, text,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY text ASC NULLS FIRST,
+                                         lang ASC NULLS FIRST) AS _rn
+      FROM documents) WHERE _rn = 1
+"""
+
+
+def _one_per_doc(df: DataFrame, order_cols: tuple[str, ...]) -> DataFrame:
+    """Spark twin of _DOCS_ONE_SQL / _DOCS_ONE_LANG_SQL: one
+    deterministic row per doc_id, winner = smallest (order_cols)
+    lexicographically, NULLS FIRST (Spark's ASC default, spelled out
+    because DuckDB's default is NULLS LAST)."""
+    w = Window.partitionBy("doc_id").orderBy(
+        *[F.col(c).asc_nulls_first() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 _NEAR_CORPUS_SQL = f"""
-    SELECT doc_id, text FROM documents
+    SELECT doc_id, text FROM ({_DOCS_ONE_SQL})
     UNION ALL
     SELECT doc_id + {DUP_OFFSET} AS doc_id, text || ' zq' AS text
-    FROM documents WHERE doc_id % 7 = 0
+    FROM ({_DOCS_ONE_SQL}) WHERE doc_id % 7 = 0
 """
 
 
@@ -74,7 +125,12 @@ def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # identity winner BEFORE clone fabrication (contract above): the
+    # fabricated clone of a collided id derives from the same winner
+    # in both engines
+    docs = _one_per_doc(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), ("text",)
+    )
     dups = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zq")).alias("text"),
@@ -1066,11 +1122,15 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "curation_pipeline",
     oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, lang, text FROM documents
+    WITH one AS ({_DOCS_ONE_LANG_SQL}),
+    corpus AS (
+      -- identity winner BEFORE clone fabrication (round-10
+      -- identity-collision contract): the survivor semi-join on
+      -- doc_id must never see two contents behind one id
+      SELECT doc_id, lang, text FROM one
       UNION ALL
       SELECT doc_id + {DUP_OFFSET} AS doc_id, lang, text
-      FROM documents WHERE doc_id % 5 = 0
+      FROM one WHERE doc_id % 5 = 0
     ),
     gated AS (
       SELECT doc_id, lang, text,
@@ -1116,7 +1176,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the scan stage.
     """
     toks = _tokens()
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # identity winner before clone fabrication (round-10 contract):
+    # the survivor semi-join on doc_id must never see two contents
+    # behind one id
+    docs = _one_per_doc(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        ("text", "lang"),
+    )
     corpus = docs.unionAll(
         docs.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "lang", "text"
@@ -1353,12 +1419,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pack_training_sequences",
-    oracle="""
+    oracle=f"""
     WITH sized AS (
+      -- identity winner (round-10 identity-collision contract): the
+      -- (h, doc_id) lay-down order TIES on a collided id, so two
+      -- different-length contents behind one id made the running sum
+      -- nondeterministic in both engines
       SELECT doc_id, lang,
              len(string_split(text, ' ')) AS n_tokens,
              md5(CAST(doc_id AS VARCHAR)) AS h
-      FROM documents
+      FROM ({_DOCS_ONE_LANG_SQL})
     ), laid AS (
       SELECT doc_id, lang, n_tokens,
              CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
@@ -1386,7 +1456,12 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window, or the two-phase partition-prefix sum that
     ``global_rank_two_phase`` (queries/stats_q.py) implements and
     hash-proves. Integer math only."""
-    sized = table(spark, sf_dir, "documents").select(
+    # identity winner (round-10 contract): the (h, doc_id) lay-down
+    # order ties on a collided id — see the oracle comment
+    sized = _one_per_doc(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        ("text", "lang"),
+    ).select(
         "doc_id",
         "lang",
         F.size(_tokens()).alias("n_tokens"),
@@ -2057,11 +2132,12 @@ _BOILER = (
                              THEN '{_BOILER[1]}'
                              ELSE '{_BOILER[2]}' END) || chr(10) || COALESCE(text, '')
                   ELSE COALESCE(text, '') END AS text
-      -- DISTINCT: doc_id is the document identity — a byte-identical
-      -- re-ingested row must not double every line of the cleaned
-      -- reassembly (round-8 dup_docs sweep contract, symmetric with
-      -- the Spark side's dropDuplicates)
-      FROM (SELECT DISTINCT doc_id, text FROM documents)
+      -- one row per doc_id: a byte-identical re-ingested row must not
+      -- double every line of the reassembly (round-8 dup_docs
+      -- contract), and a COLLIDED id must not merge two documents'
+      -- lines (round-10 identity-collision contract — winner rule,
+      -- symmetric with the Spark side's _one_per_doc)
+      FROM ({_DOCS_ONE_SQL})
     ), lines AS (
       SELECT doc_id, o AS pos, arr[o] AS line
       FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM fab) t,
@@ -2070,7 +2146,7 @@ _BOILER = (
       SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
     ), tot AS (
       SELECT COUNT(*) AS n_total
-      FROM (SELECT DISTINCT doc_id, text FROM documents)
+      FROM ({_DOCS_ONE_SQL})
     ), boiler AS (
       SELECT line FROM freq, tot WHERE n_docs > 0.05 * n_total
     ), kept AS (
@@ -2107,10 +2183,14 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs anything: frequency gating IS the scalable form of
     boilerplate detection (RefinedWeb §3.2 runs exactly this at
     trillion-token scale)."""
-    # identity dedup (round-8 dup_docs contract): a duplicated ingest
-    # row would double every line of the reassembled document; the
-    # (doc_id, text) shuffle is tiny next to the line-grain explode
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text").dropDuplicates()
+    # identity winner (round-8 dup_docs + round-10 collision contract):
+    # a duplicated ingest row would double every line of the
+    # reassembled document, and a collided id would merge two
+    # documents' lines; the doc_id shuffle is tiny next to the
+    # line-grain explode
+    docs = _one_per_doc(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), ("text",)
+    )
     hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     hex2 = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)
     boiler = (

@@ -10,9 +10,22 @@ fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
 (optionally pass batch names to run a subset: `python
-tools/degenerate_probe.py dup_events const_ts`). ~19 min at 49 probe
-batches / 484 query runs; needs an otherwise-idle Spark, like any
-measurement run. The round-9 extreme_values batch (×13: ±8.8e13
+tools/degenerate_probe.py dup_events const_ts`). ~20 min at 51 probe
+batches / 524 query runs; needs an otherwise-idle Spark, like any
+measurement run. Round-10 certification: the pre-collision registry
+ran **506/506 OK** at HEAD (full pytest 348 green concurrently);
+the NEW id_collision_docs batch (×18: every 29th document takes its
+predecessor's doc_id while keeping its own text — the cross-shard
+ingest hazard) found the round-10 divergence class: four
+identity-grain pipelines split cross-engine (minhash signature
+collapse unioned two texts' shingles, packing's lay-down order tied,
+curation's survivor semi-join resurrected both contents, boilerplate
+merged two documents' lines) until the identity-collision contract
+(llmops._one_per_doc winner rule, mirrored in the oracles) closed all
+four; the batch then ran 18/18 OK and the round-10 additions
+(null_component_embeddings ×14, utf8_ingest_quarantine in 7 document
+batches, streaming_zorder_ingest in empty_events + const_ts) are all
+certified in the 506-run pass or their batch-level re-runs. The round-9 extreme_values batch (×13: ±8.8e13
 values + one 9.9e15 row) found THREE more cross-engine classes, all
 fixed with clean-fixture no-ops
 (tests/test_stats.py::test_extreme_magnitude_contract): DuckDB's
@@ -324,6 +337,23 @@ def null_component_embeddings(tbl):
         tbl.column_names.index("embedding"),
         "embedding",
         pa.array(embs, tbl.schema.field("embedding").type),
+    )
+
+
+def id_collision_docs(tbl):
+    # identity collision (round-10 probe): every 29th document takes its
+    # predecessor's doc_id while KEEPING its own text/lang — the
+    # cross-shard ingest hazard (two shards minting the same id for
+    # different content). Distinct from dup_docs (byte-identical rows):
+    # here doc_id identity and content identity DISAGREE, so any
+    # tiebreaker, survivor rule, or join that assumes doc_id uniqueness
+    # over distinct content either stays deterministic or gets caught.
+    ids = tbl.column("doc_id").to_pylist()
+    for i in range(29, len(ids), 29):
+        ids[i] = ids[i - 1]
+    return tbl.set_column(
+        tbl.column_names.index("doc_id"), "doc_id",
+        pa.array(ids, tbl.schema.field("doc_id").type),
     )
 
 
@@ -778,6 +808,15 @@ PROBES = [
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
       "knn_label_disagreement", "embedding_near_dup"]),
+    ("id_collision_docs", {"documents": id_collision_docs},
+     ["exact_dedup_documents", "dedup_incremental_new_docs",
+      "chunk_documents", "doc_fingerprint", "bm25_topk_search",
+      "tfidf_top_terms", "inverted_index_postings",
+      "boilerplate_line_removal", "repeated_span_mining",
+      "minhash_near_dup", "simhash_near_dup",
+      "pack_training_sequences", "train_split_stratified",
+      "curation_pipeline", "utf8_ingest_quarantine",
+      "multimodal_manifest", "multimodal_byte_dedup", "token_profile"]),
     ("null_component_embeddings", {"embeddings": null_component_embeddings},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
