@@ -12,20 +12,21 @@ Run from the repo root:  python tools/degenerate_probe.py
 (optionally pass batch names to run a subset: `python
 tools/degenerate_probe.py dup_events const_ts`). ~20 min at 51 probe
 batches / 524 query runs; needs an otherwise-idle Spark, like any
-measurement run. Round-10 certification: the pre-collision registry
-ran **506/506 OK** at HEAD (full pytest 348 green concurrently);
-the NEW id_collision_docs batch (×18: every 29th document takes its
-predecessor's doc_id while keeping its own text — the cross-shard
-ingest hazard) found the round-10 divergence class: four
+measurement run. Round-10 certification: **524/524 OK at the round-10
+final HEAD** (all 51 batches, full pytest 349 green in the same
+session). The round's sweep history: the pre-collision registry ran
+506/506 OK; the NEW id_collision_docs batch (×18: every 29th document
+takes its predecessor's doc_id while keeping its own text — the
+cross-shard ingest hazard) found the round-10 divergence class: four
 identity-grain pipelines split cross-engine (minhash signature
 collapse unioned two texts' shingles, packing's lay-down order tied,
 curation's survivor semi-join resurrected both contents, boilerplate
 merged two documents' lines) until the identity-collision contract
 (llmops._one_per_doc winner rule, mirrored in the oracles) closed all
-four; the batch then ran 18/18 OK and the round-10 additions
-(null_component_embeddings ×14, utf8_ingest_quarantine in 7 document
-batches, streaming_zorder_ingest in empty_events + const_ts) are all
-certified in the 506-run pass or their batch-level re-runs. The round-9 extreme_values batch (×13: ±8.8e13
+four; the final 524-run pass covers that batch plus the round-10
+additions (null_component_embeddings ×14, utf8_ingest_quarantine in 7
+document batches, streaming_zorder_ingest in empty_events +
+const_ts). The round-9 extreme_values batch (×13: ±8.8e13
 values + one 9.9e15 row) found THREE more cross-engine classes, all
 fixed with clean-fixture no-ops
 (tests/test_stats.py::test_extreme_magnitude_contract): DuckDB's
