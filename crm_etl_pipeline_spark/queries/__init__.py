@@ -168,6 +168,23 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # pytest-oracle-green at HEAD, the id_collision_docs batch runs 18/18
 # OK, and tests/test_llmops.py::test_identity_collision_contract pins
 # the degenerate agreement. All ten join round 11's priority #1.
+# (3) The identity-collision contract's VECTOR twin (id_collision_embs
+# probe: same vec_id, different embedding — tied the hash-rank seed
+# orderings, so the engines trained k-means/PQ on different seed
+# vectors): training loaders resolve one deterministic winner per
+# vec_id (embeddings_q._one_per_vec / the raw_emb winner CTE, ASC
+# NULLS FIRST on the vector payload — array ordering agrees
+# cross-engine). Serving scans stay winner-free by design (per-row
+# symmetric; a window would wreck their scan-only plans) — the batch
+# certifies both groups 14/14 OK, and id_collision_events ran 20/20
+# OK with NO fix needed (the (ts, event_id, value)-keyed event
+# pipelines are already collision-deterministic). The three changed
+# rows — embedding_kmeans, kmeans_cluster_purity, ann_pq_adc — are
+# ALREADY in this window (segments (a)/(b)) and get driver-certified
+# under the new code; hash-unchanged on clean fixtures
+# (test_oracle 3/3 green at HEAD;
+# tests/test_stats.py::test_embedding_identity_collision_contract
+# pins the degenerate agreement).
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50

@@ -75,6 +75,41 @@ def _emb(spark: SparkSession, sf_dir: str):
         )
     )
 
+# --- identity-collision contract for TRAINING pipelines (round-10
+# id_collision_embs probe): vec_id is the vector identity; a collision
+# (same vec_id, different embedding — two ingest shards minting one
+# id) TIED the hash-rank seed orderings (ORDER BY md5(vec_id), vec_id)
+# in k-means and the PQ per-subspace codebooks, so the two engines
+# trained on different seed VECTORS and every assignment diverged.
+# Training loaders (kmeans / purity-via-kmeans / PQ) resolve ONE
+# deterministic winner per vec_id — the lexicographically smallest vd,
+# NULLS FIRST (array comparison agrees cross-engine, including -0.0
+# and prefix/length edges; non-finite components are already excluded
+# upstream by _emb). Byte-identical duplicates pick the same winner
+# the round-8 DISTINCT did, so clean/dup fixtures are hash-unchanged.
+# SERVING scans (brute top-k, standardize, quantize, near-dup, IVF)
+# stay winner-free BY DESIGN: they are per-row symmetric (the
+# id_collision_embs sweep batch certifies both groups), and a window
+# would wreck their scan-only 100 TB plans.
+_EMB_ONE_SQL = """
+    SELECT vec_id, vd FROM (
+      SELECT vec_id, vd,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY vd ASC NULLS FIRST) AS _rn
+      FROM raw_emb) WHERE _rn = 1
+"""
+
+
+def _one_per_vec(df: DataFrame) -> DataFrame:
+    """Spark twin of _EMB_ONE_SQL over a (vec_id, vd) frame."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("vd").asc_nulls_first())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 _SCALE = 1e12  # fixed-point quantum for float reductions
 _DIM = 64
 
@@ -912,13 +947,19 @@ def _dist_q(vd: Column, cv: Column) -> Column:
 @query(
     "embedding_kmeans",
     oracle=f"""
-    WITH emb AS (
-      -- DISTINCT: vec_id is the vector identity (round-8 dup sweep
-      -- contract) — a byte-identical re-ingested row must not double
-      -- the oracle's per-(vec,cluster) distance GROUP BY or the M-step
-      -- mean contributions (mirrors the Spark dropDuplicates)
-      SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    WITH raw_emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
       FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+    ), emb AS (
+      -- ONE row per vec_id: byte-identical re-ingest collapses (round-8
+      -- dup contract) and a COLLIDED id resolves to the deterministic
+      -- winner (round-10 identity-collision contract — the seed rank
+      -- ordering ties on a collided id; mirrors Spark's _one_per_vec)
+      SELECT vec_id, vd FROM (
+        SELECT vec_id, vd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY vd ASC NULLS FIRST) AS _rn
+        FROM raw_emb) WHERE _rn = 1
     ), seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cluster, vd AS cv
@@ -976,16 +1017,15 @@ def embedding_kmeans(
     loop), assignment is one partitioned window, and the M-step is the
     (cluster, dim)-grain exact aggregate — k·64 keys. Empty clusters
     drop out identically in both engines."""
-    emb = (
-        _emb(spark, sf_dir)
-        .select(
+    emb = _one_per_vec(
+        _emb(spark, sf_dir).select(
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
         )
-        # identity dedup (round-8 dup sweep contract): a duplicated
-        # ingest row would double this vector's weight in every M-step
-        # mean — and the oracle's grouped distance sums
-        .dropDuplicates()
+        # one row per vec_id: duplicated ingest must not double this
+        # vector's M-step weight (round-8 dup contract), and a COLLIDED
+        # id must not tie the seed rank (round-10 identity-collision
+        # contract — see _one_per_vec)
     )
     probe = emb.withColumn(
         "_k", F.least(F.col("vec_id") + 1, F.lit(1)).cast("int")
@@ -1194,12 +1234,18 @@ _PQ_K = 8  # codes per subspace (fixture-sized; 256 at production scale)
 # codebook that produced the codes is BY CONSTRUCTION the one the ADC
 # tables are built from.
 _PQ_ADC_ORACLE = f"""
-    WITH emb AS (
-      -- DISTINCT: vec_id identity dedup (round-8 dup sweep contract) —
-      -- a byte-identical re-ingested vector must not double its M-step
-      -- weight or its ADC contribution rows
-      SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    WITH raw_emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
       FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+    ), emb AS (
+      -- ONE row per vec_id (round-8 dup + round-10 identity-collision
+      -- contracts): the per-subspace seed ranks tie on a collided id;
+      -- mirrors Spark's _one_per_vec
+      SELECT vec_id, vd FROM (
+        SELECT vec_id, vd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY vd ASC NULLS FIRST) AS _rn
+        FROM raw_emb) WHERE _rn = 1
     ), sv AS (
       SELECT vec_id, s AS sub, vd[(s*{_PQ_SD}+1):(s*{_PQ_SD}+{_PQ_SD})] AS svec
       FROM emb, unnest(range(0, {_PQ_M})) t(s)
@@ -1295,15 +1341,13 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     then cand_id. Recall floor vs the exact scan is pinned in
     tests/test_llmops.py.
     """
-    emb = (
-        _emb(spark, sf_dir)
-        .select(
+    emb = _one_per_vec(
+        _emb(spark, sf_dir).select(
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
         )
-        # identity dedup (round-8 dup sweep contract), mirroring the
-        # oracle's DISTINCT — see embedding_kmeans
-        .dropDuplicates()
+        # one row per vec_id (round-8 dup + round-10 identity-collision
+        # contracts) — see embedding_kmeans / _one_per_vec
     )
     slices = F.array(*[F.slice("vd", s * _PQ_SD + 1, _PQ_SD) for s in range(_PQ_M)])
     sv = emb.select("vec_id", F.posexplode(slices).alias("sub", "svec"))

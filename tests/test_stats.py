@@ -977,3 +977,59 @@ def test_extreme_magnitude_contract(spark, tmp_path):
     o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
     con.close()
     assert s == o
+
+
+def test_embedding_identity_collision_contract(spark, tmp_path):
+    """Identity-collision contract for vectors (round-10
+    id_collision_embs probe): when the SAME vec_id carries DIFFERENT
+    embeddings, the hash-rank seed orderings (ORDER BY md5(vec_id),
+    vec_id) in k-means and the PQ per-subspace codebooks TIE, so the
+    engines trained on different seed vectors and every assignment
+    diverged. Training loaders now resolve one deterministic winner
+    per vec_id (lexicographically smallest vd, NULLS FIRST — Spark
+    _one_per_vec / the oracle's raw_emb winner CTE). Pin: with
+    collisions injected, embedding_kmeans and ann_pq_adc agree
+    bit-for-bit cross-engine; serving scans pass collisions through
+    symmetrically (certified by the sweep batch)."""
+    import duckdb
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = emb.column("vec_id").to_pylist()
+    n_coll = 0
+    for i in range(31, len(ids), 31):
+        ids[i] = ids[i - 1]
+        n_coll += 1
+    assert n_coll
+    emb = emb.set_column(
+        emb.column_names.index("vec_id"), "vec_id",
+        pa.array(ids, emb.schema.field("vec_id").type),
+    )
+    out = str(tmp_path / "vidcollide")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(emb, f"{out}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{out}/embeddings.parquet')"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        if isinstance(v, bool):
+            return str(v).lower()
+        return str(v)
+
+    for name in ("embedding_kmeans", "ann_pq_adc"):
+        q = REGISTRY[name]
+        df = q.fn(spark, out)
+        cols = sorted(df.columns)
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in df.collect())
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+        assert s == o, name
+    con.close()

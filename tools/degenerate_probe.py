@@ -320,6 +320,36 @@ def nan_inf_embeddings(tbl):
     )
 
 
+def id_collision_embs(tbl):
+    # identity collision for vectors (round-10 probe, the embedding twin
+    # of id_collision_docs): every 31st vector takes its predecessor's
+    # vec_id while KEEPING its own embedding/label — catches orderings
+    # and survivor rules that assume vec_id uniqueness (k-means/IVF seed
+    # ranks order by (md5(vec_id), vec_id): a collision TIES two
+    # different vectors).
+    ids = tbl.column("vec_id").to_pylist()
+    for i in range(31, len(ids), 31):
+        ids[i] = ids[i - 1]
+    return tbl.set_column(
+        tbl.column_names.index("vec_id"), "vec_id",
+        pa.array(ids, tbl.schema.field("vec_id").type),
+    )
+
+
+def id_collision_events(tbl):
+    # identity collision for events: every 41st event takes its
+    # predecessor's event_id while KEEPING its own (ts, user_id, value,
+    # ...) — catches last-write-wins/dedup tiebreakers that assume
+    # (ts, event_id) totally orders distinct payloads.
+    ids = tbl.column("event_id").to_pylist()
+    for i in range(41, len(ids), 41):
+        ids[i] = ids[i - 1]
+    return tbl.set_column(
+        tbl.column_names.index("event_id"), "event_id",
+        pa.array(ids, tbl.schema.field("event_id").type),
+    )
+
+
 def null_component_embeddings(tbl):
     # NULL payload corruption (round-10 advisor find): a NULL component
     # in every 19th vector. Before the contract extension the engines
@@ -818,6 +848,23 @@ PROBES = [
       "pack_training_sequences", "train_split_stratified",
       "curation_pipeline", "utf8_ingest_quarantine",
       "multimodal_manifest", "multimodal_byte_dedup", "token_profile"]),
+    ("id_collision_embs", {"embeddings": id_collision_embs},
+     ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+      "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
+      "embedding_standardize",
+      "embedding_quantize_int8", "embedding_centroid_per_label",
+      "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
+      "knn_label_disagreement", "embedding_near_dup"]),
+    ("id_collision_events", {"events": id_collision_events},
+     ["event_dedup_last_write_wins", "scd2_versioned_store",
+      "scd2_current_view", "scd2_soft_delete", "scd2_expire_versions",
+      "scd2_asof_snapshot", "version_counts_per_key", "fifo_head",
+      "sessionization", "asof_join_latest_order",
+      "streaming_scd2_state", "incremental_agg_merge",
+      "rate_limit_admission", "streaming_rate_limit",
+      "tumbling_daily_counts", "event_type_routing",
+      "cdc_derive_changes", "cdc_apply_snapshot",
+      "event_value_anomalies", "keyset_pagination_orders"]),
     ("null_component_embeddings", {"embeddings": null_component_embeddings},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
