@@ -97,7 +97,18 @@ def _one_per_doc(df: DataFrame, order_cols: tuple[str, ...]) -> DataFrame:
     """Spark twin of _DOCS_ONE_SQL / _DOCS_ONE_LANG_SQL: one
     deterministic row per doc_id, winner = smallest (order_cols)
     lexicographically, NULLS FIRST (Spark's ASC default, spelled out
-    because DuckDB's default is NULLS LAST)."""
+    because DuckDB's default is NULLS LAST).
+
+    Deliberately a WINDOW, not MIN(struct(...)): struct MIN with a
+    NULL field DIVERGES cross-engine (Spark orders a NULL-field struct
+    smallest, DuckDB largest — verified round 10), and text can be
+    NULL here (null_text probe). The embeddings twin
+    (embeddings_q._one_per_vec) uses the cheaper MIN-aggregate form
+    only because its payload is provably never NULL past _emb. The
+    window's doc_id partitioning is the same key every consumer
+    shuffles on next, so Catalyst elides the extra exchange on the hot
+    paths (bench-verified: minhash/curation/pack/boilerplate all
+    inside their pre-change bands)."""
     w = Window.partitionBy("doc_id").orderBy(
         *[F.col(c).asc_nulls_first() for c in order_cols]
     )
