@@ -12,21 +12,28 @@ Run from the repo root:  python tools/degenerate_probe.py
 (optionally pass batch names to run a subset: `python
 tools/degenerate_probe.py dup_events const_ts`). ~20 min at 51 probe
 batches / 524 query runs; needs an otherwise-idle Spark, like any
-measurement run. Round-10 certification: **524/524 OK at the round-10
-final HEAD** (all 51 batches, full pytest 349 green in the same
+measurement run. Round-10 certification: **558/558 OK at the round-10
+final HEAD** (all 53 batches, full pytest 350 green in the same
 session). The round's sweep history: the pre-collision registry ran
-506/506 OK; the NEW id_collision_docs batch (×18: every 29th document
-takes its predecessor's doc_id while keeping its own text — the
-cross-shard ingest hazard) found the round-10 divergence class: four
-identity-grain pipelines split cross-engine (minhash signature
-collapse unioned two texts' shingles, packing's lay-down order tied,
-curation's survivor semi-join resurrected both contents, boilerplate
-merged two documents' lines) until the identity-collision contract
-(llmops._one_per_doc winner rule, mirrored in the oracles) closed all
-four; the final 524-run pass covers that batch plus the round-10
-additions (null_component_embeddings ×14, utf8_ingest_quarantine in 7
-document batches, streaming_zorder_ingest in empty_events +
-const_ts). The round-9 extreme_values batch (×13: ±8.8e13
+506/506 then 524/524 OK; the THREE new identity-collision batches
+(same id, DIFFERENT payload — the cross-shard ingest hazard where id
+identity and content identity disagree) found the round-10 divergence
+class twice: id_collision_docs (×18) broke four identity-grain
+document pipelines (minhash signature collapse unioned two texts'
+shingles, packing's lay-down order tied, curation's survivor
+semi-join resurrected both contents, boilerplate merged two
+documents' lines — closed by the llmops._one_per_doc winner rule,
+mirrored in the oracles) and id_collision_embs (×14) tied the
+k-means/PQ hash-rank seed orderings so the engines trained on
+different seed vectors (closed by embeddings_q._one_per_vec, a
+MIN-aggregate winner — safe there ONLY because vd is never NULL:
+struct MIN with a NULL field itself diverges cross-engine, which is
+why the docs winner stays a NULLS FIRST window). id_collision_events
+(×20) ran clean with NO fix needed — the (ts, event_id, value)-keyed
+event pipelines were already collision-deterministic. The final
+558-run pass also covers the earlier round-10 additions
+(null_component_embeddings ×14, utf8_ingest_quarantine in 7 document
+batches, streaming_zorder_ingest in empty_events + const_ts). The round-9 extreme_values batch (×13: ±8.8e13
 values + one 9.9e15 row) found THREE more cross-engine classes, all
 fixed with clean-fixture no-ops
 (tests/test_stats.py::test_extreme_magnitude_contract): DuckDB's
