@@ -185,6 +185,30 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # (test_oracle 3/3 green at HEAD;
 # tests/test_stats.py::test_embedding_identity_collision_contract
 # pins the degenerate agreement).
+# (4) The contract's final two id spaces (id_collision_orders ×16:
+# clean, no fix needed; id_collision_customer ×25): customer is the
+# CRM item table, so a collided c_custkey (a) fanned out flagship's
+# customer join, splitting its plain count from the oracle's
+# COUNT(DISTINCT) — the customer dim now resolves one deterministic
+# winner per key (MIN segment, map-side combinable, in-band in the
+# full-bench protocol: flagship 0.550, tier-1 6.656) — and (b) put
+# two base rows behind one (item_id, BASE_TS, 0) version identity
+# with different values, an untiebreakable version-order coin flip;
+# scd.scd2_apply's identity collapse is now a deterministic
+# per-column MIN winner (the SAME shuffle the old subset-
+# dropDuplicates paid — which itself picked an ARBITRARY survivor,
+# a latent Spark-side nondeterminism — zero new stages: in-band
+# scd2_versioned_store 0.346), mirrored by MIN(value) GROUP BY
+# identity in the shared _STORE_SQL all_v CTE (subsumes the round-8
+# DISTINCT: MIN of equal rows is the row). Changed rows:
+# flagship_segment_revenue + the 8 _STORE_SQL/_base consumers
+# (scd2_versioned_store, scd2_current_view, scd2_soft_delete,
+# scd2_store_roundtrip, scd2_asof_snapshot, scd2_expire_versions,
+# scd2_compact_small_files, streaming_scd2_state). Hash-unchanged on
+# clean fixtures (unique keys; 16 oracle/scd/streaming tests green at
+# HEAD); tests/test_scd.py::test_customer_identity_collision_contract
+# pins the degenerate agreement. All nine join round 11's
+# priority #1 alongside ledger entries (1)-(2).
 #
 # registry.load_all reorders REGISTRY to put these at the front; the rest
 # follow in module order. Keep this list <= 50

@@ -44,7 +44,8 @@ def _charge_dec() -> F.Column:
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
            COUNT(DISTINCT o_orderkey) AS n_orders,
            COUNT(*) AS n_lineitems
-    FROM customer
+    FROM (SELECT c_custkey, MIN(c_mktsegment) AS c_mktsegment
+          FROM customer GROUP BY c_custkey) c
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY c_mktsegment
@@ -61,8 +62,21 @@ def flagship_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fact-scaled (150k × SF — tens of GB at the 100 TB design point),
     so no forced broadcast: AQE picks broadcast at small SF and demotes
     to shuffle join at scale.
+
+    The customer dim is identity-grain (round-10 id_collision_customer
+    probe): a collided c_custkey carrying two different rows would fan
+    the join out, silently double-attributing orders — and the plain
+    count would diverge from the oracle's COUNT(DISTINCT). One
+    deterministic winner per custkey (MIN segment, map-side
+    combinable — no countDistinct Expand re-introduced) keeps the
+    order-grain design valid under collision; no-op when keys are
+    unique.
     """
-    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_custkey")
+        .agg(F.min("c_mktsegment").alias("c_mktsegment"))
+    )
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     per_order = (
         table(spark, sf_dir, "lineitem")

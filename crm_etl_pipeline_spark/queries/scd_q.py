@@ -38,15 +38,17 @@ _STORE_SQL = f"""
       SELECT user_id AS item_id, event_id, ts, value
       FROM events WHERE event_type IN ('purchase', 'signup')
     ), all_v AS (
-      -- DISTINCT mirrors scd2_apply's dropDuplicates on the
-      -- (item_id, ts, event_id) version identity: at-least-once
-      -- delivery re-sends byte-identical rows, and a duplicated
-      -- delivery must not mint a second version (found by the
-      -- dup_events sweep probe; same-identity-DIFFERENT-value rows
-      -- are upstream corruption and outside the contract)
-      SELECT DISTINCT * FROM (
+      -- MIN-winner identity collapse, mirroring scd2_apply: a
+      -- byte-identical at-least-once re-delivery must not mint a
+      -- second version (round-8 dup_events contract — MIN of equal
+      -- rows is the row, so this subsumes the old DISTINCT), and a
+      -- COLLIDED identity (round-10 id_collision_customer probe: two
+      -- base rows share (item_id, BASE_TS, 0) with different values —
+      -- no tiebreaker can order them) resolves to the deterministic
+      -- MIN(value) winner instead of a version-order coin flip
+      SELECT item_id, event_id, ts, MIN(value) AS value FROM (
         SELECT * FROM base UNION ALL SELECT * FROM upd
-      )
+      ) GROUP BY item_id, event_id, ts
     ), v AS (
       SELECT item_id, event_id, ts, value,
              CAST(ROW_NUMBER() OVER
@@ -72,6 +74,11 @@ def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure projection: a collided c_custkey (two base rows sharing the
+    # (item_id, BASE_TS, 0) identity with different values) is resolved
+    # by scd2_apply's deterministic MIN-winner identity collapse — the
+    # same shuffle the version windows already pay, zero extra stages
+    # (round-10 id_collision_customer contract; see scd.scd2_apply)
     return table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("item_id"),
         F.lit(0).cast("bigint").alias("event_id"),

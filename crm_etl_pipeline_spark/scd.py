@@ -51,11 +51,30 @@ def scd2_apply(store: DataFrame | None, updates: DataFrame) -> DataFrame:
     (`PodioApiGateway.py:132-137`). Idempotent: applying the same batch
     twice yields the same flags (duplicates collapse on the
     (key, ts, seq) identity first).
+
+    Identity collapse is a deterministic MIN winner, not
+    dropDuplicates (round-10 id_collision_customer probe): a subset
+    dropDuplicates picks an ARBITRARY survivor among same-identity-
+    DIFFERENT-payload rows — exactly the coin flip a collided base
+    load produces (two base rows share (item_id, BASE_TS, 0) with
+    different values, and no tiebreaker can order them). Per-payload-
+    column MIN is the same shuffle the dropDuplicates already paid
+    (hash aggregate on the identity key), collapses byte-identical
+    at-least-once re-deliveries to the identical row (round-8
+    contract, unchanged), and resolves a collided identity to the
+    column-wise smallest payload — mirrored by MIN(value) GROUP BY
+    identity in the oracles' all_v CTE. Column-wise (not struct MIN)
+    because payload columns can be NULL and struct MIN with a NULL
+    field diverges cross-engine (llmops._one_per_doc's documented
+    hazard); for multi-column payloads the winner is therefore
+    resolved per column.
     """
     bare = updates.select(*_bare_cols(updates))
     if store is not None:
         bare = store.select(*_bare_cols(store)).unionByName(bare)
-    bare = bare.dropDuplicates([KEY_COL, TS_COL, SEQ_COL])
+    ident = [KEY_COL, TS_COL, SEQ_COL]
+    payload = [c for c in bare.columns if c not in ident]
+    bare = bare.groupBy(*ident).agg(*[F.min(c).alias(c) for c in payload])
     w_asc = Window.partitionBy(KEY_COL).orderBy(F.col(TS_COL), F.col(SEQ_COL))
     w_desc = Window.partitionBy(KEY_COL).orderBy(F.col(TS_COL).desc(), F.col(SEQ_COL).desc())
     return bare.withColumn("version", F.row_number().over(w_asc)).withColumn(

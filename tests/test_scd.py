@@ -131,3 +131,80 @@ def test_duplicate_delivery_mints_no_second_version(spark):
     clean = sorted(map(tuple, scd.scd2_apply(base, upd).collect()))
     redelivered = sorted(map(tuple, scd.scd2_apply(base, dup).collect()))
     assert clean == redelivered
+
+
+def test_customer_identity_collision_contract(spark, tmp_path):
+    """Identity-collision contract for the item base (round-10
+    id_collision_customer probe): customer is the CRM item table, so a
+    collided c_custkey puts two base rows behind one (item_id,
+    BASE_TS, event_id=0) version identity with DIFFERENT values — no
+    tiebreaker can order them, and the old subset-dropDuplicates
+    picked an arbitrary survivor (a cross-engine coin flip; the
+    flagship's customer join meanwhile fanned out and its plain count
+    diverged from the oracle's COUNT(DISTINCT)). scd2_apply now
+    collapses the identity to a deterministic per-column MIN winner
+    (the SAME shuffle the old dropDuplicates paid), and the flagship
+    resolves one deterministic customer row per key. Pin: with
+    collisions injected, scd2_versioned_store and
+    flagship_segment_revenue agree bit-for-bit cross-engine, and the
+    store keeps exactly one current row per item."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    cust = pq.read_table(f"{src}/customer.parquet")
+    ids = cust.column("c_custkey").to_pylist()
+    n = 0
+    for i in range(43, len(ids), 43):
+        ids[i] = ids[i - 1]
+        n += 1
+    assert n
+    cust = cust.set_column(
+        cust.column_names.index("c_custkey"), "c_custkey",
+        pa.array(ids, cust.schema.field("c_custkey").type),
+    )
+    import os
+    import shutil
+
+    out = str(tmp_path / "custcollide")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(cust, f"{out}/customer.parquet")
+    for t in ("orders", "lineitem", "events"):
+        shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+
+    from crm_etl_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')"
+        )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        if isinstance(v, bool):
+            return str(v).lower()
+        return str(v)
+
+    for name in ("scd2_versioned_store", "flagship_segment_revenue"):
+        q = reg[name]
+        df = q.fn(spark, out)
+        rows = df.collect()
+        cols = sorted(df.columns)
+        s = sorted("|".join(canon(r[c]) for c in cols) for r in rows)
+        res = con.execute(q.oracle)
+        names = [d[0] for d in res.description]
+        perm = [names.index(c) for c in sorted(names)]
+        o = sorted("|".join(canon(row[i]) for i in perm) for row in res.fetchall())
+        assert s == o, name
+        if name == "scd2_versioned_store":
+            cur = [r.item_id for r in rows if r.is_current]
+            assert len(cur) == len(set(cur))  # one current row per item
+    con.close()

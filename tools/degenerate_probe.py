@@ -10,12 +10,12 @@ fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
 (optionally pass batch names to run a subset: `python
-tools/degenerate_probe.py dup_events const_ts`). ~20 min at 51 probe
-batches / 524 query runs; needs an otherwise-idle Spark, like any
-measurement run. Round-10 certification: **558/558 OK at the round-10
-final HEAD** (all 53 batches, full pytest 350 green in the same
-session). The round's sweep history: the pre-collision registry ran
-506/506 then 524/524 OK; the THREE new identity-collision batches
+tools/degenerate_probe.py dup_events const_ts`). ~22 min at 55 probe
+batches / 599 query runs; needs an otherwise-idle Spark, like any
+measurement run. Round-10 certification: **599/599 OK at the round-10
+final HEAD** (all 55 batches, full pytest green in the same session).
+The round's sweep history: the pre-collision registry ran 506/506
+then 524/524 then 558/558 OK; the FIVE new identity-collision batches
 (same id, DIFFERENT payload — the cross-shard ingest hazard where id
 identity and content identity disagree) found the round-10 divergence
 class twice: id_collision_docs (×18) broke four identity-grain
@@ -30,8 +30,20 @@ MIN-aggregate winner — safe there ONLY because vd is never NULL:
 struct MIN with a NULL field itself diverges cross-engine, which is
 why the docs winner stays a NULLS FIRST window). id_collision_events
 (×20) ran clean with NO fix needed — the (ts, event_id, value)-keyed
-event pipelines were already collision-deterministic. The final
-558-run pass also covers the earlier round-10 additions
+event pipelines were already collision-deterministic.
+id_collision_orders (×16) also ran clean, and id_collision_customer
+(×25) found the class a THIRD time: customer is the CRM item table,
+so a collided c_custkey fanned out flagship's customer join (its
+plain count split from the oracle's COUNT(DISTINCT) — closed by a
+deterministic MIN-segment winner per key) and put two base rows
+behind one (item_id, BASE_TS, 0) version identity with different
+values — an untiebreakable version-order coin flip, closed by making
+scd.scd2_apply's identity collapse a deterministic per-column MIN
+winner (the same shuffle the old subset-dropDuplicates paid, which
+itself picked an ARBITRARY survivor — a latent Spark-side
+nondeterminism), mirrored by MIN(value) GROUP BY identity in
+_STORE_SQL (subsumes the round-8 DISTINCT). The final pass also
+covers the earlier round-10 additions
 (null_component_embeddings ×14, utf8_ingest_quarantine in 7 document
 batches, streaming_zorder_ingest in empty_events + const_ts). The round-9 extreme_values batch (×13: ±8.8e13
 values + one 9.9e15 row) found THREE more cross-engine classes, all
@@ -354,6 +366,34 @@ def id_collision_events(tbl):
     return tbl.set_column(
         tbl.column_names.index("event_id"), "event_id",
         pa.array(ids, tbl.schema.field("event_id").type),
+    )
+
+
+def id_collision_orders(tbl):
+    # identity collision for orders: every 37th order takes its
+    # predecessor's o_orderkey while keeping its own payload — probes
+    # keyset pagination cursors, top-k tiebreaks, as-of picks, and the
+    # dq uniqueness rule (which must FLAG it identically both engines).
+    ids = tbl.column("o_orderkey").to_pylist()
+    for i in range(37, len(ids), 37):
+        ids[i] = ids[i - 1]
+    return tbl.set_column(
+        tbl.column_names.index("o_orderkey"), "o_orderkey",
+        pa.array(ids, tbl.schema.field("o_orderkey").type),
+    )
+
+
+def id_collision_customer(tbl):
+    # identity collision for customers: every 43rd customer takes its
+    # predecessor's c_custkey while keeping its own payload — probes the
+    # catalog/item-store families (customer plays the CRM item table)
+    # and every per-customer grain.
+    ids = tbl.column("c_custkey").to_pylist()
+    for i in range(43, len(ids), 43):
+        ids[i] = ids[i - 1]
+    return tbl.set_column(
+        tbl.column_names.index("c_custkey"), "c_custkey",
+        pa.array(ids, tbl.schema.field("c_custkey").type),
     )
 
 
@@ -872,6 +912,27 @@ PROBES = [
       "tumbling_daily_counts", "event_type_routing",
       "cdc_derive_changes", "cdc_apply_snapshot",
       "event_value_anomalies", "keyset_pagination_orders"]),
+    ("id_collision_orders", {"orders": id_collision_orders},
+     ["keyset_pagination_orders", "topk_orders_by_revenue",
+      "latest_order_per_customer", "asof_join_latest_order",
+      "range_join_clicks_before_purchase", "dq_audit_orders",
+      "mom_revenue_growth", "cohort_retention", "rfm_segmentation",
+      "decile_gains_table", "abc_pareto_classification",
+      "histogram_order_values", "histogram_equi_depth",
+      "shipping_delay_audit", "benford_price_audit",
+      "gapfill_daily_user_revenue"]),
+    ("id_collision_customer", {"customer": id_collision_customer},
+     ["catalog_tree", "catalog_drift", "catalog_fields_tree",
+      "composite_key_roundtrip", "hidden_field_projection",
+      "return_type_fallback", "typed_field_decode",
+      "record_linkage_fuzzy", "flagship_segment_revenue",
+      "join_fk_enrichment", "join_left_missing", "join_semi",
+      "join_anti", "scd2_versioned_store", "scd2_current_view",
+      "scd2_soft_delete", "scd2_store_roundtrip", "scd2_asof_snapshot",
+      "scd2_expire_versions", "scd2_compact_small_files",
+      "streaming_scd2_state",
+      "schema_evolution_read", "pps_systematic_sample",
+      "weighted_sample_allocation", "chi_square_segment_nation"]),
     ("null_component_embeddings", {"embeddings": null_component_embeddings},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
