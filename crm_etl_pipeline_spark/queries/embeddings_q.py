@@ -91,9 +91,11 @@ def _emb(spark: SparkSession, sf_dir: str):
 # stay winner-free BY DESIGN: they are per-row symmetric (the
 # id_collision_embs sweep batch certifies both groups), and a window
 # would wreck their scan-only 100 TB plans.
-_EMB_ONE_SQL = """
-    SELECT vec_id, MIN(vd) AS vd FROM raw_emb GROUP BY vec_id
-"""
+# Interpolated VERBATIM into every training-loader oracle (the
+# _DOCS_ONE_SQL pattern) so the named contract and the live SQL cannot
+# drift apart; the rendered oracle text is byte-identical to the
+# registered round-10 form.
+_EMB_ONE_SQL = "SELECT vec_id, MIN(vd) AS vd FROM raw_emb GROUP BY vec_id"
 
 
 def _one_per_vec(df: DataFrame) -> DataFrame:
@@ -953,7 +955,7 @@ def _dist_q(vd: Column, cv: Column) -> Column:
       -- dup contract) and a COLLIDED id resolves to the deterministic
       -- winner (round-10 identity-collision contract — the seed rank
       -- ordering ties on a collided id; mirrors Spark's _one_per_vec)
-      SELECT vec_id, MIN(vd) AS vd FROM raw_emb GROUP BY vec_id
+      {_EMB_ONE_SQL}
     ), seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cluster, vd AS cv
@@ -1235,7 +1237,7 @@ _PQ_ADC_ORACLE = f"""
       -- ONE row per vec_id (round-8 dup + round-10 identity-collision
       -- contracts): the per-subspace seed ranks tie on a collided id;
       -- mirrors Spark's _one_per_vec
-      SELECT vec_id, MIN(vd) AS vd FROM raw_emb GROUP BY vec_id
+      {_EMB_ONE_SQL}
     ), sv AS (
       SELECT vec_id, s AS sub, vd[(s*{_PQ_SD}+1):(s*{_PQ_SD}+{_PQ_SD})] AS svec
       FROM emb, unnest(range(0, {_PQ_M})) t(s)

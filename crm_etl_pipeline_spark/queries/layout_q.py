@@ -239,8 +239,39 @@ def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ubucket width must keep max(user_id)/width under 2^16: zvalue
 # masks inputs to 16 bits, so an over-wide id range ALIASES buckets
 # (the mis-tuned rendering the sf1→10 row documented).
-ZGRAIN_UBUCKET = int(os.environ.get("SPARK_GRAFT_ZGRAIN_UBUCKET", "16"))
-ZSEG_SHIFT = int(os.environ.get("SPARK_GRAFT_ZSEG_SHIFT", "7"))
+def _grain_knob(env: str, default: int, lo: int, hi: int) -> int:
+    """Validated import-time parse of a curve-grain env knob: a
+    malformed value would otherwise crash every import of the queries
+    package with a bare ValueError, and an out-of-range one would
+    silently mis-curve (a ZSEG_SHIFT past the 32-bit Morton width
+    degenerates every segment to 0; ZGRAIN_UBUCKET must be >= 1 or the
+    integer division divides by zero). Loud, named, bounded."""
+    raw = os.environ.get(env, str(default))
+    try:
+        val = int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"{env}={raw!r} is not an integer (curve-grain knob; "
+            f"default {default})"
+        ) from exc
+    if not lo <= val <= hi:
+        raise ValueError(
+            f"{env}={val} outside [{lo}, {hi}] (curve-grain knob; "
+            f"default {default})"
+        )
+    return val
+
+
+# ZGRAIN_UBUCKET's upper bound is the 16-bit interleave input mask
+# itself: a width so large every user collapses into bucket 0 is a
+# config error, and widths must keep max(user_id)/width under 2^16 or
+# zvalue's input mask ALIASES buckets — the data-dependent half of
+# that bound can only be checked against a corpus (the mis-tuned
+# rendering the sf1→10 decade row documents), but the static half is
+# enforced here. ZSEG_SHIFT beyond 31 shifts past the whole Morton
+# position (every segment 0 — one directory, no pruning).
+ZGRAIN_UBUCKET = _grain_knob("SPARK_GRAFT_ZGRAIN_UBUCKET", 16, 1, 1 << 16)
+ZSEG_SHIFT = _grain_knob("SPARK_GRAFT_ZSEG_SHIFT", 7, 0, 31)
 
 # unchanged-results + curve-math proof shared VERBATIM by
 # zorder_incremental_compact and streaming_zorder_ingest (the
@@ -363,10 +394,15 @@ def zorder_incremental_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nothing to merge, and a zero-row append lands no parquet files
         # for the read-back to infer a schema from
         delta_log = os.path.join(wd, "delta_log")
+        # pmod+coalesce, not %: a NULL or negative event_id under `%`
+        # yields a NULL/negative remainder matching NO chunk, silently
+        # dropping the row from the store while the shared oracle still
+        # emits it (round-10 advisor find; same fix in the streaming
+        # twin's arrival sharding, streaming.py). pmod lands negatives
+        # in [0,4); NULL ids shard to chunk 0.
+        chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
         for i in range(4):
-            tail.filter(F.col("event_id") % 4 == i).write.mode("append").parquet(
-                delta_log
-            )
+            tail.filter(chunk == i).write.mode("append").parquet(delta_log)
         delta = spark.read.parquet(delta_log)
         layout.compact_zordered_increment(spark, store, delta, "zval", "seg")
     return spark.read.parquet(store).select(

@@ -991,10 +991,16 @@ def zorder_ingest_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str 
     # curve position is computed at ingest, not by the producer)
     arrivals = os.path.join(workdir, "arrivals")
     os.makedirs(arrivals, exist_ok=True)
+    # pmod+coalesce, not %: NULL/negative event_id under `%` matches NO
+    # chunk and the row silently never arrives while the shared oracle
+    # still emits it (round-10 advisor find; batch twin fixed in
+    # layout_q.py identically). pmod lands negatives in [0,4); NULL
+    # ids shard to chunk 0.
+    chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
     with tempfile.TemporaryDirectory() as tmp:
         for i in range(4):
             chunk_dir = os.path.join(tmp, f"c{i}")
-            tail.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            tail.filter(chunk == i).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(chunk_dir)
             part = next(

@@ -381,3 +381,28 @@ def test_zcurve_grain_knobs_default_to_registered_behavior():
     assert layout_q.ZSEG_SHIFT == 7
     assert "user_id // 16 AS u_bucket" in layout_q.ZCURVE_ORACLE_SQL
     assert f">> {layout_q.ZSEG_SHIFT}" in layout_q.ZCURVE_ORACLE_SQL
+
+
+def test_zcurve_grain_knob_parse_is_loud_and_bounded(monkeypatch):
+    """Round-10 advisor find: the knobs were a bare int(os.environ...)
+    at import — a malformed value crashed every import of the queries
+    package with an anonymous ValueError, and an out-of-range one
+    silently mis-curved. The parse now names the variable and enforces
+    the static bounds (ZSEG_SHIFT <= 31 = the Morton width;
+    ZGRAIN_UBUCKET in [1, 2^16] — the data-dependent aliasing half of
+    the bucket bound still needs a corpus and stays documented)."""
+    import pytest
+
+    from crm_etl_pipeline_spark.queries import layout_q
+
+    monkeypatch.setenv("SPARK_GRAFT_ZSEG_SHIFT", "seven")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_ZSEG_SHIFT.*not an integer"):
+        layout_q._grain_knob("SPARK_GRAFT_ZSEG_SHIFT", 7, 0, 31)
+    monkeypatch.setenv("SPARK_GRAFT_ZSEG_SHIFT", "32")
+    with pytest.raises(ValueError, match=r"SPARK_GRAFT_ZSEG_SHIFT.*outside \[0, 31\]"):
+        layout_q._grain_knob("SPARK_GRAFT_ZSEG_SHIFT", 7, 0, 31)
+    monkeypatch.setenv("SPARK_GRAFT_ZGRAIN_UBUCKET", "0")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_ZGRAIN_UBUCKET.*outside"):
+        layout_q._grain_knob("SPARK_GRAFT_ZGRAIN_UBUCKET", 16, 1, 1 << 16)
+    monkeypatch.setenv("SPARK_GRAFT_ZGRAIN_UBUCKET", "1024")
+    assert layout_q._grain_knob("SPARK_GRAFT_ZGRAIN_UBUCKET", 16, 1, 1 << 16) == 1024

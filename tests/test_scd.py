@@ -208,3 +208,46 @@ def test_customer_identity_collision_contract(spark, tmp_path):
             cur = [r.item_id for r in rows if r.is_current]
             assert len(cur) == len(set(cur))  # one current row per item
     con.close()
+
+
+def test_scd2_apply_single_payload_assumption(spark):
+    """The identity collapse in scd2_apply is a PER-COLUMN MIN (struct
+    MIN diverges cross-engine when a field is NULL — llmops._one_per_doc's
+    documented hazard). With ONE payload column that is exactly "pick
+    the deterministic smallest delivered row". With SEVERAL payload
+    columns a collided identity can SYNTHESIZE a composite winner that
+    matches no delivered row (column-wise minima mixing fields from two
+    rows) — a semantic trap flagged by the round-10 advisor. This test
+    pins both halves: (1) every production store schema in use today
+    carries the single payload column the collapse is safe for, and
+    (2) the multi-payload synthesis is demonstrated, so whoever lands a
+    second payload column finds this test and switches the collapse to
+    a NULLS FIRST row_number winner (the llmops._one_per_doc form)."""
+    import datetime
+
+    # (1) the production store grain: exactly one payload column
+    store = _store(spark, SF_DIR)
+    ident = {"item_id", "ts", "event_id"}
+    derived = {"version", "is_current"}
+    payload = [c for c in store.columns if c not in ident | derived]
+    assert payload == ["value"], (
+        "scd2_apply's per-column MIN collapse is only row-equivalent "
+        "for a single payload column; a multi-column payload needs a "
+        f"row_number winner (got payload columns {payload})"
+    )
+
+    # (2) the documented multi-payload synthesis, demonstrated
+    ts = datetime.datetime(2024, 1, 1)
+    collided = spark.createDataFrame(
+        [(1, 0, ts, 5.0, "zz"), (1, 0, ts, 9.0, "aa")],
+        "item_id bigint, event_id bigint, ts timestamp, "
+        "value double, note string",
+    )
+    merged = scd.scd2_apply(None, collided).collect()
+    assert len(merged) == 1
+    row = merged[0]
+    # column-wise minima mix fields from the two delivered rows:
+    # (5.0, "aa") was never delivered — deterministic, oracle-mirrored
+    # (MIN per column GROUP BY identity), and exactly the composite
+    # the docstring warns about.
+    assert (row.value, row.note) == (5.0, "aa")
