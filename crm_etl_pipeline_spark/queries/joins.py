@@ -167,3 +167,82 @@ def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = building.intersect(open_orders).withColumn("src", F.lit("both"))
     only = building.subtract(open_orders).withColumn("src", F.lit("building_only"))
     return both.unionAll(only)
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n_events,
+           -- decimal -> double via VARCHAR: DuckDB's direct cast double-
+           -- rounds past 2^53 scaled units (extreme_values probe); the
+           -- string parse is correctly rounded like Spark's BigDecimal
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM events e
+    JOIN (SELECT c_custkey, MIN(c_mktsegment) AS c_mktsegment
+          FROM customer GROUP BY c_custkey) c
+      ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    survey="J-skew (salted hot-key fact⋈dim join == plain join; PodioApiWrapper.py:68-69 app-FK at celebrity-item scale)",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join: the manual skew escape hatch for a
+    mega-hot join KEY, proven result-identical to the plain join (the
+    oracle is the unsalted SQL — the salted plan is a pure
+    re-partitioning of the same computation, the salted-aggregation
+    twin of ``salted_user_event_totals``).
+
+    The 100 TB reality this models: the reference's ``app``-field FK
+    join (`PodioApiWrapper.py:68-69`) where one celebrity item owns a
+    double-digit percentage of all references. A plain shuffle join
+    hashes every copy of that key to ONE reducer; AQE's skew-join split
+    (on and tested, `tests/test_skew.py`) fixes most of it at runtime
+    by splitting the oversized PARTITION, but it only activates for
+    sort-merge/shuffle-hash plans under its size thresholds and cannot
+    help a streaming or hinted plan. Salting is the explicit,
+    always-available form of the same idea: the fact side extends the
+    join key with a deterministic salt in [0, S) — pmod+coalesce so
+    NULL/negative ids salt symmetrically instead of dropping (the
+    round-10 advisor's `%` hazard) — and the dim side replicates each
+    row S times via explode(sequence), so the hot key's probe work
+    lands on S reducers instead of one. S=16 matches the salted-agg
+    twin; at 100 TB you size S ~ (hot-key rows / healthy-partition
+    rows).
+
+    The dim side goes through the identity-grain winner first (MIN
+    segment per custkey, the flagship's round-10 collision contract) —
+    a collided c_custkey would otherwise fan out every matching fact
+    row. The sort-merge hint keeps the demonstrated plan honest at
+    fixture scale: without it Catalyst broadcasts the small replicated
+    dim and the salt never reaches an exchange (at 100 TB the dim is
+    fact-scaled customer — tens of GB replicated 16x — and broadcast
+    is off the table anyway; the hint is what the optimizer would
+    conclude on real stats). The salt columns are join plumbing only:
+    they never reach the aggregate, whose (segment, event_type) output
+    grain is collision- and duplicate-symmetric (count-as-given, the
+    gateway contract: byte-identical re-sends count on both sides)."""
+    n_salt = 16
+    dim = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_custkey")
+        .agg(F.min("c_mktsegment").alias("c_mktsegment"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    )
+    fact = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(n_salt))
+        .cast("int")
+        .alias("salt"),
+    )
+    joined = fact.join(
+        dim.hint("merge"),
+        (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt),
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

@@ -510,3 +510,88 @@ def utf8_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("payload").isNotNull(), F.length(decoded)).alias("n_chars"),
     )
     return checked
+
+
+# --- XML: the fourth wire format (round-11) ---------------------------
+# XML 1.0 cannot carry most C0 control characters AT ALL — there is no
+# escape for them (the woodstox writer refuses with an IOException, and
+# an entity like &#x1; is equally illegal). That makes control
+# characters XML's ingest boundary the same way invalid byte sequences
+# are UTF-8's (utf8_ingest_quarantine): a wire export must
+# validate-or-quarantine, it cannot pretend the format can represent
+# the value. The gate below excludes rows whose string columns carry
+# XML-1.0-illegal characters (C0 minus \t\n\r, plus the ￾/￿
+# non-characters; surrogates cannot occur in valid UTF-8 column data),
+# and the oracle applies the IDENTICAL class over the parquet truth —
+# a no-op on clean fixtures, exercised by the control_char_props sweep
+# batch. Everything XML *can* carry round-trips verbatim: NULL vs
+# empty string (absent vs empty element), whitespace-framed values
+# (ignoreSurroundingSpaces=false on read), embedded newlines, markup
+# specials via entity escaping, literal "null"/"\N" strings, µs
+# timestamps, shortest-repr doubles
+# (tests/test_sources.py::test_xml_wire_contract_engine_facts).
+_XML_ILLEGAL_JAVA = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFE\\uFFFF]"
+_XML_ILLEGAL_RE2 = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFE}\x{FFFF}]"
+
+_XML_ROUNDTRIP_ORACLE = f"""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events WHERE event_id < 500
+      AND (event_type IS NULL
+           OR NOT regexp_matches(event_type, '{_XML_ILLEGAL_RE2}'))
+      AND (props IS NULL
+           OR NOT regexp_matches(props, '{_XML_ILLEGAL_RE2}'))
+"""
+
+
+def _xml_legal(name: str):
+    # NULL-safe: rlike(NULL) is NULL and would three-valued-logic the
+    # row out of the export while the oracle's IS NULL arm keeps it
+    c = F.col(name)
+    return c.isNull() | ~c.rlike(_XML_ILLEGAL_JAVA)
+
+
+@query(
+    "xml_source_roundtrip",
+    oracle=_XML_ROUNDTRIP_ORACLE,
+    survey="S7 source formats (XML reader/writer, Spark-4 built-in; validate-or-quarantine at the XML-1.0 character boundary)",
+)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grain roundtrip through Spark 4's built-in XML source —
+    the enterprise feed format the reference's CRM world exports
+    (Podio webhooks have JSON bodies, but the systems they sync
+    against — ERP/EDI — speak XML). Same certification shape as the
+    CSV/JSON/ORC roundtrips: the oracle reads the parquet truth, so
+    entity escaping, explicit-schema typing, µs timestamp format,
+    double shortest-repr, and the NULL-vs-empty-element distinction
+    are all under the value hash.
+
+    The one thing XML cannot do is carry C0 control characters (no
+    escape exists in XML 1.0; the writer task-fails loudly) — so the
+    export runs behind a validate-or-quarantine gate over the string
+    columns, mirrored verbatim in the oracle (module comment above).
+
+    Scale shape: like the other text sources this is an INGEST
+    connector, not a serving store — but XML is the worst of them:
+    a row's element spans multiple lines, so splitting is by rowTag
+    scan, there is no column pruning, and the markup overhead is
+    ~3× the payload. The honest pipeline lands XML to parquet once
+    at the boundary, which is exactly what this query certifies."""
+    path = os.path.join(_workdir("xml", sf_dir), "events_xml")
+    out = _export_subset(spark, sf_dir).filter(
+        _xml_legal("event_type") & _xml_legal("props")
+    )
+    out.write.mode("overwrite").options(
+        rootTag="events", rowTag="event", timestampFormat=_TS_FMT
+    ).xml(path)
+    return (
+        spark.read.options(
+            rowTag="event",
+            timestampFormat=_TS_FMT,
+            # read-side default trims element text; symmetric fidelity
+            # needs the raw characters (whitespace-framed values)
+            ignoreSurroundingSpaces=False,
+        )
+        .schema(_EVENTS_SCHEMA)
+        .xml(path)
+        .select([f.name for f in _EVENTS_SCHEMA.fields])
+    )

@@ -19,6 +19,7 @@ than assumed:
 from __future__ import annotations
 
 import os
+import re
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -130,3 +131,39 @@ def test_aqe_splits_skewed_band_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_skew_salted_join_plan_and_hot_key_fanout(spark):
+    """The salted fact⋈dim join (round-11 registration) must actually
+    BE salted in the executed plan — fact side shuffled on
+    (user_id, salt), sort-merge join, no broadcast collapsing the
+    demonstration — and the salt must fan a hot key's rows across
+    multiple shuffle partitions (the whole point: one celebrity key's
+    probe work lands on S reducers instead of one). Cross-engine value
+    identity with the UNSALTED oracle is covered by test_oracle."""
+    from crm_etl_pipeline_spark.registry import load_all
+
+    df = load_all()["skew_salted_join"].fn(spark, "/root/testdata/sf0.001")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    # the fact side's exchange carries BOTH the key and the salt
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, salt#\d+", plan), plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+    # hot-key fan-out: all of one user's events spread across salts
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.io import table
+
+    fact_salts = (
+        table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(16))
+        ).alias("n_salts"))
+        .agg(F.max("n_salts").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert fact_salts > 1, "salt must spread a key's rows"

@@ -271,3 +271,128 @@ def test_utf8_wire_contract_engine_facts(spark, tmp_path):
     ]
     con.close()
     assert got_duck == want
+
+
+def test_xml_wire_contract_engine_facts(spark, tmp_path):
+    """The engine facts the xml_source_roundtrip contract rests on
+    (round-11 probe; each would silently invalidate the design if a
+    Spark upgrade changed it):
+
+    1. the XML writer REFUSES control characters loudly (XML 1.0 has
+       no escape for them — the quarantine gate is a format necessity,
+       not a choice);
+    2. everything XML can carry round-trips VERBATIM with the
+       registered reader options: NULL vs empty string stay distinct
+       (absent vs empty element), whitespace-framed values survive
+       ignoreSurroundingSpaces=false, embedded newlines and markup
+       specials survive entity escaping, literal "null"/"\\N" stay
+       strings, µs timestamps and doubles are bit-exact;
+    3. the Spark gate regex and the DuckDB oracle regex quarantine the
+       SAME rows — the class is the cross-engine bridge.
+    """
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from crm_etl_pipeline_spark.queries.sources_q import (
+        _XML_ILLEGAL_JAVA,
+        _XML_ILLEGAL_RE2,
+        _xml_legal,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+    )
+
+    # -- fact 1: control characters are a LOUD write failure
+    poison = spark.createDataFrame([(1, "a\x01b")], schema)
+    try:
+        poison.write.mode("overwrite").options(rowTag="r").xml(
+            str(tmp_path / "poison")
+        )
+        raise AssertionError("XML writer accepted a control character")
+    except Exception as exc:  # noqa: BLE001 — Py4J wraps the IOException
+        assert "TASK_WRITE_FAILED" in str(exc) or "Invalid" in str(exc)
+
+    # -- fact 2: the legal-XML value space round-trips verbatim
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    vals = [
+        (1, "plain"),
+        (2, None),
+        (3, ""),
+        (4, "  framed  "),
+        (5, "line1\nline2"),
+        (6, 'mark<up>&"\'!'),
+        (7, "null"),
+        (8, "\\N"),
+        (9, "\ttabbed\t"),
+        (10, "\x7f del is legal"),
+    ]
+    df = spark.createDataFrame(vals, schema)
+    p = str(tmp_path / "legal")
+    df.write.mode("overwrite").options(rowTag="r").xml(p)
+    back = (
+        spark.read.options(rowTag="r", ignoreSurroundingSpaces=False)
+        .schema(schema)
+        .xml(p)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(vals)
+
+    # timestamps + doubles through the registered µs format
+    tschema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    trows = [(1, ts, 0.1 + 0.2), (2, None, 2.0**53 + 2.0), (3, ts, None)]
+    tdf = spark.createDataFrame(trows, tschema)
+    tp = str(tmp_path / "typed")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    tdf.write.mode("overwrite").options(rowTag="r", timestampFormat=fmt).xml(tp)
+    tback = (
+        spark.read.options(
+            rowTag="r", timestampFormat=fmt, ignoreSurroundingSpaces=False
+        )
+        .schema(tschema)
+        .xml(tp)
+    )
+    assert sorted(map(tuple, tback.collect())) == sorted(trows)
+
+    # -- fact 3: gate and oracle quarantine the same rows
+    probes = [
+        (1, "clean"),
+        (2, "bad\x00null"),
+        (3, "bad\x08bs"),
+        (4, "ok\ttab\nnl\rcr"),
+        (5, "bad\x0bvt"),
+        (6, "bad\x1funit"),
+        (7, "ok\x7fdel"),
+        (8, "bad￾"),
+        (9, "bad￿"),
+        (10, None),
+        (11, "ok� replacement"),
+    ]
+    pdf = spark.createDataFrame(probes, schema)
+    spark_keep = sorted(r.id for r in pdf.filter(_xml_legal("s")).collect())
+
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE probes(id BIGINT, s VARCHAR)"
+    )
+    con.executemany("INSERT INTO probes VALUES (?, ?)", probes)
+    duck_keep = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT id FROM probes WHERE s IS NULL OR "
+            f"NOT regexp_matches(s, '{_XML_ILLEGAL_RE2}')"
+        ).fetchall()
+    )
+    con.close()
+    assert spark_keep == duck_keep == [1, 4, 7, 10, 11]
+    # and the java-side class is the same shape (literal sanity pin)
+    assert _XML_ILLEGAL_JAVA.count("-") == _XML_ILLEGAL_RE2.count("-")

@@ -10,9 +10,17 @@ fail). Crashes/divergences print loudly; "OK" means bit-agreement.
 
 Run from the repo root:  python tools/degenerate_probe.py
 (optionally pass batch names to run a subset: `python
-tools/degenerate_probe.py dup_events const_ts`). ~22 min at 55 probe
-batches / 599 query runs; needs an otherwise-idle Spark, like any
-measurement run. Round-10 certification: **599/599 OK at the round-10
+tools/degenerate_probe.py dup_events const_ts`). ~23 min at 56 probe
+batches / 615 query runs; needs an otherwise-idle Spark, like any
+measurement run. Round-11 growth: skew_salted_join joined its nine
+hazard batches (collision/dup/extreme/null/empty/category-collapse),
+xml_source_roundtrip joined the three wire-format batches, and the NEW
+control_char_props batch (x4) certifies the XML-1.0 character
+boundary: CSV/JSON/ORC carry C0 control characters verbatim while the
+XML export's validate-or-quarantine gate drops exactly the rows its
+oracle regex drops (430/500 survived, hash-identical cross-engine).
+The 11 touched batches ran 159/159 OK at the round-11 registration
+HEAD. Round-10 certification: **599/599 OK at the round-10
 final HEAD** (all 55 batches, full pytest green in the same session).
 The round's sweep history: the pre-collision registry ran 506/506
 then 524/524 then 558/558 OK; the FIVE new identity-collision batches
@@ -486,6 +494,21 @@ def adversarial_props(tbl):
     )
 
 
+def control_char_props(tbl):
+    # C0 control characters (and the ￾/￿ non-characters) in
+    # wire text: legal in parquet/CSV/JSON/ORC, ILLEGAL in XML 1.0 —
+    # the XML export must quarantine exactly these rows (round-11)
+    opts = ["null\x00byte", "bell\x07", "bs\x08", "vt\x0b", "ff\x0c",
+            "esc\x1b", "us\x1f", "noncharacter￾", "last￿",
+            "legal \t\n\r del\x7f", "plain"]
+    props = tbl.column("props").to_pylist()
+    vals = [opts[i % len(opts)] if i % 6 == 0 else props[i]
+            for i in range(tbl.num_rows)]
+    return tbl.set_column(
+        tbl.column_names.index("props"), "props", pa.array(vals, pa.string())
+    )
+
+
 def const_ts_events(tbl):
     # tie storm: EVERY event at one instant — any window/sort missing
     # its deterministic (ts, event_id) tiebreaker diverges cross-engine
@@ -724,7 +747,17 @@ PROBES = [
     ("bad_props", {"events": garbage_props},
      ["props_json_extract", "props_from_json_typed"]),
     ("nasty_text", {"events": adversarial_props},
-     ["csv_source_roundtrip", "json_source_roundtrip", "orc_source_roundtrip"]),
+     ["csv_source_roundtrip", "json_source_roundtrip", "orc_source_roundtrip",
+      "xml_source_roundtrip"]),
+    # round-11: C0 control characters in wire text. CSV/JSON/ORC can
+    # carry them (JSON \u-escapes, CSV passes raw bytes in quotes, ORC
+    # is binary) so their roundtrips must be verbatim; XML 1.0 CANNOT
+    # (no escape exists — the writer task-fails), so the XML export's
+    # validate-or-quarantine gate must drop exactly the rows the
+    # oracle's identical regex drops.
+    ("control_char_props", {"events": control_char_props},
+     ["csv_source_roundtrip", "json_source_roundtrip", "orc_source_roundtrip",
+      "xml_source_roundtrip"]),
     ("null_values", {"events": null_every_10th("value")},
      ["event_value_anomalies", "robust_outliers_mad", "winsorize_event_values",
       "approx_value_percentiles", "incremental_agg_merge", "ewma_user_value",
@@ -732,7 +765,8 @@ PROBES = [
     ("null_types", {"events": null_every_10th("event_type")},
      ["event_type_routing", "event_transition_matrix", "funnel_conversion",
       "countmin_heavy_hitters", "approx_distinct_selfcheck",
-      "version_counts_per_key"]),
+      "version_counts_per_key",
+      "skew_salted_join"]),
     ("null_text", {"documents": null_every_10th("text")},
      ["text_stats", "token_rarity_score", "chunk_documents", "bm25_topk_search",
       "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine"]),
@@ -770,10 +804,11 @@ PROBES = [
       "credential_rotation_schedule", "backoff_penalty_audit",
       "wap_publish_roundtrip", "csv_source_roundtrip",
       "json_source_roundtrip", "orc_source_roundtrip",
-      "ab_test_conversion", "fifo_head", "event_dedup_last_write_wins",
+      "xml_source_roundtrip", "ab_test_conversion", "fifo_head", "event_dedup_last_write_wins",
       "partition_evolution_regrain", "scd2_expire_versions",
       "zorder_range_scan", "zorder_incremental_compact",
-      "streaming_zorder_ingest"]),
+      "streaming_zorder_ingest",
+      "skew_salted_join"]),
     ("empty_documents", {"documents": empty_table},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
@@ -855,7 +890,8 @@ PROBES = [
      ["event_type_routing", "funnel_conversion", "event_transition_matrix",
       "session_path_trigrams", "countmin_heavy_hitters",
       "approx_distinct_selfcheck", "attribution_last_touch",
-      "streaming_dlq", "retry_and_dead_letter"]),
+      "streaming_dlq", "retry_and_dead_letter",
+      "skew_salted_join"]),
     ("const_label", {"embeddings": const_label_embeddings},
      ["embedding_centroid_per_label", "kmeans_cluster_purity",
       "knn_label_disagreement"]),
@@ -878,7 +914,8 @@ PROBES = [
       "incremental_agg_merge", "ewma_user_value",
       "salted_user_event_totals", "gapfill_daily_user_revenue",
       "sliding_1h_user_value", "tumbling_daily_counts",
-      "backoff_penalty_audit"]),
+      "backoff_penalty_audit",
+      "skew_salted_join"]),
     ("nan_inf_embeddings", {"embeddings": nan_inf_embeddings},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
@@ -911,7 +948,8 @@ PROBES = [
       "rate_limit_admission", "streaming_rate_limit",
       "tumbling_daily_counts", "event_type_routing",
       "cdc_derive_changes", "cdc_apply_snapshot",
-      "event_value_anomalies", "keyset_pagination_orders"]),
+      "event_value_anomalies", "keyset_pagination_orders",
+      "skew_salted_join"]),
     ("id_collision_orders", {"orders": id_collision_orders},
      ["keyset_pagination_orders", "topk_orders_by_revenue",
       "latest_order_per_customer", "asof_join_latest_order",
@@ -932,7 +970,8 @@ PROBES = [
       "scd2_expire_versions", "scd2_compact_small_files",
       "streaming_scd2_state",
       "schema_evolution_read", "pps_systematic_sample",
-      "weighted_sample_allocation", "chi_square_segment_nation"]),
+      "weighted_sample_allocation", "chi_square_segment_nation",
+      "skew_salted_join"]),
     ("null_component_embeddings", {"embeddings": null_component_embeddings},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
@@ -958,13 +997,15 @@ PROBES = [
       # (contract in gateway_q's module docstring) + the streaming
       # limiter twin whose oracle is _ADMISSION_SQL verbatim
       "credential_rotation_schedule", "backoff_penalty_audit",
-      "streaming_rate_limit"]),
+      "streaming_rate_limit",
+      "skew_salted_join"]),
     ("null_user_ids", {"events": null_every_10th("user_id")},
      ["sessionization", "event_transition_matrix", "funnel_conversion",
       "latest_order_per_customer", "asof_join_latest_order",
       "event_dedup_last_write_wins", "gapfill_daily_user_revenue",
       "ab_test_conversion", "rate_limit_admission",
-      "cohort_retention", "streaming_scd2_state"]),
+      "cohort_retention", "streaming_scd2_state",
+      "skew_salted_join"]),
     ("empty_embeddings", {"embeddings": empty_table},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
@@ -985,7 +1026,8 @@ PROBES = [
       "scd2_store_roundtrip", "streaming_scd2_state", "rfm_segmentation",
       "record_linkage_fuzzy", "ols_frequency_monetary",
       "schema_evolution_read", "scd2_compact_small_files",
-      "scd2_expire_versions"]),
+      "scd2_expire_versions",
+      "skew_salted_join"]),
     ("empty_lineitem", {"lineitem": empty_table},
      ["pricing_summary", "flagship_segment_revenue", "rollup_revenue",
       "cube_lineitem_flags", "pivot_status_by_priority", "having_filter",
