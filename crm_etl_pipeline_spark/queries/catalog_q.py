@@ -224,3 +224,82 @@ def hidden_field_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_overridden"),
         )
     )
+
+
+@query(
+    "catalog_recursive_paths",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT 1 AS node_id, 'ORG' AS label, CAST(NULL AS BIGINT) AS parent_id
+      UNION ALL SELECT r_regionkey + 10, r_name, 1 FROM region
+      UNION ALL SELECT n_nationkey + 100, n_name, n_regionkey + 10 FROM nation
+      UNION ALL SELECT s_suppkey + 1000, s_name, s_nationkey + 100 FROM supplier
+    ), walk(node_id, label, depth, path) AS (
+      SELECT node_id, label, 0, label FROM nodes WHERE parent_id IS NULL
+      UNION ALL
+      SELECT c.node_id, c.label, w.depth + 1, w.path || '/' || c.label
+      FROM nodes c JOIN walk w ON c.parent_id = w.node_id
+    )
+    SELECT CAST(node_id AS BIGINT) AS node_id, label,
+           CAST(depth AS INT) AS depth, path
+    FROM walk
+    """,
+    survey="S3-S6 closure via Spark-4 recursive CTE (depth-agnostic catalog walk)",
+)
+def catalog_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full catalog closure by WITH RECURSIVE (Spark 4): org -> spaces
+    -> apps -> fields as ONE uniform parent/child edge list walked to
+    any depth, vs catalog_tree's hand-written per-level joins. The
+    reference's sync nests three fixed loops (`PodioApiWrapper.py:
+    239-268` orgs->spaces->apps, then per-app fields at
+    `PodioApiWrapper.py:218-237`); the recursive form is what survives
+    when the hierarchy gains a level (nested workspaces) — the query
+    text does not encode the depth.
+
+    Spark executes the recursion as iterative UnionLoop steps: each
+    iteration joins the previous frontier to the child table, unions
+    into the result, and stops when the frontier is empty (4 levels
+    here). Scale: this is CATALOG metadata — dim-table sized (~1e5
+    nodes for even a huge org), independent of fact volume, and each
+    frontier join is broadcast-sized. Fact-scale hierarchies (graphs)
+    use the checkpointed iterative-join form instead
+    (dedup_components, copurchase_pagerank).
+
+    Determinism: a tree (every child one parent), so each node appears
+    exactly once with one path; no cycle risk, recursion depth bounded
+    by the hierarchy's 4 levels.
+    """
+    root = spark.range(1).select(
+        F.lit(1).cast("bigint").alias("node_id"),
+        F.lit("ORG").alias("label"),
+        F.lit(None).cast("bigint").alias("parent_id"),
+    )
+    spaces = _spaces(spark, sf_dir).select(
+        (F.col("space_id") + 10).cast("bigint").alias("node_id"),
+        F.col("space_name").alias("label"),
+        F.lit(1).cast("bigint").alias("parent_id"),
+    )
+    apps = _apps(spark, sf_dir).select(
+        (F.col("app_id") + 100).cast("bigint").alias("node_id"),
+        F.col("app_name").alias("label"),
+        (F.col("space_id") + 10).cast("bigint").alias("parent_id"),
+    )
+    fields = _fields(spark, sf_dir).select(
+        (F.col("field_id") + 1000).cast("bigint").alias("node_id"),
+        F.col("field_label").alias("label"),
+        (F.col("app_id") + 100).cast("bigint").alias("parent_id"),
+    )
+    nodes = root.unionByName(spaces).unionByName(apps).unionByName(fields)
+    nodes.createOrReplaceTempView("__catalog_nodes_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node_id, label, depth, path) AS (
+          SELECT node_id, label, 0, CAST(label AS STRING)
+          FROM __catalog_nodes_rcte WHERE parent_id IS NULL
+          UNION ALL
+          SELECT c.node_id, c.label, w.depth + 1, CONCAT(w.path, '/', c.label)
+          FROM __catalog_nodes_rcte c JOIN walk w ON c.parent_id = w.node_id
+        )
+        SELECT node_id, label, CAST(depth AS INT) AS depth, path FROM walk
+        """
+    )

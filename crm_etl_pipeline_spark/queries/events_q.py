@@ -564,3 +564,137 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), F.col("trigram"))
         .limit(20)
     )
+
+
+def _props_envelope() -> F.Column:
+    """The deterministic JSON envelope variant_props_shred parses: the
+    raw props payload nested one level down, an engine-built string
+    array and integer sibling (so object paths, array indexing and
+    typed casts are all exercised), malformed on every
+    event_id % 97 == 0 row. Shared with tests/test_spark4_surface.py
+    so the schema-inference invariant pins the SAME construction."""
+    return F.when(F.col("event_id") % 97 == 0, F.lit("{not json")).otherwise(
+        F.concat(
+            F.lit('{"payload": '),
+            F.col("props"),
+            F.lit(', "tags": ["t'),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit('","u'),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit('"], "rank": '),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit("}"),
+        )
+    )
+
+
+@query(
+    "variant_props_shred",
+    oracle="""
+    -- DuckDB twin of Spark 4's VARIANT surface: try_parse_json ==
+    -- json_valid gate (an engine-NULL envelope is quarantined too,
+    -- hence e IS NULL OR NOT json_valid(e)); the k extraction mirrors
+    -- the variant integral-gate contract props_from_json_typed pinned:
+    -- k is BIGINT only when the arriving value IS an int64 — a quoted
+    -- "12", 1.5, or an out-of-int64-range number are all NULL in both
+    -- engines (Spark: schema_of_variant(k) = 'BIGINT' excludes
+    -- STRING/DECIMAL arrivals and DECIMAL(20,0) overflow; DuckDB:
+    -- json_type in BIGINT/UBIGINT + TRY_CAST, which NULLs the
+    -- above-int64 UBIGINT band) — probe-verified shape by shape.
+    WITH env AS (
+      SELECT event_type,
+             CASE WHEN event_id % 97 = 0 THEN '{not json'
+                  ELSE '{"payload": ' || props || ', "tags": ["t' || (event_id % 3)
+                       || '","u' || (user_id % 5) || '"], "rank": ' || (event_id % 7) || '}'
+             END AS e
+      FROM events
+    ), shred AS (
+      SELECT event_type, (e IS NULL OR NOT json_valid(e)) AS malformed,
+             CASE WHEN json_valid(e)
+                   AND json_type(json(e), '$.payload.k') IN ('BIGINT', 'UBIGINT')
+                  THEN TRY_CAST(json_extract(e, '$.payload.k') AS BIGINT) END AS k,
+             CASE WHEN json_valid(e)
+                  THEN json_extract_string(e, '$.tags[0]') END AS tag0,
+             CASE WHEN json_valid(e)
+                  THEN TRY_CAST(json_extract(e, '$.rank') AS BIGINT) END AS rank
+      FROM env
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN malformed THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT tag0) AS BIGINT) AS n_tag0,
+           MAX(rank) AS max_rank,
+           CAST(0 AS BIGINT) AS n_absent
+    FROM shred GROUP BY event_type
+    """,
+    survey="T4,T6,T8 via Spark-4 VARIANT (schema-on-read without a declared schema)",
+)
+def variant_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT over the semi-structured payload: the third rung
+    of the props ladder (regex probe -> from_json with a DECLARED
+    schema -> VARIANT with NO declared schema). The reference probes
+    event payload dicts per row with no schema contract
+    (`PodioApiGateway.py:120-145` routes on whatever keys arrive);
+    VARIANT is the engine-native form of that tolerance: parse once
+    into a typed binary encoding, navigate paths lazily, and let
+    ``schema_of_variant`` report what actually arrived.
+
+    The envelope deterministically wraps props in one nesting level +
+    an array + a sibling scalar (so path navigation ``$.payload.k``,
+    array access ``$.tags[0]`` and typed casts are all exercised), and
+    plants a malformed payload on every ``event_id % 97 == 0`` row:
+    ``try_parse_json`` quarantines those as NULL variants instead of
+    failing the batch — the same ingest-boundary posture as
+    utf8_ingest_quarantine. ``try_variant_get`` on a path no row has
+    proves missing-path tolerance (n_absent == 0 groupwide).
+
+    The k extraction is gated on ``schema_of_variant(k) == 'BIGINT'``
+    before the typed cast: bare ``variant_get(..., 'bigint')`` THROWS
+    on a non-castable arrival (a quoted "12", 1.5), and the gate pins
+    the same integral-only contract as props_from_json_typed — NULL
+    for string/decimal/overflow arrivals in both engines (see the
+    oracle header). tag0/rank stay ungated ``variant_get``: those
+    fields are engine-built by the envelope, typed by construction.
+    The constant inferred-schema claim (``schema_of_variant`` over the
+    whole envelope) is pinned by tests/test_spark4_surface.py rather
+    than the oracle — under degenerate payloads the envelope schema is
+    data-dependent, which a hash oracle must not hardcode.
+
+    Scale: parse_json is JVM codegen (no Python, no Arrow hop); the
+    variant binary encoding is ~1 byte-pass per payload, paths are
+    O(depth) lookups — a single narrow scan + a 5-group partial-agg
+    groupBy, the same shape at 100 TB. VARIANT shreds at the scan, so
+    unlike from_json there is no per-query schema to keep in sync with
+    drifting producers."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.try_parse_json(_props_envelope()).alias("v"))
+        .select(
+            "event_type",
+            F.expr("variant_get(v, '$.payload.k', 'variant')").alias("kv"),
+            F.expr("variant_get(v, '$.tags[0]', 'string')").alias("tag0"),
+            F.expr("variant_get(v, '$.rank', 'bigint')").alias("rank"),
+            F.expr("try_variant_get(v, '$.payload.absent', 'bigint')").alias("absent"),
+            F.col("v").isNull().alias("malformed"),
+        )
+        .select(
+            "event_type",
+            "tag0",
+            "rank",
+            "absent",
+            "malformed",
+            F.when(
+                F.schema_of_variant(F.col("kv")) == "BIGINT",
+                F.expr("variant_get(kv, '$', 'bigint')"),
+            ).alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("malformed").cast("bigint")).alias("n_malformed"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("tag0").alias("n_tag0"),
+            F.max("rank").alias("max_rank"),
+            F.count("absent").alias("n_absent"),
+        )
+    )

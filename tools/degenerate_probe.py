@@ -20,7 +20,16 @@ boundary: CSV/JSON/ORC carry C0 control characters verbatim while the
 XML export's validate-or-quarantine gate drops exactly the rows its
 oracle regex drops (430/500 survived, hash-identical cross-engine).
 The 11 touched batches ran 159/159 OK at the round-11 registration
-HEAD. Round-10 certification: **599/599 OK at the round-10
+HEAD. Round-11(b): variant_props_shred joined its seven hazard batches
+(bad_props, nasty_text, control_char_props, null_types, const_etype,
+null_user_ids, empty_events) — its k extraction is gated on
+schema_of_variant(k) == 'BIGINT' precisely so the garbage-payload
+shapes ("12", 1.5, out-of-int64 numbers) NULL identically in both
+engines, and a NULL envelope (NULL props/user_id concat) counts as
+malformed on both sides (e IS NULL OR NOT json_valid(e), since
+DuckDB's NOT json_valid(NULL) is NULL, not TRUE).
+catalog_recursive_paths has no sweep row: no batch mutates the
+region/nation/supplier dims (the whole catalog family's precedent). Round-10 certification: **599/599 OK at the round-10
 final HEAD** (all 55 batches, full pytest green in the same session).
 The round's sweep history: the pre-collision registry ran 506/506
 then 524/524 then 558/558 OK; the FIVE new identity-collision batches
@@ -745,10 +754,10 @@ PROBES = [
     ("single_month", {"orders": single_month_orders},
      ["mom_revenue_growth", "cohort_retention", "keyset_pagination_orders"]),
     ("bad_props", {"events": garbage_props},
-     ["props_json_extract", "props_from_json_typed"]),
+     ["props_json_extract", "props_from_json_typed", "variant_props_shred"]),
     ("nasty_text", {"events": adversarial_props},
      ["csv_source_roundtrip", "json_source_roundtrip", "orc_source_roundtrip",
-      "xml_source_roundtrip"]),
+      "xml_source_roundtrip", "variant_props_shred"]),
     # round-11: C0 control characters in wire text. CSV/JSON/ORC can
     # carry them (JSON \u-escapes, CSV passes raw bytes in quotes, ORC
     # is binary) so their roundtrips must be verbatim; XML 1.0 CANNOT
@@ -757,7 +766,7 @@ PROBES = [
     # oracle's identical regex drops.
     ("control_char_props", {"events": control_char_props},
      ["csv_source_roundtrip", "json_source_roundtrip", "orc_source_roundtrip",
-      "xml_source_roundtrip"]),
+      "xml_source_roundtrip", "variant_props_shred"]),
     ("null_values", {"events": null_every_10th("value")},
      ["event_value_anomalies", "robust_outliers_mad", "winsorize_event_values",
       "approx_value_percentiles", "incremental_agg_merge", "ewma_user_value",
@@ -766,7 +775,7 @@ PROBES = [
      ["event_type_routing", "event_transition_matrix", "funnel_conversion",
       "countmin_heavy_hitters", "approx_distinct_selfcheck",
       "version_counts_per_key",
-      "skew_salted_join"]),
+      "skew_salted_join", "variant_props_shred"]),
     ("null_text", {"documents": null_every_10th("text")},
      ["text_stats", "token_rarity_score", "chunk_documents", "bm25_topk_search",
       "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine"]),
@@ -808,7 +817,7 @@ PROBES = [
       "partition_evolution_regrain", "scd2_expire_versions",
       "zorder_range_scan", "zorder_incremental_compact",
       "streaming_zorder_ingest",
-      "skew_salted_join"]),
+      "skew_salted_join", "variant_props_shred"]),
     ("empty_documents", {"documents": empty_table},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
@@ -891,7 +900,7 @@ PROBES = [
       "session_path_trigrams", "countmin_heavy_hitters",
       "approx_distinct_selfcheck", "attribution_last_touch",
       "streaming_dlq", "retry_and_dead_letter",
-      "skew_salted_join"]),
+      "skew_salted_join", "variant_props_shred"]),
     ("const_label", {"embeddings": const_label_embeddings},
      ["embedding_centroid_per_label", "kmeans_cluster_purity",
       "knn_label_disagreement"]),
@@ -1005,7 +1014,7 @@ PROBES = [
       "event_dedup_last_write_wins", "gapfill_daily_user_revenue",
       "ab_test_conversion", "rate_limit_admission",
       "cohort_retention", "streaming_scd2_state",
-      "skew_salted_join"]),
+      "skew_salted_join", "variant_props_shred"]),
     ("empty_embeddings", {"embeddings": empty_table},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
