@@ -28,8 +28,11 @@ shapes ("12", 1.5, out-of-int64 numbers) NULL identically in both
 engines, and a NULL envelope (NULL props/user_id concat) counts as
 malformed on both sides (e IS NULL OR NOT json_valid(e), since
 DuckDB's NOT json_valid(NULL) is NULL, not TRUE).
-catalog_recursive_paths has no sweep row: no batch mutates the
-region/nation/supplier dims (the whole catalog family's precedent). Round-10 certification: **599/599 OK at the round-10
+The catalog dims were then given their first mutators —
+empty_supplier (x5) and empty_region (x5) — closing that precedent
+gap: the recursive walk stops at depth 2 on an empty leaf frontier
+(31 rows) and keeps ONLY the root when every app is orphaned by an
+empty region (1 row), identically cross-engine; 10/10 OK. Round-10 certification: **599/599 OK at the round-10
 final HEAD** (all 55 batches, full pytest green in the same session).
 The round's sweep history: the pre-collision registry ran 506/506
 then 524/524 then 558/558 OK; the FIVE new identity-collision batches
@@ -1043,6 +1046,20 @@ PROBES = [
       "grouping_sets_region_segment", "pearson_correlation_matrix",
       "copurchase_pagerank", "triangle_count", "copurchase_lift_topk",
       "regional_supplier_volume", "exists_returned_lineitems"]),
+    # round-11(b): the catalog dims were the last never-mutated tables.
+    # An empty supplier cuts the tree's leaf level (recursive walk must
+    # stop at depth 2, not error on an empty frontier) and empties one
+    # side of the full-outer snapshot diff; an empty region orphans
+    # every app (the recursive walk keeps ONLY the root — orphaned
+    # subtrees must drop identically in both engines, not surface as
+    # parentless rows) and zeroes the catalog joins.
+    ("empty_supplier", {"supplier": empty_table},
+     ["catalog_fields_tree", "hidden_field_projection",
+      "catalog_recursive_paths", "join_full_outer",
+      "regional_supplier_volume"]),
+    ("empty_region", {"region": empty_table},
+     ["catalog_tree", "composite_key_roundtrip", "catalog_recursive_paths",
+      "regional_supplier_volume", "grouping_sets_region_segment"]),
 ]
 
 
