@@ -68,7 +68,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       interpolation renders their oracle text BYTE-IDENTICAL to the
 #       r10-certified form (md5-pinned during the edit), and both were
 #       full-hash green in r10.
-#   (b) the four round-11 registrations (never driver-checked =
+#   (b) the five round-11 registrations (never driver-checked =
 #       highest priority after changed code):
 #       - skew_salted_join: the round-10 verdict's growth slot #5 —
 #         the salted hot-key fact⋈dim JOIN (explode-replicated dim ×
@@ -94,13 +94,21 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       - catalog_recursive_paths: Spark-4 WITH RECURSIVE walking the
 #         org→space→app→field tree as one uniform edge list to any
 #         depth (UnionLoop execution), vs catalog_tree's fixed
-#         per-level joins. Registering these two displaced two (d)
-#         slots: filtered_scan defers to round 12 (twins:
-#         partition_pruned_scan r10 — the same S1/F1 pushdown at
-#         layout level — and disjunctive_filter_scan r8) and
-#         point_lookup defers to round 12 (twin:
-#         keyset_pagination_orders r9, the same seek-predicate serving
-#         path); both pytest-oracle-green at HEAD.
+#         per-level joins;
+#       - streaming_dim_enrichment: the remaining Structured Streaming
+#         join shape — a stateless stream-static LEFT join to the
+#         customer dim across 4 genuine micro-batches (re-planned per
+#         trigger, UNKNOWN posture for dim-less events, flagship's
+#         MIN-segment identity winner on the dim side).
+#       Registering these three displaced three (d) slots, each
+#       deferring to round 12 with named fresher twins (all
+#       pytest-oracle-green at HEAD): filtered_scan (twins:
+#       partition_pruned_scan r10 — the same S1/F1 pushdown at layout
+#       level — and disjunctive_filter_scan r8), point_lookup (twin:
+#       keyset_pagination_orders r9, the same seek-predicate serving
+#       path), and having_filter (twins: pricing_summary and
+#       rollup_revenue, BOTH still in this window — the same
+#       scan→agg→filter family).
 #   (c) the 12 r6 rows, 4 rounds driver-stale — the verdict's task 2,
 #       rotated oldest-first exactly as promised by their round-10
 #       defer notes: catalog_fields_tree, composite_key_roundtrip,
@@ -108,11 +116,12 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       join_full_outer, join_left_missing, kmv_sketch_merge,
 #       mom_revenue_growth, orc_source_roundtrip,
 #       pearson_correlation_matrix, triangle_count.
-#   (d) 13 of the 34 remaining r7 rows (the oldest tier after (c)),
+#   (d) 12 of the 34 remaining r7 rows (the oldest tier after (c)),
 #       chosen to keep every operator family with at least one
-#       in-window-or-r9+ fresh representative. The 21 r7 rows deferred
-#       to round 12 — the 19 below plus filtered_scan and point_lookup
-#       (displaced by the (b) registrations, twins named there) —
+#       in-window-or-r9+ fresh representative. The 22 r7 rows deferred
+#       to round 12 — the 19 below plus filtered_scan, point_lookup and
+#       having_filter (displaced by the (b) registrations, twins named
+#       there) —
 #       each with a named fresher twin exercising the same machinery
 #       meanwhile (all pytest-oracle-green at HEAD via
 #       tests/test_oracle.py):
@@ -141,11 +150,11 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       + date_parse_reformat in-window, same transforms module),
 #       vocab_top_tokens (token_profile r9 + bm25_topk_search r9).
 #
-# Age accounting if this window lands 50/50: r11:50 (incl. the four
-# new registrations, registry 179 -> 183), r10:48, r9:39, r8:25,
-# r7:21 — max age 4 rounds only for the 21 documented defers above
+# Age accounting if this window lands 50/50: r11:50 (incl. the five
+# new registrations, registry 179 -> 184), r10:48, r9:39, r8:25,
+# r7:22 — max age 4 rounds only for the 22 documented defers above
 # (each twin-covered), the same steady-state ceiling round 10 ran at.
-# The r7/r8 tiers are round 12's natural window (21 + 25 = 46 rows).
+# The r7/r8 tiers are round 12's natural window (22 + 25 = 47 rows).
 #
 # registry.load_all reorders REGISTRY to put these at the front; the
 # rest follow in module order. Keep this list <= 50
@@ -178,6 +187,7 @@ DRIVER_PRIORITY: list[str] = [
     "xml_source_roundtrip",
     "variant_props_shred",
     "catalog_recursive_paths",
+    "streaming_dim_enrichment",
     # --- (c) the 12 r6 rows, honoring their round-10 defer notes ---
     "catalog_fields_tree",
     "composite_key_roundtrip",
@@ -191,10 +201,9 @@ DRIVER_PRIORITY: list[str] = [
     "orc_source_roundtrip",
     "pearson_correlation_matrix",
     "triangle_count",
-    # --- (d) 13 of the 34 r7 rows, oldest tier, family-balanced ---
+    # --- (d) 12 of the 34 r7 rows, oldest tier, family-balanced ---
     "array_csv_roundtrip",
     "date_parse_reformat",
-    "having_filter",
     "html_strip_normalize",
     "money_decimal_cast",
     "pricing_summary",

@@ -441,3 +441,28 @@ def streaming_zorder_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zval",
         F.col("seg").cast("int").alias("seg"),
     )
+
+
+@query(
+    "streaming_dim_enrichment",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           COALESCE(c.segment, 'UNKNOWN') AS segment
+    FROM events e
+    LEFT JOIN (SELECT c_custkey AS user_id, MIN(c_mktsegment) AS segment
+               FROM customer GROUP BY c_custkey) c
+      ON e.user_id = c.user_id
+    """,
+    survey="ST-joins/J2 (stream-static dim enrichment; PodioApiWrapper.py:68-69 per-event FK resolve)",
+)
+def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stream LEFT-joined to the static customer dim across 4
+    genuine micro-batches (stateless stream-static join, re-planned per
+    trigger). Converges to exactly the batch left join — the oracle —
+    because a stateless join emits each event once, enriched with
+    whatever the dim held at its micro-batch; events with no dim row
+    surface as UNKNOWN instead of dropping (at-least-once posture).
+    Dim goes through the flagship's MIN-segment identity winner, so a
+    collided custkey cannot fan a micro-batch out."""
+    out = streaming.stream_static_enrichment(spark, sf_dir, _workdir("dimjoin", sf_dir))
+    return spark.read.parquet(out).select("event_id", "user_id", "event_type", "segment")

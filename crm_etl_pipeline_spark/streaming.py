@@ -1040,3 +1040,71 @@ def zorder_ingest_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str 
     delta = spark.read.parquet(delta_log)
     layout.compact_zordered_increment(spark, store, delta, "zval", "seg")
     return store
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str, workdir: str) -> str:
+    """Stream-static join — the remaining Structured Streaming join
+    shape (stream-stream, windows, dedup, stateful ops and foreachBatch
+    merges are covered elsewhere): the event stream LEFT-joined per
+    micro-batch to the static customer dim, the continuous form of the
+    reference's per-event referenced-item fetch
+    (`PodioApiWrapper.py:68-69` resolves the app FK on every item it
+    processes).
+
+    The fixture is re-laid as 4 single-file chunks on
+    ``pmod(coalesce(event_id, 0), 4)`` (the NULL/negative-safe chunk
+    assignment — advisor round 10) and streamed with
+    ``maxFilesPerTrigger=1``, so the static side is genuinely joined
+    on FOUR separate micro-batches: Spark re-plans the join each
+    trigger, which is what lets a REFRESHED dim table be picked up
+    mid-stream without restarting the query. The join is stateless —
+    no watermark, no state store: each micro-batch joins and emits.
+
+    Scale: the dim side here is broadcast (catalog-sized); a
+    fact-scaled dim demotes to a shuffle join per micro-batch, and the
+    LEFT join keeps events whose user has no dim row yet (early events
+    for late-created customers) flagged UNKNOWN instead of dropping
+    them — the at-least-once-friendly posture. The dim passes through
+    the same MIN-segment identity winner as the flagship: a collided
+    c_custkey must not fan a micro-batch out (id_collision_customer
+    contract).
+    """
+    from crm_etl_pipeline_spark.io import table
+
+    src = os.path.join(workdir, "chunks")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for i in range(4):
+        (
+            ev.filter(F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("user_id"))
+        .agg(F.min("c_mktsegment").alias("segment"))
+    )
+    enriched = stream.join(dim, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+    )
+    out = os.path.join(workdir, "enriched")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        enriched.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(workdir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out

@@ -592,3 +592,31 @@ def test_zorder_ingest_stream_micro_batches_and_delta_shape(spark, tmp_path):
     # and the merged store carries every event exactly once
     n_store = spark.read.parquet(store).count()
     assert n_store == ev.count()
+
+
+def test_dim_enrichment_spans_four_microbatches(spark, tmp_path):
+    """The stream-static join must really run per micro-batch (4 pmod
+    chunks × maxFilesPerTrigger=1 → ≥4 appended part groups), keep
+    every event exactly once, and surface dim-less users as UNKNOWN
+    instead of dropping them (LEFT posture)."""
+    import glob
+    import os
+
+    from crm_etl_pipeline_spark.io import table
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming.stream_static_enrichment(spark, sf, str(tmp_path / "dimjoin"))
+    res = spark.read.parquet(out)
+    ev = table(spark, sf, "events")
+    assert res.count() == ev.count()  # stateless join: no drops, no dups
+    assert res.select("event_id").distinct().count() == ev.count()
+    # 4 genuine micro-batches → at least 4 separate appended files
+    assert len(glob.glob(os.path.join(out, "part-*"))) >= 4
+    # LEFT posture: exactly the events whose user has no dim row arrive
+    # as UNKNOWN (0 on the clean fixture — every user_id is a custkey;
+    # the empty_customer and null_user_ids sweep batches carry the
+    # nonzero cases), and matched users carry a real segment
+    cust = table(spark, sf, "customer").select(F.col("c_custkey").alias("user_id"))
+    expected_unknown = ev.join(cust, "user_id", "left_anti").count()
+    assert res.filter(F.col("segment") == "UNKNOWN").count() == expected_unknown
+    assert res.filter(F.col("segment") != "UNKNOWN").count() == res.count() - expected_unknown

@@ -820,7 +820,8 @@ PROBES = [
       "partition_evolution_regrain", "scd2_expire_versions",
       "zorder_range_scan", "zorder_incremental_compact",
       "streaming_zorder_ingest",
-      "skew_salted_join", "variant_props_shred"]),
+      "skew_salted_join", "variant_props_shred",
+      "streaming_dim_enrichment"]),
     ("empty_documents", {"documents": empty_table},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
@@ -983,7 +984,7 @@ PROBES = [
       "streaming_scd2_state",
       "schema_evolution_read", "pps_systematic_sample",
       "weighted_sample_allocation", "chi_square_segment_nation",
-      "skew_salted_join"]),
+      "skew_salted_join", "streaming_dim_enrichment"]),
     ("null_component_embeddings", {"embeddings": null_component_embeddings},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
@@ -1017,7 +1018,7 @@ PROBES = [
       "event_dedup_last_write_wins", "gapfill_daily_user_revenue",
       "ab_test_conversion", "rate_limit_admission",
       "cohort_retention", "streaming_scd2_state",
-      "skew_salted_join", "variant_props_shred"]),
+      "skew_salted_join", "variant_props_shred", "streaming_dim_enrichment"]),
     ("empty_embeddings", {"embeddings": empty_table},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
@@ -1039,7 +1040,7 @@ PROBES = [
       "record_linkage_fuzzy", "ols_frequency_monetary",
       "schema_evolution_read", "scd2_compact_small_files",
       "scd2_expire_versions",
-      "skew_salted_join"]),
+      "skew_salted_join", "streaming_dim_enrichment"]),
     ("empty_lineitem", {"lineitem": empty_table},
      ["pricing_summary", "flagship_segment_revenue", "rollup_revenue",
       "cube_lineitem_flags", "pivot_status_by_priority", "having_filter",
