@@ -920,6 +920,39 @@ def _curve_columns(ev: DataFrame, anchor: DataFrame) -> DataFrame:
     )
 
 
+def pmod_chunk_relay(df: DataFrame, dest_dir: str, n: int = 4) -> None:
+    """Re-lay a fixture frame as ``n`` single-file parquet chunks so a
+    file-source readStream with ``maxFilesPerTrigger=1`` drains it as
+    ``n`` genuine micro-batches, in deterministic order (monotone
+    mtimes pin the file-source ordering). THE chunk-assignment
+    contract, shared by every pmod-sharded streaming harness
+    (zorder_ingest_stream, stream_static_enrichment; the batch twin in
+    layout_q.py mirrors it): ``pmod(coalesce(event_id, 0), n)``, not
+    ``%`` — a NULL/negative event_id under ``%`` matches NO chunk and
+    the row silently never arrives while the shared oracle still emits
+    it (round-10 advisor find). pmod lands negatives in [0, n); NULL
+    ids shard to chunk 0. The frame is cached for the n filter passes
+    (one real scan, n-1 cache reads) and unpersisted before return."""
+    os.makedirs(dest_dir, exist_ok=True)
+    chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(n))
+    df = df.cache()
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            for i in range(n):
+                chunk_dir = os.path.join(tmp, f"c{i}")
+                df.filter(chunk == i).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(chunk_dir)
+                part = next(
+                    f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+                )
+                dst = os.path.join(dest_dir, f"e{i}.parquet")
+                os.replace(os.path.join(chunk_dir, part), dst)
+                os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    finally:
+        df.unpersist()
+
+
 def zorder_ingest_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str | None:
     """Close the webhook→warehouse loop the reference implies
     (`PodioApiGateway.py:111-137`: events arrive continuously and land
@@ -990,25 +1023,7 @@ def zorder_ingest_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str 
     # micro-batch order for the file source (raw wire columns — the
     # curve position is computed at ingest, not by the producer)
     arrivals = os.path.join(workdir, "arrivals")
-    os.makedirs(arrivals, exist_ok=True)
-    # pmod+coalesce, not %: NULL/negative event_id under `%` matches NO
-    # chunk and the row silently never arrives while the shared oracle
-    # still emits it (round-10 advisor find; batch twin fixed in
-    # layout_q.py identically). pmod lands negatives in [0,4); NULL
-    # ids shard to chunk 0.
-    chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
-    with tempfile.TemporaryDirectory() as tmp:
-        for i in range(4):
-            chunk_dir = os.path.join(tmp, f"c{i}")
-            tail.filter(chunk == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(chunk_dir)
-            part = next(
-                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
-            )
-            dst = os.path.join(arrivals, f"e{i}.parquet")
-            os.replace(os.path.join(chunk_dir, part), dst)
-            os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    pmod_chunk_relay(tail, arrivals)
 
     delta_log = os.path.join(workdir, "delta_log")
     schema = spark.read.parquet(os.path.join(arrivals, "e0.parquet")).schema
@@ -1073,13 +1088,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str, workdir: str) -> 
 
     src = os.path.join(workdir, "chunks")
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    for i in range(4):
-        (
-            ev.filter(F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4)) == i)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+    pmod_chunk_relay(ev, src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
@@ -1098,7 +1107,10 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str, workdir: str) -> 
     out = os.path.join(workdir, "enriched")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        batch.write.mode("append").parquet(out)
+        # _batch_id is harness telemetry (the per-micro-batch re-plan
+        # invariant tests assert on it); the registered query projects
+        # it away, so the oracle never sees it
+        batch.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
 
     q = (
         enriched.writeStream.foreachBatch(write_batch)

@@ -595,13 +595,12 @@ def test_zorder_ingest_stream_micro_batches_and_delta_shape(spark, tmp_path):
 
 
 def test_dim_enrichment_spans_four_microbatches(spark, tmp_path):
-    """The stream-static join must really run per micro-batch (4 pmod
-    chunks × maxFilesPerTrigger=1 → ≥4 appended part groups), keep
-    every event exactly once, and surface dim-less users as UNKNOWN
-    instead of dropping them (LEFT posture)."""
-    import glob
-    import os
-
+    """The stream-static join must really run per micro-batch: 4 pmod
+    chunks × maxFilesPerTrigger=1 → 4 DISTINCT foreachBatch batch_ids
+    (recorded as _batch_id harness telemetry — part-file counting
+    cannot distinguish 4 single-file batches from 1 multi-partition
+    batch), each batch carrying exactly one chunk's rows; every event
+    exactly once; dim-less users surface as UNKNOWN, never dropped."""
     from crm_etl_pipeline_spark.io import table
 
     sf = "/root/testdata/sf0.001"
@@ -610,8 +609,19 @@ def test_dim_enrichment_spans_four_microbatches(spark, tmp_path):
     ev = table(spark, sf, "events")
     assert res.count() == ev.count()  # stateless join: no drops, no dups
     assert res.select("event_id").distinct().count() == ev.count()
-    # 4 genuine micro-batches → at least 4 separate appended files
-    assert len(glob.glob(os.path.join(out, "part-*"))) >= 4
+    # 4 genuine micro-batches, and batch membership == chunk membership
+    # (each trigger consumed exactly one pmod chunk file)
+    assert res.select("_batch_id").distinct().count() == 4
+    per_batch = {
+        (r["_batch_id"], r["chunk"])
+        for r in res.select(
+            "_batch_id",
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4)).alias("chunk"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert len(per_batch) == 4  # one chunk per batch, no mixing
     # LEFT posture: exactly the events whose user has no dim row arrive
     # as UNKNOWN (0 on the clean fixture — every user_id is a custkey;
     # the empty_customer and null_user_ids sweep batches carry the
