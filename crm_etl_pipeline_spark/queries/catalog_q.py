@@ -5,6 +5,9 @@ org-spaces / apps / app-fields respectively.
 
 from __future__ import annotations
 
+import itertools
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,6 +20,10 @@ from crm_etl_pipeline_spark.catalog import (
 )
 from crm_etl_pipeline_spark.io import table
 from crm_etl_pipeline_spark.registry import query
+
+
+# monotone suffix for catalog_recursive_paths' per-invocation temp view
+_RCTE_VIEW_SEQ = itertools.count()
 
 
 def _spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,16 +297,26 @@ def catalog_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("app_id") + 100).cast("bigint").alias("parent_id"),
     )
     nodes = root.unionByName(spaces).unionByName(apps).unionByName(fields)
-    nodes.createOrReplaceTempView("__catalog_nodes_rcte")
-    return spark.sql(
-        """
-        WITH RECURSIVE walk(node_id, label, depth, path) AS (
-          SELECT node_id, label, 0, CAST(label AS STRING)
-          FROM __catalog_nodes_rcte WHERE parent_id IS NULL
-          UNION ALL
-          SELECT c.node_id, c.label, w.depth + 1, CONCAT(w.path, '/', c.label)
-          FROM __catalog_nodes_rcte c JOIN walk w ON c.parent_id = w.node_id
+    # per-invocation view name: the session-global temp-view namespace is
+    # shared, so a fixed name would let two concurrent invocations on one
+    # SparkSession clobber each other between createOrReplaceTempView and
+    # spark.sql (r11 ADVICE). pid + a module counter makes the name unique
+    # per call; the view is dropped once the plan is captured (the
+    # returned DataFrame's logical plan no longer needs the catalog entry).
+    view = f"__catalog_nodes_rcte_{os.getpid()}_{next(_RCTE_VIEW_SEQ)}"
+    nodes.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE walk(node_id, label, depth, path) AS (
+              SELECT node_id, label, 0, CAST(label AS STRING)
+              FROM {view} WHERE parent_id IS NULL
+              UNION ALL
+              SELECT c.node_id, c.label, w.depth + 1, CONCAT(w.path, '/', c.label)
+              FROM {view} c JOIN walk w ON c.parent_id = w.node_id
+            )
+            SELECT node_id, label, CAST(depth AS INT) AS depth, path FROM walk
+            """
         )
-        SELECT node_id, label, CAST(depth AS INT) AS depth, path FROM walk
-        """
-    )
+    finally:
+        spark.catalog.dropTempView(view)

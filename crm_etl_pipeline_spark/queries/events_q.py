@@ -616,7 +616,12 @@ def _props_envelope() -> F.Column:
              CASE WHEN json_valid(e)
                   THEN json_extract_string(e, '$.tags[0]') END AS tag0,
              CASE WHEN json_valid(e)
-                  THEN TRY_CAST(json_extract(e, '$.rank') AS BIGINT) END AS rank
+                  THEN TRY_CAST(json_extract(e, '$.rank') AS BIGINT) END AS rank,
+             -- CASE gate (not a bare AND): DuckDB does not short-circuit
+             -- conjunctions, so json() must stay behind the json_valid CASE
+             CASE WHEN json_valid(e)
+                  THEN json_type(json(e), '$.payload.absent') IS NOT NULL
+                  ELSE FALSE END AS absent_present
       FROM env
     )
     SELECT event_type, COUNT(*) AS n_events,
@@ -624,7 +629,14 @@ def _props_envelope() -> F.Column:
            CAST(SUM(k) AS BIGINT) AS sum_k,
            CAST(COUNT(DISTINCT tag0) AS BIGINT) AS n_tag0,
            MAX(rank) AS max_rank,
-           CAST(0 AS BIGINT) AS n_absent
+           -- path-presence count, NOT a hardcoded 0 (r11 ADVICE): a
+           -- future props mutation that plants 'absent' moves BOTH
+           -- engines together. Type-agnostic on purpose — the Spark
+           -- side extracts the path as 'variant' (any arriving type,
+           -- incl. JSON null: a variant null is a NON-NULL variant,
+           -- probe-verified, and DuckDB json_type returns the non-NULL
+           -- string 'NULL' there — both engines count it present).
+           CAST(SUM(CASE WHEN absent_present THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
     FROM shred GROUP BY event_type
     """,
     survey="T4,T6,T8 via Spark-4 VARIANT (schema-on-read without a declared schema)",
@@ -646,7 +658,11 @@ def variant_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``try_parse_json`` quarantines those as NULL variants instead of
     failing the batch — the same ingest-boundary posture as
     utf8_ingest_quarantine. ``try_variant_get`` on a path no row has
-    proves missing-path tolerance (n_absent == 0 groupwide).
+    proves missing-path tolerance: n_absent counts PATH PRESENCE
+    (extracted as 'variant', so any arriving type counts), and the
+    oracle computes the same presence count in DuckDB rather than
+    hardcoding 0 — a future props mutation that plants the key moves
+    both engines together (r11 ADVICE close).
 
     The k extraction is gated on ``schema_of_variant(k) == 'BIGINT'``
     before the typed cast: bare ``variant_get(..., 'bigint')`` THROWS
@@ -674,7 +690,9 @@ def variant_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("variant_get(v, '$.payload.k', 'variant')").alias("kv"),
             F.expr("variant_get(v, '$.tags[0]', 'string')").alias("tag0"),
             F.expr("variant_get(v, '$.rank', 'bigint')").alias("rank"),
-            F.expr("try_variant_get(v, '$.payload.absent', 'bigint')").alias("absent"),
+            # 'variant' target: presence of the path, whatever type
+            # arrives (a variant null counts as present — see oracle)
+            F.expr("try_variant_get(v, '$.payload.absent', 'variant')").alias("absent"),
             F.col("v").isNull().alias("malformed"),
         )
         .select(

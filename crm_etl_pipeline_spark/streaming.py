@@ -943,9 +943,18 @@ def pmod_chunk_relay(df: DataFrame, dest_dir: str, n: int = 4) -> None:
                 df.filter(chunk == i).coalesce(1).write.mode(
                     "overwrite"
                 ).parquet(chunk_dir)
-                part = next(
-                    f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
-                )
+                # Spark's SingleDirectoryDataWriter emits a part file
+                # even for an empty coalesce(1) write, but that is an
+                # implementation detail — fail loudly if it changes
+                # rather than leaking a bare StopIteration (r11 ADVICE).
+                parts = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")]
+                if not parts:
+                    raise RuntimeError(
+                        f"pmod_chunk_relay: chunk {i}/{n} produced no parquet part "
+                        f"file in {chunk_dir} — empty-chunk write no longer emits a "
+                        "part file; write a schema-only placeholder here instead"
+                    )
+                part = parts[0]
                 dst = os.path.join(dest_dir, f"e{i}.parquet")
                 os.replace(os.path.join(chunk_dir, part), dst)
                 os.utime(dst, (1_000_000_000 + i * 100,) * 2)

@@ -77,3 +77,48 @@ def test_recursive_closure_paths_are_parent_prefixed(spark):
         assert res.filter(~F.col("path").startswith("ORG")).count() == 0
     finally:
         res.unpersist()
+
+
+def test_variant_absent_count_moves_with_planted_key(spark, tmp_path):
+    """r11 ADVICE close: n_absent must be COMPUTED by the oracle, not
+    hardcoded 0. Plant '$.payload.absent' on a known subset of a
+    synthetic events table (incl. one JSON-null arrival, which both
+    engines count as PRESENT — variant null is a non-NULL variant;
+    DuckDB json_type returns the non-NULL string 'NULL') and assert the
+    full cross-engine hash contract still holds with n_absent > 0."""
+    import datetime
+
+    import duckdb
+
+    rows = []
+    for i in range(60):
+        if i % 5 == 0:
+            props = '{"k": 1, "absent": 7}'  # bigint arrival
+        elif i % 5 == 1:
+            props = '{"k": 1, "absent": null}'  # JSON null arrival: present
+        else:
+            props = '{"k": 1}'
+        rows.append(
+            (i, datetime.datetime(2024, 1, 1 + i % 28), i % 7, "typ" + str(i % 3), 1.0, props)
+        )
+    d = str(tmp_path / "planted")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    from tests.conftest import compare_query
+
+    q = REGISTRY["variant_props_shred"]
+    compare_query(spark, con, q, sf_dir=d)
+    n_absent = (
+        q.fn(spark, d).agg(F.sum("n_absent").alias("a")).first()["a"]
+    )
+    # 12 bigint + 12 json-null plants, minus event_id 0: 0 % 97 == 0, so
+    # the envelope quarantines that plant as malformed before the shred
+    assert n_absent == 23
