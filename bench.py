@@ -6,6 +6,20 @@ Each query is executed once to warm the JVM/code cache, then timed.
 The timed run materializes results via count() on the aggregated
 output (small), so timings measure scan+shuffle+agg, not driver
 collection of wide rows.
+
+Round-12 gate mechanics (codifying the round-11 BENCHNOTES protocol):
+per-query timings are the BEST across N *separated passes* over the
+whole tier, not N consecutive reps of one query. Under the flushed-
+cache host regime BENCHNOTES characterized (buff/cache externally
+pinned ~1.7 GB; whichever tables are not resident pay a disk re-read
+that roams across query families run-to-run), consecutive reps all
+land in the same residency state — the roam inflates every rep of the
+unlucky query — while separated passes give each query N draws from
+different states. The 9-run round-11 block showed per-query bests
+across separated runs reconstruct the healthy-host bands (7.073 /
+14.127 / 7.645 vs single-run totals carrying ±40% I/O roam), so this
+is now the in-harness estimator: the printed totals ARE the
+best-of-N totals, making the gate mechanical rather than prose.
 """
 
 from __future__ import annotations
@@ -37,6 +51,12 @@ HEADLINE = [
     "scd2_versioned_store",
     "asof_join_latest_order",
     "curation_pipeline",
+    # round-12 addition (BENCHNOTES named it the tier-1 candidate at
+    # its round-11 registration; kept out mid-round-11 for reading
+    # comparability): the Spark-4 VARIANT shred — a single-scan
+    # codegen'd parse_json + 5-group agg, the same family as
+    # typed_field_decode (isolated anchor 0.693 s)
+    "variant_props_shred",
 ]
 
 # Tier 2 (new in round 6): the post-round-1 operator surface. Tier 1
@@ -62,14 +82,20 @@ TIER2 = [
     "ann_pq_adc",
     "audio_energy_windows",
     "multimodal_mp4_seek_plan",
+    # round-12 addition (tier-2 candidate at its round-11
+    # registration): the salted hot-key fact⋈dim join, demonstrated as
+    # a real sort-merge over the salted exchange (isolated anchor
+    # 0.70 s) — joins the other join-family members here
+    "skew_salted_join",
 ]
 
 # Tier 3 (new in round 8): the MAINTENANCE jobs — write-inclusive
 # (each run lays files down and reads them back), so their timings are
 # a different regime than the read-only tiers and get their own total
 # (folding compaction's multi-second write path into tier 2 would
-# distort that band). 1 warm + min-of-2: the write path dominates and
-# is stable; the estimator still absorbs one jitter sample.
+# distort that band). 1 warm + best-of-3 separated passes (raised from
+# min-of-2 in round 12): the write path dominates and is stable, but
+# the best-of-N gate needs >= 3 draws to survive a roaming-I/O pass.
 TIER3 = [
     "scd2_compact_small_files",
     "schema_evolution_read",
@@ -94,20 +120,58 @@ def _time_tier(reg, spark: object, sf_dir: str, names: list[str], warmups: int, 
     for _ in range(warmups):
         for name in names:
             reg[name].fn(spark, sf_dir).count()
-    timings: dict[str, float] = {}
-    for name in names:
-        # min of N timed runs: the machine hosting the bench shares
-        # CPU, so a single sample can be 2-3x off (observed; r3 recorded
-        # +14-27% drift on untouched sub-second queries with min-of-3);
-        # min is the standard noise-robust estimator for a deterministic
-        # workload
-        best = float("inf")
-        for _ in range(reps):
+    # best-of-N across SEPARATED passes (round-12 protocol, see module
+    # docstring): each pass runs the whole tier in order, so a query's
+    # N samples come from N different page-cache residency states —
+    # consecutive reps would all pay the same roaming disk re-read.
+    # min is the standard noise-robust estimator for a deterministic
+    # workload (r3 recorded +14-27% single-sample drift; the r11 block
+    # recorded ±40% single-RUN drift under the flushed-cache regime).
+    timings: dict[str, float] = dict.fromkeys(names, float("inf"))
+    for _ in range(reps):
+        for name in names:
             t0 = time.perf_counter()
             reg[name].fn(spark, sf_dir).count()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    return {name: round(t, 4) for name, t in timings.items()}
+
+
+def _calibrate(spark: object) -> dict[str, float]:
+    """Host-speed reference probes (round 12): three fixed, data-free,
+    deterministic Spark jobs — codegen'd hashing, string allocation, a
+    1M-group shuffle — timed best-of-3 after 2 warmups. Emitted with
+    every bench line so cross-BOOT readings are mechanically
+    comparable: the round-12 block found the whole fixture (~17 MB)
+    page-cache-resident yet the document/graph family uniformly ~1.5x
+    its bands across every run of the boot — a host-speed regime no
+    single-run tier total can distinguish from a code regression
+    without an in-run reference. Reference values on the round-12
+    measurement boot: hash 0.23, string 0.28, shuffle 0.87."""
+    from pyspark.sql import functions as F
+
+    probes = {
+        "calib_hash": lambda: spark.range(200_000_000)
+        .selectExpr("sum(pmod(xxhash64(id), 1000000007)) as s")
+        .collect(),
+        "calib_string": lambda: spark.range(5_000_000)
+        .selectExpr("sum(length(sha2(cast(id as string), 256))) as s")
+        .collect(),
+        "calib_shuffle": lambda: spark.range(20_000_000)
+        .groupBy(F.pmod(F.col("id"), F.lit(1_000_000)).alias("k"))
+        .count()
+        .count(),
+    }
+    out: dict[str, float] = {}
+    for name, fn in probes.items():
+        fn()
+        fn()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-    return timings
+        out[name] = round(best, 4)
+    return out
 
 
 def main() -> None:
@@ -116,9 +180,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("crm-etl-pipeline-bench")
     reg = load_all()
+    calib = _calibrate(spark)
     tier1 = _time_tier(reg, spark, sf_dir, [n for n in HEADLINE if n in reg], 3, 5)
     tier2 = _time_tier(reg, spark, sf_dir, [n for n in TIER2 if n in reg], 1, 3)
-    tier3 = _time_tier(reg, spark, sf_dir, [n for n in TIER3 if n in reg], 1, 2)
+    # tier-3 reps raised 2 -> 3 in round 12: the best-of-N gate needs
+    # N >= 3 draws per query (the write path is stable, but the
+    # estimator's whole point is surviving one roaming-I/O pass)
+    tier3 = _time_tier(reg, spark, sf_dir, [n for n in TIER3 if n in reg], 1, 3)
     print(
         json.dumps(
             {
@@ -130,6 +198,7 @@ def main() -> None:
                 "tier2_total": round(sum(tier2.values()), 4),
                 "tier3": tier3,
                 "tier3_total": round(sum(tier3.values()), 4),
+                "calib": calib,
                 "sf": sf,
             }
         )

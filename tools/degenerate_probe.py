@@ -734,7 +734,7 @@ PROBES = [
     ("zero_vec", {"embeddings": zero_first_vec},
      ["ann_cosine_topk", "embedding_near_dup", "ann_lsh_bucketed",
       "ann_ivf_probe", "ann_ivf_nprobe2", "embedding_norm_topk",
-      "ann_pq_adc"]),
+      "ann_pq_adc", "ann_recall_selfcheck"]),
     ("single_event", {"events": one_row},
      ["sessionization", "session_window_builtin", "session_path_trigrams",
       "event_transition_matrix", "ewma_user_value", "funnel_conversion",
@@ -919,7 +919,7 @@ PROBES = [
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck"]),
     ("extreme_values", {"events": extreme_values},
      ["event_value_anomalies", "streaming_moments_anomalies",
       "winsorize_event_values", "robust_outliers_mad",
@@ -935,7 +935,7 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck"]),
     ("id_collision_docs", {"documents": id_collision_docs},
      ["exact_dedup_documents", "dedup_incremental_new_docs",
       "chunk_documents", "doc_fingerprint", "bm25_topk_search",
@@ -951,7 +951,7 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck"]),
     ("id_collision_events", {"events": id_collision_events},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_soft_delete", "scd2_expire_versions",
@@ -991,14 +991,14 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck"]),
     ("dup_embs", {"embeddings": duplicate_every_7th},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_ivf_persisted_index",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck"]),
     ("dup_events", {"events": duplicate_every_7th},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_expire_versions", "version_counts_per_key",
@@ -1024,7 +1024,7 @@ PROBES = [
       "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
-      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck"]),
     ("empty_orders", {"orders": empty_table},
      ["join_left_missing", "join_semi", "join_anti", "join_full_outer",
       "latest_order_per_customer", "topk_orders_by_revenue",
