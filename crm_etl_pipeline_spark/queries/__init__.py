@@ -74,13 +74,21 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       ceiling; every round-11 defer note promised them this window
 #       (filtered_scan, point_lookup, having_filter were promised BY
 #       NAME).
-#   (c) the 25 r8 rows — 4 rounds stale after this round if skipped;
-#       rotating them now means no row anywhere exceeds 3 rounds.
+#   (c) 24 of the 25 r8 rows — 4 rounds stale after this round if
+#       skipped. The 25th, topk_per_group, defers to round 13 (age 4,
+#       the documented ceiling) with an IN-WINDOW twin:
+#       topk_orders_by_revenue, the same window-rank/TakeOrdered
+#       family, freshly certified this round. It was displaced by
+#       triangle_count, whose CODE changed mid-round (the closing
+#       wedge semi-join gained a shuffle_hash hint after the sf10
+#       decade run exhausted scratch disk sorting the 3.8e9-row wedge
+#       stream — exact, result-identical, oracle-green at HEAD, but
+#       changed code outranks age).
 #
 # Age accounting if this window lands 50/50: registry 184 -> 185,
-# r12:50, r11:48, r10:48, r9:39 — max age 3 rounds (the 39 r9 rows),
-# the freshest the ledger has ever been; round 13's natural window is
-# the r9 tier.
+# r12:50, r11:47, r10:48, r9:39, r8:1 — max age 4 rounds for exactly
+# one documented defer (topk_per_group, twin in-window); round 13's
+# natural window is the r9 tier + topk_per_group.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the
 # rest follow in module order. Keep this list <= 50
@@ -113,7 +121,7 @@ DRIVER_PRIORITY: list[str] = [
     "system_column_enrichment",
     "train_split_stratified",
     "vocab_top_tokens",
-    # --- (c) the 25 r8 rows, rotated so no row exceeds 3 rounds ---
+    # --- (c) 24 of the 25 r8 rows (topk_per_group defers, see above) ---
     "asof_join_latest_order",
     "bucketed_join_colocated",
     "copurchase_pagerank",
@@ -137,6 +145,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_stateful_sessions",
     "tfidf_top_terms",
     "topk_orders_by_revenue",
-    "topk_per_group",
     "zorder_range_scan",
+    # --- changed-code re-certification (the shuffle_hash closing) ---
+    "triangle_count",
 ]

@@ -732,10 +732,20 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # close the wedge against the undirected edge set: wedge (b, c) has
     # b < c by construction and und (u, v) has u < v, so one ordered
-    # equi-semi-join covers both orientations
+    # equi-semi-join covers both orientations. shuffle_hash hint
+    # (round 12, exact — semantics unchanged): the wedge stream is the
+    # graph's Σ C(d_out, 2), which at constant co-purchase degree grows
+    # linearly with the corpus (~3.8e9 rows at the sf10 decade point);
+    # the default sort-merge semi-join SORTS that stream after the
+    # exchange, spilling ~2x its volume to scratch disk (measured: the
+    # sf10 run exhausted a 78 GB /tmp via UnsafeExternalSorter spill),
+    # while the hash build side is only the edge set (|E| rows, the
+    # SMALL side by a factor of avg-degree/2) partitioned 32+ ways.
+    # Streaming the huge side unsorted through a per-partition hash of
+    # the small side is the only shape that survives 100x here.
     closing = und.select(F.col("u").alias("cb"), F.col("v").alias("cc"))
     tri = wedge.join(
-        closing,
+        closing.hint("shuffle_hash"),
         (wedge["b"] == closing["cb"]) & (wedge["c"] == closing["cc"]),
         "left_semi",
     )
