@@ -1436,11 +1436,19 @@ _RECALL_SELFCHECK_ORACLE = f"""
     ), spine AS (
       SELECT query_id, COUNT(*) AS n_exact FROM exact3 GROUP BY query_id
     ), h1 AS (
-      SELECT e.query_id, COUNT(*) AS n
-      FROM exact3 e JOIN ivf1 USING (query_id, cand_id) GROUP BY e.query_id
+      -- SEMI-join (EXISTS), mirroring Spark's left_semi: each exact3
+      -- row counts at most once, however many duplicate (query, cand)
+      -- pairs the served side carries (the dup_embs sweep batch found
+      -- the inner-join form multiplying hits past n_exact)
+      SELECT e.query_id, COUNT(*) AS n FROM exact3 e
+      WHERE EXISTS (SELECT 1 FROM ivf1 i
+                    WHERE i.query_id = e.query_id AND i.cand_id = e.cand_id)
+      GROUP BY e.query_id
     ), h2 AS (
-      SELECT e.query_id, COUNT(*) AS n
-      FROM exact3 e JOIN ivf2 USING (query_id, cand_id) GROUP BY e.query_id
+      SELECT e.query_id, COUNT(*) AS n FROM exact3 e
+      WHERE EXISTS (SELECT 1 FROM ivf2 i
+                    WHERE i.query_id = e.query_id AND i.cand_id = e.cand_id)
+      GROUP BY e.query_id
     )
     SELECT s.query_id, s.n_exact,
            CAST(COALESCE(h1.n, 0) AS BIGINT) AS n_hits_nprobe1,
@@ -1491,6 +1499,13 @@ def ann_recall_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics make a floor meaningful; the fixture corpus is
     near-uniform so absolute recall is structurally low (the
     ann_pq_adc test documents the same property).
+
+    Duplicate-pair contract (dup_embs sweep find, round 12): both
+    engines count hits as a SEMI-join — each exact-top-3 row at most
+    once — so a served side carrying duplicate (query, cand) pairs
+    (byte-identical duplicated vectors occupy two top-3 ranks) cannot
+    multiply hits past n_exact; the first oracle draft used a plain
+    inner join there and read recall 4/3 on the duplicated corpus.
 
     Scale shape: the exact side is the brute-force O(N*d*k) single
     scan (only ever run to JUDGE the index — at 100 TB you sample the
