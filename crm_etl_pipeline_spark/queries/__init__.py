@@ -74,21 +74,30 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       ceiling; every round-11 defer note promised them this window
 #       (filtered_scan, point_lookup, having_filter were promised BY
 #       NAME).
-#   (c) 24 of the 25 r8 rows — 4 rounds stale after this round if
-#       skipped. The 25th, topk_per_group, defers to round 13 (age 4,
-#       the documented ceiling) with an IN-WINDOW twin:
-#       topk_orders_by_revenue, the same window-rank/TakeOrdered
-#       family, freshly certified this round. It was displaced by
-#       triangle_count, whose CODE changed mid-round (the closing
-#       wedge semi-join gained a shuffle_hash hint after the sf10
-#       decade run exhausted scratch disk sorting the 3.8e9-row wedge
-#       stream — exact, result-identical, oracle-green at HEAD, but
-#       changed code outranks age).
+#   (c) 23 of the 25 r8 rows — 4 rounds stale after this round if
+#       skipped. Two defer to round 13 (age 4, the documented
+#       ceiling), each with an IN-WINDOW twin freshly certified this
+#       round:
+#       - topk_per_group (twin: topk_orders_by_revenue, the same
+#         window-rank/TakeOrdered family) — displaced by
+#         triangle_count, whose CODE changed mid-round (the closing
+#         wedge semi-join gained a shuffle_hash hint after the sf10
+#         decade run exhausted scratch disk sorting the 3.8e9-row
+#         wedge stream — exact, result-identical, oracle-green at
+#         HEAD, but changed code outranks age);
+#       - percent_rank_acctbal (twin: ntile_order_value_quartiles,
+#         the same rank-to-bucket window family) — displaced by the
+#         mid-round registration bpe_merge_training (BPE vocabulary
+#         training: corpus word-frequency pass + 3 unrolled merge
+#         iterations at vocab grain, textbook-reference-tested, 9
+#         document sweep batches green incl. the whitespace_storm
+#         explicit-class find); never-driver-checked outranks
+#         rotation.
 #
-# Age accounting if this window lands 50/50: registry 184 -> 185,
-# r12:50, r11:47, r10:48, r9:39, r8:1 — max age 4 rounds for exactly
-# one documented defer (topk_per_group, twin in-window); round 13's
-# natural window is the r9 tier + topk_per_group.
+# Age accounting if this window lands 50/50: registry 184 -> 186,
+# r12:50, r11:47, r10:48, r9:39, r8:2 — max age 4 rounds for exactly
+# two documented defers (each twin-covered in-window); round 13's
+# natural window is the r9 tier + the two r8 defers.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the
 # rest follow in module order. Keep this list <= 50
@@ -96,6 +105,7 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 DRIVER_PRIORITY: list[str] = [
     # --- (a) changed code / new registrations this round ---
     "ann_recall_selfcheck",
+    "bpe_merge_training",
     "variant_props_shred",
     "catalog_recursive_paths",
     # --- (b) the 22 r7 rows, 4 rounds stale, promised this window ---
@@ -121,7 +131,7 @@ DRIVER_PRIORITY: list[str] = [
     "system_column_enrichment",
     "train_split_stratified",
     "vocab_top_tokens",
-    # --- (c) 24 of the 25 r8 rows (topk_per_group defers, see above) ---
+    # --- (c) 23 of the 25 r8 rows (two defers, see above) ---
     "asof_join_latest_order",
     "bucketed_join_colocated",
     "copurchase_pagerank",
@@ -136,7 +146,6 @@ DRIVER_PRIORITY: list[str] = [
     "latest_order_per_customer",
     "ntile_order_value_quartiles",
     "partition_evolution_regrain",
-    "percent_rank_acctbal",
     "range_join_clicks_before_purchase",
     "running_revenue",
     "sliding_1h_user_value",

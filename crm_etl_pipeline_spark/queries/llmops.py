@@ -2370,3 +2370,275 @@ def language_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("samp_rank") <= F.col("n_target"))
         .select("doc_id", "lang", "samp_rank", "n_docs", "weight", "n_target")
     )
+
+
+# --- BPE merge training (round 12) ---------------------------------
+# Fixed number of unrolled merge iterations, like embedding_kmeans's
+# fixed 2-Lloyd-iteration budget: a data-dependent stopping rule would
+# not be hash-oracle-able, a fixed budget is.
+_BPE_MERGES = 3
+
+
+def _bpe_iteration_sql(k: int) -> str:
+    """One unrolled BPE merge iteration as DuckDB CTE text. The greedy
+    non-overlap merge is gaps-and-islands: consecutive candidate
+    positions form a run (pos - ROW_NUMBER is constant inside it), and
+    merges land on the run's odd offsets — 'aaaa' under merge (a,a)
+    becomes 'aa','aa', exactly the classic left-to-right scan."""
+    p = k - 1
+    return f"""
+    pairs{k} AS (
+      SELECT a, b, SUM(f) AS cnt FROM (
+        SELECT word, f, sym AS a,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b
+        FROM tok{p}
+      ) WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    best{k} AS (
+      SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pairs{k}
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    cand{k} AS (
+      SELECT word, pos, is_cand FROM (
+        SELECT t.word, t.pos,
+               (t.sym = best.a
+                AND LEAD(t.sym) OVER (PARTITION BY t.word ORDER BY t.pos) = best.b) AS is_cand
+        FROM tok{p} t CROSS JOIN best{k} best
+      ) WHERE is_cand
+    ),
+    merge{k} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+        FROM (
+          SELECT word, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM cand{k}
+        )
+      ) WHERE rn % 2 = 1
+    ),
+    tok{k} AS (
+      SELECT word, f, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      FROM (
+        SELECT word, f, pos,
+               CASE WHEN is_merge
+                    THEN sym || LEAD(sym) OVER (PARTITION BY word ORDER BY pos)
+                    ELSE sym END AS sym,
+               COALESCE(LAG(is_merge) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+        FROM (
+          SELECT t.word, t.f, t.pos, t.sym, (mg.pos IS NOT NULL) AS is_merge
+          FROM tok{p} t LEFT JOIN merge{k} mg
+            ON t.word = mg.word AND t.pos = mg.pos
+        )
+      ) WHERE NOT consumed
+    )"""
+
+
+_BPE_ORACLE = f"""
+    WITH words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        -- explicit ASCII whitespace class incl. vertical tab: Java's
+        -- \s has \x0B, RE2's does not (whitespace_storm sweep class) —
+        -- spell the class or the two engines tokenize differently
+        SELECT unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE regexp_matches(w, '^[a-z0-9]{{1,16}}$') AND length(w) >= 2
+      GROUP BY w
+    ),
+    tok0 AS (
+      SELECT word, f, CAST(i AS BIGINT) AS pos, substr(word, CAST(i AS INT), 1) AS sym
+      FROM words, unnest(range(1, length(word) + 1)) t(i)
+    ),
+    {_bpe_iteration_sql(1)},
+    {_bpe_iteration_sql(2)},
+    {_bpe_iteration_sql(3)}
+    SELECT CAST(iter AS INT) AS iter, merge_a, merge_b, pair_count, n_syms FROM (
+      SELECT 1 AS iter, a AS merge_a, b AS merge_b, cnt AS pair_count,
+             (SELECT COUNT(DISTINCT sym) FROM tok1) AS n_syms FROM best1
+      UNION ALL
+      SELECT 2, a, b, cnt, (SELECT COUNT(DISTINCT sym) FROM tok2) FROM best2
+      UNION ALL
+      SELECT 3, a, b, cnt, (SELECT COUNT(DISTINCT sym) FROM tok3) FROM best3
+    )
+"""
+
+
+def _attach1(df: DataFrame, scalar: DataFrame, probe_key) -> DataFrame:
+    """Attach a broadcast-size frame via an EQUI-join on a non-foldable
+    always-1 key (the tfidf_top_terms / crm_q._scalar_attach idiom: a
+    lit(1) key constant-folds and the join degrades to
+    BroadcastNestedLoopJoin). ``probe_key`` must be provably 1 on every
+    row of ``df``; ``scalar`` must already carry its own ``_k`` = 1."""
+    return df.withColumn("_k", probe_key).join(F.broadcast(scalar), "_k").drop("_k")
+
+
+@query(
+    "bpe_merge_training",
+    oracle=_BPE_ORACLE,
+    survey="§2.9 training prep (BPE vocabulary training: corpus word-frequency "
+    "pass + fixed unrolled merge iterations at vocab grain — Sennrich et al. "
+    "2016, the standard subword trainer shape)",
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary training over the document corpus:
+    the canonical subword-tokenizer trainer (Sennrich, Haddow & Birch,
+    "Neural Machine Translation of Rare Words with Subword Units", ACL
+    2016), done the way real trainers do it — ONE corpus pass builds
+    the word-frequency table, then every merge iteration runs at VOCAB
+    grain, never re-touching the corpus. The reference has no analog;
+    this extends the token family (token_profile, vocab_top_tokens,
+    pack_training_sequences) from consuming a fixed tokenizer to
+    TRAINING one.
+
+    Semantics, pinned identically in both engines:
+    - pre-tokenizer: whitespace split, lowercase-ASCII-alnum words of
+      length 2..16 (the alphabet gate sidesteps cross-engine unicode
+      case/segmentation divergence — the casefold sweep class — and
+      bounds per-word positions);
+    - pair statistics count OVERLAPPING adjacent pairs weighted by word
+      frequency (the classic get_stats), winner tiebreak
+      (count DESC, a, b);
+    - the merge applies greedily left-to-right without overlap,
+      expressed as pure window algebra (gaps-and-islands: consecutive
+      candidate positions form a run; odd run-offsets merge), so both
+      engines compute the SAME deterministic result — no list-fold
+      UDFs, no engine-specific replace() semantics;
+    - _BPE_MERGES is a fixed unrolled budget (the embedding_kmeans
+      fixed-iteration precedent) so the whole computation is one
+      oracle-able dataflow. Output: one row per iteration — the learned
+      merge rule, its weighted pair count, and the symbol-vocabulary
+      size after applying it.
+
+    Per-row symmetric (word counts aggregate over every document row),
+    so it is winner-free under the identity-collision contract, like
+    the other token statistics.
+
+    Scale shape: the corpus pass is the ONLY data-term stage — explode
+    + map-side-combined groupBy(word), scan-bandwidth-bound at 100 TB.
+    Everything after runs on the distinct-word table (Heaps' law:
+    ~1e6 rows for a web-scale corpus under this alphabet gate), where
+    each iteration is a handful of word-partitioned windows + a tiny
+    global argmax; ``reliable_checkpoint`` after tok0 and each merged
+    tok{k} keeps the unrolled DAG linear instead of exponential (the
+    dedup_components lineage-cut discipline) — each checkpoint is
+    vocab-sized, not corpus-sized. The two 1-row attaches (the learned
+    rule, the vocab-size scalar) ride the non-foldable equi-key idiom
+    so they stay BroadcastHashJoins."""
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                # same explicit class as the oracle (see its comment)
+                F.split(F.col("text"), "[ \t\n\r\f\x0B]+")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]{1,16}$") & (F.length("w") >= 2))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    tok = (
+        words.select(
+            "word",
+            "f",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substr(word, cast(pos as int), 1)"))
+    )
+    tok = reliable_checkpoint(tok)
+    w_word = Window.partitionBy("word").orderBy("pos")
+    key1 = F.least(F.length("sym"), F.lit(1)).cast("int")  # provably 1: sym non-empty
+    outs: list[DataFrame] = []
+    for k in range(1, _BPE_MERGES + 1):
+        pairs = (
+            tok.select(
+                "f",
+                F.col("sym").alias("a"),
+                F.lead("sym").over(w_word).alias("b"),
+            )
+            .filter(F.col("b").isNotNull())
+            .groupBy("a", "b")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .select(
+                "a",
+                "b",
+                F.col("cnt").cast("bigint").alias("cnt"),
+                F.least(F.length("a"), F.lit(1)).cast("int").alias("_k"),
+            )
+        )
+        best = reliable_checkpoint(best)
+        cand = (
+            _attach1(tok, best, key1)
+            .select(
+                "word",
+                "pos",
+                (
+                    (F.col("sym") == F.col("a"))
+                    & (F.lead("sym").over(w_word) == F.col("b"))
+                ).alias("is_cand"),
+            )
+            .filter("is_cand")
+        )
+        w_grp = Window.partitionBy("word", "grp").orderBy("pos")
+        merge = (
+            cand.select(
+                "word", "pos", (F.col("pos") - F.row_number().over(w_word)).alias("grp")
+            )
+            .withColumn("rn", F.row_number().over(w_grp))
+            .filter(F.col("rn") % 2 == 1)
+            .select("word", "pos", F.lit(True).alias("is_merge"))
+        )
+        tok = (
+            tok.join(merge, ["word", "pos"], "left")
+            .withColumn("is_merge", F.coalesce("is_merge", F.lit(False)))
+            .select(
+                "word",
+                "f",
+                "pos",
+                F.when(
+                    F.col("is_merge"),
+                    F.concat("sym", F.lead("sym").over(w_word)),
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym2"),
+                F.coalesce(F.lag("is_merge").over(w_word), F.lit(False)).alias(
+                    "consumed"
+                ),
+            )
+            .filter(~F.col("consumed"))
+            .select(
+                "word",
+                "f",
+                F.row_number().over(w_word).alias("pos"),
+                F.col("sym2").alias("sym"),
+            )
+        )
+        tok = reliable_checkpoint(tok)
+        n_syms = tok.agg(F.countDistinct("sym").alias("n_syms")).select(
+            "n_syms",
+            F.least(F.col("n_syms") + F.lit(1), F.lit(1)).cast("int").alias("_k"),
+        )
+        outs.append(
+            _attach1(
+                best.select(
+                    F.lit(k).cast("int").alias("iter"),
+                    F.col("a").alias("merge_a"),
+                    F.col("b").alias("merge_b"),
+                    F.col("cnt").alias("pair_count"),
+                ),
+                n_syms,
+                # non-foldable: merge_a is data; least(iter, 1) would
+                # constant-fold (iter is a literal) and degrade to BNLJ
+                F.least(F.length("merge_a"), F.lit(1)).cast("int"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -862,3 +862,83 @@ def test_ann_recall_selfcheck_floor_and_values(spark):
     # deterministic fixture pins (measured round 12)
     assert sum(r.n_hits_nprobe1 for r in rows) == 6
     assert sum(r.n_hits_nprobe2 for r in rows) == 11
+
+
+def _reference_bpe(word_freqs, n_merges):
+    """Textbook BPE (Sennrich et al. 2016 get_stats/merge_vocab),
+    including overlapping pair statistics and the greedy left-to-right
+    non-overlap merge — the semantics bpe_merge_training pins."""
+    from collections import Counter
+
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for it in range(n_merges):
+        stats = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+        n_syms = len({s for syms in vocab for s in syms})
+        merges.append((it + 1, a, b, cnt, n_syms))
+    return merges
+
+
+def test_bpe_matches_textbook_reference(spark):
+    """The full pipeline against an independent pure-Python
+    implementation of the published algorithm (not just the DuckDB
+    twin, which shares the SQL formulation): same pre-tokenizer, same
+    overlapping pair stats, same greedy merge, same tiebreak."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(SF_DIR + "/documents.parquet").to_pydict()["text"]
+    wf = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.split(r"[ \t\n\r\f\x0B]+", t):  # the query's pinned class
+            if re.fullmatch(r"[a-z0-9]{2,16}", w):
+                wf[w] += 1
+    expected = _reference_bpe(wf, 3)
+    got = sorted(tuple(r) for r in _rows(spark, "bpe_merge_training"))
+    assert got == expected
+
+
+def test_bpe_greedy_overlap_runs(spark, tmp_path):
+    """The gaps-and-islands merge must reproduce the classic greedy
+    left-to-right scan on overlapping candidate runs: 'aaaa' under
+    merge (a,a) -> ('aa','aa'), 'aaa' -> ('aa','a') — never ('a','aa')
+    and never a triple merge."""
+    rows = [(1, "en", "aaaa aaaa aaa zz")]
+    d = str(tmp_path / "bpe")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = sorted(tuple(r) for r in REGISTRY["bpe_merge_training"].fn(spark, d).collect())
+    # iter 1: pairs (a,a) count = 3+3+2=... per word 'aaaa' has 3
+    # overlapping (a,a), 'aaa' has 2, both words appear once except
+    # 'aaaa' twice -> 3+3+2 = 8; (z,z) count 1. best = (a,a) 8.
+    # after merge: 'aa','aa' / 'aa','aa' / 'aa','a' / 'zz' unchanged
+    # -> syms {aa, a, z} = 3.
+    assert out[0] == (1, "a", "a", 8, 3)
+    # iter 2: pairs now (aa,aa) 2, (aa,a) 1, (z,z) 1 -> best (aa,aa) 2
+    # -> words 'aaaa'->('aaaa'), 'aaa'->('aa','a'), syms {aaaa, aa, a, z}
+    assert out[1] == (2, "aa", "aa", 2, 4)
+    expected = _reference_bpe({"aaaa": 2, "aaa": 1, "zz": 1}, 3)
+    assert out == expected
