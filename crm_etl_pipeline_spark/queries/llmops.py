@@ -2437,10 +2437,11 @@ def _bpe_iteration_sql(k: int) -> str:
 _BPE_ORACLE = f"""
     WITH words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f FROM (
-        -- explicit ASCII whitespace class incl. vertical tab: Java's
-        -- \s has \x0B, RE2's does not (whitespace_storm sweep class) —
-        -- spell the class or the two engines tokenize differently
-        SELECT unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS w
+        -- the module's shared explicit whitespace class (_WS_CLASS):
+        -- Java's \s has \x0B, RE2's does not (whitespace_storm sweep
+        -- class) — spell the class or the two engines tokenize
+        -- differently
+        SELECT unnest(string_split_regex(text, '[{_WS_CLASS}]+')) AS w
         FROM documents WHERE text IS NOT NULL
       ) WHERE regexp_matches(w, '^[a-z0-9]{{1,16}}$') AND length(w) >= 2
       GROUP BY w
@@ -2531,8 +2532,8 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("text").isNotNull())
         .select(
             F.explode(
-                # same explicit class as the oracle (see its comment)
-                F.split(F.col("text"), "[ \t\n\r\f\x0B]+")
+                # same shared class as the oracle (see its comment)
+                F.split(F.col("text"), "[" + _WS_CLASS + "]+")
             ).alias("w")
         )
         .filter(F.col("w").rlike("^[a-z0-9]{1,16}$") & (F.length("w") >= 2))

@@ -907,12 +907,14 @@ def test_bpe_matches_textbook_reference(spark):
 
     import pyarrow.parquet as pq
 
+    from crm_etl_pipeline_spark.queries.llmops import _WS_CLASS
+
     texts = pq.read_table(SF_DIR + "/documents.parquet").to_pydict()["text"]
     wf = Counter()
     for t in texts:
         if t is None:
             continue
-        for w in re.split(r"[ \t\n\r\f\x0B]+", t):  # the query's pinned class
+        for w in re.split("[" + _WS_CLASS + "]+", t):  # the query's pinned class
             if re.fullmatch(r"[a-z0-9]{2,16}", w):
                 wf[w] += 1
     expected = _reference_bpe(wf, 3)

@@ -32,7 +32,16 @@ The catalog dims were then given their first mutators —
 empty_supplier (x5) and empty_region (x5) — closing that precedent
 gap: the recursive walk stops at depth 2 on an empty leaf frontier
 (31 rows) and keeps ONLY the root when every app is orphaned by an
-empty region (1 row), identically cross-engine; 10/10 OK. Round-10 certification: **599/599 OK at the round-10
+empty region (1 row), identically cross-engine; 10/10 OK. Round-12
+growth: ann_recall_selfcheck joined the 7 both-IVF embedding batches —
+dup_embs found its first-draft oracle multiplying hits past n_exact
+(inner join vs Spark's left_semi under duplicate (query, cand) pairs;
+closed with EXISTS semi-join semantics) — and bpe_merge_training
+joined 9 document batches, where whitespace_storm found the
+Java-vs-RE2 whitespace-class divergence its own comment predicts
+(\x0B is Java \s but not RE2 \s; closed by spelling the explicit
+ASCII class in both engines). 18 batches / 196 probes re-ran OK at
+the round-12 mid-round HEAD after the advice/recall/triangle changes. Round-10 certification: **599/599 OK at the round-10
 final HEAD** (all 55 batches, full pytest green in the same session).
 The round's sweep history: the pre-collision registry ran 506/506
 then 524/524 then 558/558 OK; the FIVE new identity-collision batches
