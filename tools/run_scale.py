@@ -55,6 +55,14 @@ def _sf(d: str) -> float:
 def main(lo_dir: str, hi_dir: str, out: str | None, queries: list[str] | None = None) -> None:
     spark = get_spark("crm-etl-pipeline-scale")
     reg = load_all()
+    # host-speed reference (round 12): the same three data-free probes
+    # bench.py emits, so decade exponents measured on different boots
+    # stay mechanically comparable (the round-12 block found per-boot
+    # CPU regimes that tier totals alone cannot distinguish from code)
+    from bench import _calibrate
+
+    calib = _calibrate(spark)
+    print(f"calib: {calib}", file=sys.stderr)
     global QUERIES
     if queries:
         QUERIES = queries
@@ -88,6 +96,7 @@ def main(lo_dir: str, hi_dir: str, out: str | None, queries: list[str] | None = 
         "hi": {"dir": hi_dir, "sf": _sf(hi_dir)},
         "queries": {},
         "buckets": bucket_stats,
+        "calib": calib,
     }
     for name, ends in results.items():
         t_lo, t_hi = ends[lo_dir]["sec"], ends[hi_dir]["sec"]
