@@ -41,7 +41,15 @@ joined 9 document batches, where whitespace_storm found the
 Java-vs-RE2 whitespace-class divergence its own comment predicts
 (\x0B is Java \s but not RE2 \s; closed by spelling the explicit
 ASCII class in both engines). 18 batches / 196 probes re-ran OK at
-the round-12 mid-round HEAD after the advice/recall/triangle changes. Round-10 certification: **599/599 OK at the round-10
+the round-12 mid-round HEAD after the advice/recall/triangle changes;
+the FULL 58-batch / 651-probe pass then ran 651/651 OK at the closing
+HEAD. Round-12(b): the NEW mega_doc batch (x21) probes the
+pathological-page-size class (one ~130 KB document, 50-100x the
+fixture median, with an over-gate token and a 10k-char line) — 21/21
+OK, with the per-row grains genuinely stressed (span mining 16,070
+rows vs 4,089 baseline) and a measured harness boundary documented at
+the mutator (DuckDB's list-formulated minhash oracle OOMs near 1.2 MB
+docs while the Spark side stays row-grain bounded). Round-10 certification: **599/599 OK at the round-10
 final HEAD** (all 55 batches, full pytest green in the same session).
 The round's sweep history: the pre-collision registry ran 506/506
 then 524/524 then 558/558 OK; the FIVE new identity-collision batches
@@ -555,6 +563,45 @@ def duplicate_every_7th(tbl):
     return tbl.take(pa.array(sorted(idx)))
 
 
+def mega_doc(tbl):
+    # pathological page size (round 12): web crawls contain multi-MB
+    # documents; ONE such row must cost one row's work, never blow up a
+    # per-line/per-shingle/per-window stage. doc_id 0 becomes ~130 KB
+    # (50-100x the fixture median): 2k distinct semi-repetitive lines
+    # (so the line and shingle grains genuinely materialize ~2k rows
+    # for this doc), words within the BPE alphabet gate, plus one very
+    # long single-token "word" (len 4000, over the 16-char gate -> must
+    # be dropped, not exploded) and a 10k-char single LINE (line-grain
+    # width hazard). Deterministic, no RNG.
+    #
+    # MEASURED HARNESS BOUNDARY (why not bigger): at ~1.2 MB for this
+    # one doc the SPARK side passed every probe (row-grain explodes are
+    # bounded by construction), but DuckDB's LIST-formulated minhash
+    # oracle — 128 list_transform passes over the per-row shingle
+    # list — materialized >128 GB and was OOM-killed even under SET
+    # memory_limit='24GB' (list intermediates bypass that accounting).
+    # The oracle twin is an sf0.01 judge, not the engine; the probe
+    # stays inside ITS budget while still stressing the engine's
+    # per-row grain. The 100 TB mega-doc claim rests on the Spark
+    # plan shape (explode -> row grain), which the 1.2 MB Spark-only
+    # run verified.
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    lines = [
+        f"line {i} alpha{i % 977} beta{(i * 7) % 971} gamma{(i * 13) % 983} common tail"
+        for i in range(2_000)
+    ]
+    mega = (
+        "\n".join(lines)
+        + "\n" + ("z" * 4_000)  # one over-gate mega token
+        + "\n" + ("wide word " * 1_000)  # one ~10k-char line
+    )
+    out = [mega if d == 0 else t for d, t in zip(ids, texts)]
+    return tbl.set_column(
+        tbl.column_names.index("text"), "text", pa.array(out, pa.string())
+    )
+
+
 def const_text_docs(tbl):
     # mass-dup tie storm: EVERY document carries the same multi-line
     # text — one mega shingle-bucket far over lsh.BUCKET_CAP, so the
@@ -887,6 +934,16 @@ PROBES = [
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
       "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training"]),
+    ("mega_doc", {"documents": mega_doc},
+     ["minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
+      "dedup_components", "prefix_filter_setsim_join",
+      "boilerplate_line_removal", "repeated_span_mining",
+      "doc_repetition_ratio", "doc_fingerprint", "chunk_documents",
+      "text_stats", "doc_quality_score", "token_profile",
+      "vocab_top_tokens", "tfidf_top_terms", "bm25_topk_search",
+      "inverted_index_postings", "curation_pipeline",
+      "pack_training_sequences", "bpe_merge_training",
+      "utf8_ingest_quarantine"]),
     ("far_future_ts", {"events": far_future_ts},
      ["ewma_user_value", "streaming_stateful_sessions",
       "streaming_rate_limit", "sessionization", "session_window_builtin",
