@@ -94,10 +94,22 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #         explicit-class find); never-driver-checked outranks
 #         rotation.
 #
-# Age accounting if this window lands 50/50: registry 184 -> 186,
-# r12:50, r11:47, r10:48, r9:39, r8:2 — max age 4 rounds for exactly
-# two documented defers (each twin-covered in-window); round 13's
-# natural window is the r9 tier + the two r8 defers.
+# Age accounting if this window lands 50/50: registry 184 -> 187
+# (incl. the round-12(b) registration below, which stays out of this
+# window), r12:50, r11:47, r10:48, r9:39, r8:2, never-checked:1 — max
+# age 4 rounds for exactly two documented defers (each twin-covered
+# in-window); round 13's natural window is bigram_lm_quality_filter +
+# the r9 tier + the two r8 defers.
+#
+# Registered AFTER this window was sized (round-12(b), the late-round
+# precedent of the round-8 PQ/audio registrations): bpe_merge_training
+# IS in the window above, but bigram_lm_quality_filter arrived once the
+# window was already at 50 with two documented defers — it leads the
+# ROUND-13 window instead. Its certification at this HEAD: full-hash
+# pytest-oracle green, textbook-reference-tested, 10 document sweep
+# batches green (the id_collision_docs probe found and closed its
+# identity-grain contract at registration), plan lint clean, anchors
+# + decade rows recorded.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the
 # rest follow in module order. Keep this list <= 50

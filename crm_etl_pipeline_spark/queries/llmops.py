@@ -2643,3 +2643,168 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+_BIGRAM_LM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, idx, w FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS idx, w
+        FROM (
+          -- positional unnest via range (DuckDB lacks WITH ORDINALITY)
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT)] AS w
+          FROM (
+            -- identity-grain loader: the per-doc token SEQUENCE depends
+            -- on doc identity, so a collided doc_id resolves ONE winner
+            -- (the _DOCS_ONE_SQL contract) — two interleaved streams
+            -- under one id would mint order-tie bigrams (sweep find)
+            SELECT doc_id,
+                   string_split_regex(text, '[{_WS_CLASS}]+') AS ws
+            FROM ({_DOCS_ONE_SQL}) WHERE text IS NOT NULL
+          ), unnest(range(1, len(ws) + 1)) t(i)
+        ) WHERE regexp_matches(w, '^[a-z0-9]{{1,16}}$') AND length(w) >= 2
+      )
+    ),
+    pairs AS (
+      SELECT doc_id, w AS w1,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+      FROM toks
+    ),
+    p2 AS (SELECT doc_id, w1, w2 FROM pairs WHERE w2 IS NOT NULL),
+    bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM p2 GROUP BY w1, w2),
+    uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM p2 GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz FROM toks),
+    scored AS (
+      SELECT p.doc_id,
+             -- add-one smoothed P(w2|w1), quantized to 1e6 fixed point
+             -- via INTEGER division (exact, order-independent; the 1e6
+             -- scale keeps (c12+1)*1e6 far inside int64 at any corpus)
+             ((bi.c12 + 1) * 1000000) // (uni.c1 + v.vsz) AS pq
+      FROM p2 p JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+                JOIN uni ON p.w1 = uni.w1
+                CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(pq) AS BIGINT) AS s_q
+      FROM scored GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT CAST(SUM(s_q) AS DOUBLE) / SUM(n_pairs) AS corpus_mean FROM per_doc
+    )
+    SELECT d.doc_id, d.n_pairs,
+           CAST(d.s_q AS DOUBLE) / d.n_pairs AS mean_prob_q,
+           (CAST(d.s_q AS DOUBLE) / d.n_pairs) < c.corpus_mean AS below_corpus_mean
+    FROM per_doc d CROSS JOIN corpus c
+"""
+
+
+@query(
+    "bigram_lm_quality_filter",
+    oracle=_BIGRAM_LM_ORACLE,
+    survey="§2.9 text quality (corpus-self-trained bigram LM scoring — the "
+    "CCNet/Dolma perplexity-filter stage, in exact fixed point)",
+)
+def bigram_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-based document quality scoring — the standard
+    LM-filter stage of published pretraining pipelines (CCNet, Wenzek
+    et al. LREC 2020; Dolma; RefinedWeb all score documents with an
+    n-gram LM and cut on the score): train a bigram LM on the corpus,
+    then score every document by the mean smoothed probability of its
+    adjacent token pairs under that LM. Low scores mark documents
+    whose word transitions are unusual for the corpus — gibberish,
+    boilerplate storms, wrong-language residue — complementing the
+    surface-statistics filter (doc_quality_score) with a DISTRIBUTION
+    signal. This self-scoring form (train and score on the same
+    corpus) is the same dataflow as CCNet's reference-corpus form;
+    only which table feeds the train side differs.
+
+    Determinism contract: log-perplexity is NOT cross-engine-stable
+    (neither engine's ln() is correctly rounded), so the score is the
+    arithmetic mean of add-one-smoothed conditional probabilities
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1)+|V|), each quantized to 1e6 fixed
+    point by INTEGER division — exact, summation-order-independent
+    BIGINT arithmetic end to end, with exactly one double division per
+    output value (IEEE-deterministic in both engines). The 1e6 scale
+    keeps (c12+1)*1e6 inside int64 for any corpus whose max bigram
+    count is < 9.2e12 — comfortably past 100 TB. Same pre-tokenizer as
+    bpe_merge_training (shared _WS_CLASS split + the ASCII-alnum
+    alphabet gate); bigrams are adjacent pairs of SURVIVING tokens
+    (positions re-numbered after the gate). Docs with fewer than two
+    surviving tokens have no pairs and no row — they carry no LM
+    evidence either way. IDENTITY-GRAIN under id collisions (the
+    id_collision_docs sweep caught the pass-through form minting
+    order-tie bigrams across two interleaved token streams sharing one
+    doc_id): the loader resolves the _one_per_doc winner, like
+    minhash/curation/packing — the per-doc token SEQUENCE is identity
+    state, unlike the sequence-free token statistics.
+
+    Scale shape: one corpus pass builds tokens; the bigram/unigram
+    models are map-side-combinable groupBys; scoring re-joins the pair
+    stream to the two model tables on their natural keys (shuffle
+    equi-joins — the model tables are corpus-vocabulary-sized, NOT
+    broadcastable at 100 TB, and never need to be); |V| and the corpus
+    mean attach via the non-foldable always-1 equi-key so the plan
+    stays BroadcastHashJoin. Everything downstream of the scan is
+    grouping and joining on string keys — no Python, no UDFs."""
+    docs = _one_per_doc(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), ("text",)
+    )
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "[" + _WS_CLASS + "]+")).alias(
+                "pos", "w"
+            ),
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]{1,16}$") & (F.length("w") >= 2))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("pos"))
+            .alias("idx"),
+            "w",
+        )
+    )
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(Window.partitionBy("doc_id").orderBy("idx")).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.agg(F.countDistinct("w").alias("vsz")).select(
+        "vsz", F.least(F.col("vsz") + F.lit(1), F.lit(1)).cast("int").alias("_k")
+    )
+    key1 = F.least(F.length("w1"), F.lit(1)).cast("int")
+    scored = (
+        _attach1(pairs.join(bi, ["w1", "w2"]).join(uni, "w1"), v, key1)
+        .select(
+            "doc_id",
+            F.expr("((c12 + 1) * 1000000L) div (c1 + vsz)").alias("pq"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("pq").cast("bigint").alias("s_q")
+    )
+    corpus = per_doc.agg(
+        (F.sum("s_q").cast("double") / F.sum("n_pairs")).alias("corpus_mean")
+    ).select(
+        "corpus_mean",
+        F.least(F.length(F.col("corpus_mean").cast("string")), F.lit(1))
+        .cast("int")
+        .alias("_k"),
+    )
+    mean_prob = F.col("s_q").cast("double") / F.col("n_pairs")
+    return _attach1(
+        per_doc, corpus, F.least(F.length(F.col("doc_id").cast("string")), F.lit(1)).cast("int")
+    ).select(
+        "doc_id",
+        "n_pairs",
+        mean_prob.alias("mean_prob_q"),
+        (mean_prob < F.col("corpus_mean")).alias("below_corpus_mean"),
+    )

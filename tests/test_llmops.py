@@ -944,3 +944,47 @@ def test_bpe_greedy_overlap_runs(spark, tmp_path):
     assert out[1] == (2, "aa", "aa", 2, 4)
     expected = _reference_bpe({"aaaa": 2, "aaa": 1, "zz": 1}, 3)
     assert out == expected
+
+
+def test_bigram_lm_matches_reference_scoring(spark):
+    """bigram_lm_quality_filter vs an independent pure-Python
+    implementation of the add-one-smoothed bigram scoring (same
+    pre-tokenizer, same 1e6 fixed-point integer division), including
+    the below-corpus-mean flag."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from crm_etl_pipeline_spark.queries.llmops import _WS_CLASS
+
+    tbl = pq.read_table(SF_DIR + "/documents.parquet").to_pydict()
+    doc_toks = []
+    for did, t in zip(tbl["doc_id"], tbl["text"]):
+        if t is None:
+            continue
+        ws = [
+            w
+            for w in re.split("[" + _WS_CLASS + "]+", t)
+            if re.fullmatch(r"[a-z0-9]{2,16}", w)
+        ]
+        doc_toks.append((did, ws))
+    bi, uni, vocab = Counter(), Counter(), set()
+    for _, ws in doc_toks:
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+            uni[a] += 1
+    V = len(vocab)
+    per_doc = {}
+    for did, ws in doc_toks:
+        pqs = [((bi[(a, b)] + 1) * 1_000_000) // (uni[a] + V) for a, b in zip(ws, ws[1:])]
+        if pqs:
+            n, s = per_doc.get(did, (0, 0))
+            per_doc[did] = (n + len(pqs), s + sum(pqs))
+    corpus_mean = sum(s for _, s in per_doc.values()) / sum(n for n, _ in per_doc.values())
+    expected = sorted(
+        (did, n, s / n, (s / n) < corpus_mean) for did, (n, s) in per_doc.items()
+    )
+    got = sorted(tuple(r) for r in _rows(spark, "bigram_lm_quality_filter"))
+    assert got == expected
