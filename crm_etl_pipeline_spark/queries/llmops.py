@@ -235,6 +235,18 @@ _STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
 _WS_CLASS = r" \t\n\x0B\f\r"  # character-class body, both engines
 _BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9" + _WS_CLASS + "]"
 
+# Shared word-token gate for the trainer family (bpe_merge_training /
+# bpe_encode / bigram_lm_quality_filter), one literal for BOTH engines.
+# Anchor with \z (end of TEXT in Java and RE2 alike), NOT $: Java's
+# non-MULTILINE $ also matches before a FINAL line terminator (\u0085,
+# \u2028, \u2029 — none of which are in _WS_CLASS, so they survive the
+# split), while RE2's $ is end-of-text only. With $, a token like
+# 'ab\u2028' passes the Spark gate and fails the oracle gate — the
+# trailing-terminator member of the whitespace_storm hazard class
+# (round-13 ADVICE close; both engines verified on \u0085 / \u2028 /
+# \u2029 suffixed tokens).
+_TOKEN_GATE_RE = r"^[a-z0-9]{1,16}\z"
+
 
 @query(
     "text_stats",
@@ -2434,7 +2446,7 @@ def _bpe_iteration_sql(k: int) -> str:
     )"""
 
 
-_BPE_ORACLE = f"""
+_BPE_ORACLE = rf"""
     WITH words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f FROM (
         -- the module's shared explicit whitespace class (_WS_CLASS):
@@ -2443,7 +2455,7 @@ _BPE_ORACLE = f"""
         -- differently
         SELECT unnest(string_split_regex(text, '[{_WS_CLASS}]+')) AS w
         FROM documents WHERE text IS NOT NULL
-      ) WHERE regexp_matches(w, '^[a-z0-9]{{1,16}}$') AND length(w) >= 2
+      ) WHERE regexp_matches(w, '{_TOKEN_GATE_RE}') AND length(w) >= 2
       GROUP BY w
     ),
     tok0 AS (
@@ -2536,7 +2548,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.col("text"), "[" + _WS_CLASS + "]+")
             ).alias("w")
         )
-        .filter(F.col("w").rlike("^[a-z0-9]{1,16}$") & (F.length("w") >= 2))
+        .filter(F.col("w").rlike(_TOKEN_GATE_RE) & (F.length("w") >= 2))
         .groupBy(F.col("w").alias("word"))
         .agg(F.count(F.lit(1)).alias("f"))
     )
@@ -2662,7 +2674,7 @@ _BIGRAM_LM_ORACLE = f"""
                    string_split_regex(text, '[{_WS_CLASS}]+') AS ws
             FROM ({_DOCS_ONE_SQL}) WHERE text IS NOT NULL
           ), unnest(range(1, len(ws) + 1)) t(i)
-        ) WHERE regexp_matches(w, '^[a-z0-9]{{1,16}}$') AND length(w) >= 2
+        ) WHERE regexp_matches(w, '{_TOKEN_GATE_RE}') AND length(w) >= 2
       )
     ),
     pairs AS (
@@ -2743,7 +2755,13 @@ def bigram_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     models are map-side-combinable groupBys; scoring re-joins the pair
     stream to the two model tables on their natural keys (shuffle
     equi-joins — the model tables are corpus-vocabulary-sized, NOT
-    broadcastable at 100 TB, and never need to be); |V| and the corpus
+    broadcastable at 100 TB, and never need to be). Those w1-keyed
+    joins meet a Zipf-skewed key at real corpus scale ("the" as w1 is
+    a constant fraction of ALL pairs): the session enables AQE
+    skew-join splitting, which re-plans the hot w1 partitions into
+    sub-splits at runtime (the skew_salted_join machinery stands by if
+    a decade run ever shows AQE insufficient; the sf10 decade ran
+    calib-clean without it). |V| and the corpus
     mean attach via the non-foldable always-1 equi-key so the plan
     stays BroadcastHashJoin. Everything downstream of the scan is
     grouping and joining on string keys — no Python, no UDFs."""
@@ -2758,7 +2776,7 @@ def bigram_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pos", "w"
             ),
         )
-        .filter(F.col("w").rlike("^[a-z0-9]{1,16}$") & (F.length("w") >= 2))
+        .filter(F.col("w").rlike(_TOKEN_GATE_RE) & (F.length("w") >= 2))
         .select(
             "doc_id",
             F.row_number()
@@ -2801,7 +2819,12 @@ def bigram_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_prob = F.col("s_q").cast("double") / F.col("n_pairs")
     return _attach1(
-        per_doc, corpus, F.least(F.length(F.col("doc_id").cast("string")), F.lit(1)).cast("int")
+        # NULL-SAFE always-1 probe key: n_pairs is a COUNT(*) over a
+        # group, provably >= 1 on every per_doc row even when doc_id is
+        # NULL — length(doc_id) would be NULL there and the equi-join
+        # would silently drop the group while the oracle's CROSS JOIN
+        # keeps it (round-13 ADVICE close)
+        per_doc, corpus, F.least(F.col("n_pairs"), F.lit(1)).cast("int")
     ).select(
         "doc_id",
         "n_pairs",

@@ -691,6 +691,14 @@ def whitespace_storm_docs(tbl):
         "multi   space\f\rrun gamma",
         "  framing   storm\t\t",
         "plain ascii control case",
+        # trailing-line-terminator class (round-13 ADVICE): \u0085 /
+        # \u2028 / \u2029 are NOT in _WS_CLASS, so they survive the
+        # split glued to a token; Java's non-MULTILINE $ would accept
+        # 'ab\u2028' at end-of-match while RE2's $ rejects it — the
+        # token gates must anchor \z (end of text) in both engines
+        "ab\u2028 mid line\u2028sep delta ok\u2028",
+        "nel\u0085 next\u0085line epsilon zz\u0085",
+        "para\u2029 sep\u2029kind zeta qq\u2029",
     ]
     txt = pa.array([frames[i % len(frames)] + f" tail{i}" for i in ids], pa.string())
     return tbl.set_column(tbl.column_names.index("text"), "text", txt)
