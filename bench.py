@@ -87,6 +87,11 @@ TIER2 = [
     # a real sort-merge over the salted exchange (isolated anchor
     # 0.70 s) — joins the other join-family members here
     "skew_salted_join",
+    # round-13 addition (BENCHNOTES named it the natural tier-2
+    # candidate at its round-12 registration): the bigram-LM quality
+    # filter — document-corpus family, one corpus pass + vocabulary
+    # model joins (isolated anchor 2.07 s)
+    "bigram_lm_quality_filter",
 ]
 
 # Tier 3 (new in round 8): the MAINTENANCE jobs — write-inclusive

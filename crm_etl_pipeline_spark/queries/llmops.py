@@ -2446,8 +2446,13 @@ def _bpe_iteration_sql(k: int) -> str:
     )"""
 
 
-_BPE_ORACLE = rf"""
-    WITH words AS (
+# The full training chain as a reusable CTE fragment: word-frequency
+# corpus pass + char split + _BPE_MERGES unrolled merge iterations.
+# tok3 (== tok{_BPE_MERGES}) is the final per-word symbol sequence —
+# i.e. the ENCODING of every distinct corpus word under the learned
+# merges — shared by the trainer's output query, bpe_encode and
+# pack_bpe_sequences.
+_BPE_TRAIN_CTES = rf"""words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f FROM (
         -- the module's shared explicit whitespace class (_WS_CLASS):
         -- Java's \s has \x0B, RE2's does not (whitespace_storm sweep
@@ -2464,7 +2469,11 @@ _BPE_ORACLE = rf"""
     ),
     {_bpe_iteration_sql(1)},
     {_bpe_iteration_sql(2)},
-    {_bpe_iteration_sql(3)}
+    {_bpe_iteration_sql(3)}"""
+
+
+_BPE_ORACLE = rf"""
+    WITH {_BPE_TRAIN_CTES}
     SELECT CAST(iter AS INT) AS iter, merge_a, merge_b, pair_count, n_syms FROM (
       SELECT 1 AS iter, a AS merge_a, b AS merge_b, cnt AS pair_count,
              (SELECT COUNT(DISTINCT sym) FROM tok1) AS n_syms FROM best1
@@ -2485,62 +2494,12 @@ def _attach1(df: DataFrame, scalar: DataFrame, probe_key) -> DataFrame:
     return df.withColumn("_k", probe_key).join(F.broadcast(scalar), "_k").drop("_k")
 
 
-@query(
-    "bpe_merge_training",
-    oracle=_BPE_ORACLE,
-    survey="§2.9 training prep (BPE vocabulary training: corpus word-frequency "
-    "pass + fixed unrolled merge iterations at vocab grain — Sennrich et al. "
-    "2016, the standard subword trainer shape)",
-)
-def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-pair-encoding vocabulary training over the document corpus:
-    the canonical subword-tokenizer trainer (Sennrich, Haddow & Birch,
-    "Neural Machine Translation of Rare Words with Subword Units", ACL
-    2016), done the way real trainers do it — ONE corpus pass builds
-    the word-frequency table, then every merge iteration runs at VOCAB
-    grain, never re-touching the corpus. The reference has no analog;
-    this extends the token family (token_profile, vocab_top_tokens,
-    pack_training_sequences) from consuming a fixed tokenizer to
-    TRAINING one.
-
-    Semantics, pinned identically in both engines:
-    - pre-tokenizer: whitespace split, lowercase-ASCII-alnum words of
-      length 2..16 (the alphabet gate sidesteps cross-engine unicode
-      case/segmentation divergence — the casefold sweep class — and
-      bounds per-word positions);
-    - pair statistics count OVERLAPPING adjacent pairs weighted by word
-      frequency (the classic get_stats), winner tiebreak
-      (count DESC, a, b);
-    - the merge applies greedily left-to-right without overlap,
-      expressed as pure window algebra (gaps-and-islands: consecutive
-      candidate positions form a run; odd run-offsets merge), so both
-      engines compute the SAME deterministic result — no list-fold
-      UDFs, no engine-specific replace() semantics;
-    - _BPE_MERGES is a fixed unrolled budget (the embedding_kmeans
-      fixed-iteration precedent) so the whole computation is one
-      oracle-able dataflow. Output: one row per iteration — the learned
-      merge rule, its weighted pair count, and the symbol-vocabulary
-      size after applying it.
-
-    Per-row symmetric (word counts aggregate over every document row),
-    so it is winner-free under the identity-collision contract, like
-    the other token statistics.
-
-    Scale shape: the corpus pass is the ONLY data-term stage — explode
-    + map-side-combined groupBy(word), scan-bandwidth-bound at 100 TB.
-    Everything after runs on the distinct-word table (Heaps' law:
-    ~1e6 rows for a web-scale corpus under this alphabet gate), where
-    each iteration is a handful of word-partitioned windows + a tiny
-    global argmax; ``reliable_checkpoint`` after tok0 and each merged
-    tok{k} keeps the unrolled DAG linear instead of exponential (the
-    dedup_components lineage-cut discipline) — each checkpoint is
-    vocab-sized, not corpus-sized. The two 1-row attaches (the learned
-    rule, the vocab-size scalar) ride the non-foldable equi-key idiom
-    so they stay BroadcastHashJoins."""
-    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
-
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer family's ONE corpus pass: explode + gate +
+    map-side-combined groupBy(word) -> (word, f). Spark twin of the
+    ``words`` CTE in _BPE_TRAIN_CTES."""
     docs = table(spark, sf_dir, "documents")
-    words = (
+    return (
         docs.filter(F.col("text").isNotNull())
         .select(
             F.explode(
@@ -2552,6 +2511,22 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").alias("word"))
         .agg(F.count(F.lit(1)).alias("f"))
     )
+
+
+def _bpe_train(words: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Run _BPE_MERGES unrolled merge iterations at vocab grain (Spark
+    twin of the tok0/tok1..tok3 CTE chain in _BPE_TRAIN_CTES; see the
+    bpe_merge_training docstring for the semantics and scale argument).
+
+    Returns ``(tok_final, outs)``: ``tok_final`` is the final symbol
+    table (word, f, pos, sym) — every distinct word's ENCODED subword
+    sequence under the learned merges — and ``outs`` holds one 1-row
+    frame per iteration (iter, merge_a, merge_b, pair_count, n_syms),
+    each already carrying its vocab-size attach. Both are
+    reliable_checkpoint-ed, so consumers fan out without re-running
+    the chain or exponentiating the lineage."""
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
     tok = (
         words.select(
             "word",
@@ -2651,10 +2626,289 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.length("merge_a"), F.lit(1)).cast("int"),
             )
         )
+    return tok, outs
+
+
+@query(
+    "bpe_merge_training",
+    oracle=_BPE_ORACLE,
+    survey="§2.9 training prep (BPE vocabulary training: corpus word-frequency "
+    "pass + fixed unrolled merge iterations at vocab grain — Sennrich et al. "
+    "2016, the standard subword trainer shape)",
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary training over the document corpus:
+    the canonical subword-tokenizer trainer (Sennrich, Haddow & Birch,
+    "Neural Machine Translation of Rare Words with Subword Units", ACL
+    2016), done the way real trainers do it — ONE corpus pass builds
+    the word-frequency table, then every merge iteration runs at VOCAB
+    grain, never re-touching the corpus. The reference has no analog;
+    this extends the token family (token_profile, vocab_top_tokens,
+    pack_training_sequences) from consuming a fixed tokenizer to
+    TRAINING one.
+
+    Semantics, pinned identically in both engines:
+    - pre-tokenizer: whitespace split, lowercase-ASCII-alnum words of
+      length 2..16 (the alphabet gate sidesteps cross-engine unicode
+      case/segmentation divergence — the casefold sweep class — and
+      bounds per-word positions);
+    - pair statistics count OVERLAPPING adjacent pairs weighted by word
+      frequency (the classic get_stats), winner tiebreak
+      (count DESC, a, b);
+    - the merge applies greedily left-to-right without overlap,
+      expressed as pure window algebra (gaps-and-islands: consecutive
+      candidate positions form a run; odd run-offsets merge), so both
+      engines compute the SAME deterministic result — no list-fold
+      UDFs, no engine-specific replace() semantics;
+    - _BPE_MERGES is a fixed unrolled budget (the embedding_kmeans
+      fixed-iteration precedent) so the whole computation is one
+      oracle-able dataflow. Output: one row per iteration — the learned
+      merge rule, its weighted pair count, and the symbol-vocabulary
+      size after applying it.
+
+    Per-row symmetric (word counts aggregate over every document row),
+    so it is winner-free under the identity-collision contract, like
+    the other token statistics.
+
+    Scale shape: the corpus pass is the ONLY data-term stage — explode
+    + map-side-combined groupBy(word), scan-bandwidth-bound at 100 TB.
+    Everything after runs on the distinct-word table (Heaps' law:
+    ~1e6 rows for a web-scale corpus under this alphabet gate), where
+    each iteration is a handful of word-partitioned windows + a tiny
+    global argmax; ``reliable_checkpoint`` after tok0 and each merged
+    tok{k} keeps the unrolled DAG linear instead of exponential (the
+    dedup_components lineage-cut discipline) — each checkpoint is
+    vocab-sized, not corpus-sized. The two 1-row attaches (the learned
+    rule, the vocab-size scalar) ride the non-foldable equi-key idiom
+    so they stay BroadcastHashJoins. The chain itself lives in
+    ``_bpe_words`` / ``_bpe_train``, shared with bpe_encode and
+    pack_bpe_sequences (which consume the final symbol table this
+    query's output only summarizes)."""
+    _, outs = _bpe_train(_bpe_words(spark, sf_dir))
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# Per-distinct-word encoding summary under the learned merges: tok3 IS
+# the encoded symbol sequence of every corpus word, so the "apply the
+# tokenizer" step is one vocab-grain aggregate — never a corpus re-scan
+_BPE_WENC_SQL = """wenc AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS n_syms,
+             CAST(SUM(CASE WHEN length(sym) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_merged
+      FROM tok3 GROUP BY word
+    )"""
+
+
+_BPE_ENCODE_ORACLE = rf"""
+    WITH {_BPE_TRAIN_CTES},
+    {_BPE_WENC_SQL},
+    doc_tok AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '[{_WS_CLASS}]+')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE regexp_matches(w, '{_TOKEN_GATE_RE}') AND length(w) >= 2
+      GROUP BY doc_id, w
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(d.cnt * length(d.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(d.cnt * e.n_syms) AS BIGINT) AS n_subwords,
+           CAST(SUM(d.cnt * e.n_merged) AS BIGINT) AS n_merged_syms
+    FROM doc_tok d JOIN wenc e ON d.w = e.word
+    GROUP BY d.doc_id
+"""
+
+
+def _bpe_wenc(tok_final: DataFrame) -> DataFrame:
+    """Spark twin of _BPE_WENC_SQL: (word, n_syms, n_merged) — each
+    distinct word's subword count and applied-merge count under the
+    learned merges."""
+    return tok_final.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_syms"),
+        F.sum((F.length("sym") > 1).cast("bigint")).alias("n_merged"),
+    )
+
+
+@query(
+    "bpe_encode",
+    oracle=_BPE_ENCODE_ORACLE,
+    survey="§2.9 training prep (apply the trained BPE vocabulary to the "
+    "corpus: per-document subword token statistics via the vocab-grain "
+    "encoding table — the train->encode half of the tokenizer loop)",
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE vocabulary to the corpus — the encode step
+    every real tokenizer pipeline runs after training (Sennrich et al.
+    2016 §3: learned merges are replayed on new text). Closes the loop
+    bpe_merge_training opened: that query LEARNS the merge rules; this
+    one ENCODES every document with them and reports per-document
+    subword statistics (token count before/after, characters, merges
+    applied) — the numbers a pretraining pipeline needs to budget
+    sequence packing under the trained tokenizer.
+
+    The scale-right encode NEVER re-tokenizes text per document:
+    ``_bpe_train``'s final symbol table already holds each distinct
+    word's encoded sequence (training and encoding are the same
+    replay), so applying the tokenizer is (a) one vocab-grain aggregate
+    of that table -> (word, n_syms, n_merged), then (b) a join from the
+    per-doc word-count grain — (doc_id, word, cnt), itself map-side
+    combinable from the corpus scan — to that vocabulary table. Every
+    gated corpus word is in the vocabulary by construction (both sides
+    derive from the same scan + gate), so the inner join loses nothing.
+
+    Per-row symmetric like the trainer (counts sum over every document
+    row; no sequence state), so winner-free under the
+    identity-collision contract — a collided doc_id's counts merge
+    identically in both engines. Docs whose text has no gated word
+    carry nothing to encode and emit no row (the bigram no-pairs
+    precedent).
+
+    Scale shape: the corpus pass is the only data-term stage (the same
+    explode + combine as the trainer); the vocabulary join keys on
+    word — vocabulary-sized (Heaps ~1e6 rows), left to AQE to
+    broadcast when it fits and shuffle when it does not; per-doc
+    aggregation is map-side combinable on doc_id. Exact BIGINT
+    arithmetic end to end — no doubles anywhere."""
+    tok_final, _ = _bpe_train(_bpe_words(spark, sf_dir))
+    wenc = _bpe_wenc(tok_final)
+    doc_tok = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "[" + _WS_CLASS + "]+")).alias("w"),
+        )
+        .filter(F.col("w").rlike(_TOKEN_GATE_RE) & (F.length("w") >= 2))
+        .groupBy("doc_id", F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        doc_tok.join(wenc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("n_subwords"),
+            F.sum(F.col("cnt") * F.col("n_merged"))
+            .cast("bigint")
+            .alias("n_merged_syms"),
+        )
+    )
+
+
+_PACK_BPE_ORACLE = rf"""
+    WITH {_BPE_TRAIN_CTES},
+    {_BPE_WENC_SQL},
+    doc_tok AS (
+      -- identity winner (the pack_training_sequences contract): the
+      -- (h, doc_id) lay-down order TIES on a collided id, so the
+      -- per-doc token multiset must come from ONE deterministic
+      -- content — unlike bpe_encode's symmetric counts
+      SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(text, '[{_WS_CLASS}]+')) AS w
+        FROM ({_DOCS_ONE_LANG_SQL}) WHERE text IS NOT NULL
+      ) WHERE regexp_matches(w, '{_TOKEN_GATE_RE}') AND length(w) >= 2
+      GROUP BY doc_id, lang, w
+    ),
+    sized AS (
+      SELECT d.doc_id, d.lang,
+             CAST(SUM(d.cnt * e.n_syms) AS BIGINT) AS n_tokens,
+             md5(CAST(d.doc_id AS VARCHAR)) AS h
+      FROM doc_tok d JOIN wenc e ON d.w = e.word
+      GROUP BY d.doc_id, d.lang
+    ),
+    laid AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM sized
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+           CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+           cum - n_tokens - ((cum - n_tokens) // 2048) * 2048 AS start_offset
+    FROM laid
+"""
+
+
+@query(
+    "pack_bpe_sequences",
+    oracle=_PACK_BPE_ORACLE,
+    survey="§2.9 training prep (concat-and-chunk packing under the TRAINED "
+    "BPE tokenizer's subword counts — the encode->pack half of the loop)",
+)
+def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the TRAINED tokenizer — the stage a real
+    pretraining pipeline runs between tokenizer training and batch
+    prep, and the piece pack_training_sequences approximates with
+    whitespace counts. Same packing semantics as that query (per-lang
+    deterministic (h, doc_id) lay-down, 2048-token cuts, integer math
+    only); the only change is WHAT a document's length is: the subword
+    count under the learned BPE merges (bpe_encode's n_subwords), not
+    the raw whitespace token count. Together bpe_merge_training ->
+    bpe_encode -> pack_bpe_sequences is the full train->encode->pack
+    tokenizer loop.
+
+    Identity-grain (the round-10 collision contract, inherited from
+    pack_training_sequences): lay-down order ties on a collided id, so
+    the per-doc token multiset comes from the _one_per_doc winner.
+    Training still reads the FULL corpus (winner-free, like all
+    vocabulary statistics): winner-corpus words are a subset of
+    full-corpus words under the same gate, so the vocabulary join
+    stays lossless. Docs with no gated tokens pack nothing and emit no
+    row (they would occupy zero positions in the stream anyway) —
+    documented divergence from the whitespace packer, whose split('')
+    floor gives every doc >= 1 token.
+
+    Scale shape: corpus pass + vocab-grain join as bpe_encode, then
+    the packing window is partition-parallel per lang shard (the
+    stratified running sum pack_training_sequences argues); `div` is
+    exact integer division — floor(double) would drift at large
+    cumulative counts."""
+    tok_final, _ = _bpe_train(_bpe_words(spark, sf_dir))
+    wenc = _bpe_wenc(tok_final)
+    doc_tok = (
+        _one_per_doc(
+            table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+            ("text", "lang"),
+        )
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), "[" + _WS_CLASS + "]+")).alias("w"),
+        )
+        .filter(F.col("w").rlike(_TOKEN_GATE_RE) & (F.length("w") >= 2))
+        .groupBy("doc_id", "lang", F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sized = (
+        doc_tok.join(wenc, "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("n_tokens"))
+        .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    laid = sized.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "start", F.col("cum") - F.col("n_tokens")
+    )
+    return laid.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("start div 2048").alias("start_seq"),
+        F.expr("(cum - 1) div 2048").alias("end_seq"),
+        F.expr("start - (start div 2048) * 2048").alias("start_offset"),
+    )
 
 
 _BIGRAM_LM_ORACLE = f"""

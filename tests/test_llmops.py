@@ -988,3 +988,137 @@ def test_bigram_lm_matches_reference_scoring(spark):
     )
     got = sorted(tuple(r) for r in _rows(spark, "bigram_lm_quality_filter"))
     assert got == expected
+
+
+def _reference_bpe_encode(word, merges):
+    """Replay learned merges in order on one word — the published
+    encode step (Sennrich et al. 2016 §3), greedy left-to-right per
+    merge rule, same as _reference_bpe's merge_vocab pass."""
+    syms = list(word)
+    for _, a, b, _, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_textbook_reference(spark):
+    """bpe_encode vs an independent pure-Python train-then-encode:
+    train merges with _reference_bpe on the full-corpus word
+    frequencies, replay them per word, aggregate per doc."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from crm_etl_pipeline_spark.queries.llmops import _WS_CLASS
+
+    tbl = pq.read_table(SF_DIR + "/documents.parquet").to_pydict()
+    wf = Counter()
+    doc_toks = {}
+    for did, t in zip(tbl["doc_id"], tbl["text"]):
+        if t is None:
+            continue
+        ws = [
+            w
+            for w in re.split("[" + _WS_CLASS + "]+", t)
+            if re.fullmatch(r"[a-z0-9]{2,16}", w)
+        ]
+        wf.update(ws)
+        if ws:
+            doc_toks.setdefault(did, []).extend(ws)
+    merges = _reference_bpe(wf, 3)
+    enc = {w: _reference_bpe_encode(w, merges) for w in wf}
+    expected = sorted(
+        (
+            did,
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(len(enc[w]) for w in ws),
+            sum(sum(1 for s in enc[w] if len(s) > 1) for w in ws),
+        )
+        for did, ws in doc_toks.items()
+    )
+    got = sorted(tuple(r) for r in _rows(spark, "bpe_encode"))
+    assert got == expected
+    # the encode must COMPRESS: merges strictly reduce symbol counts
+    # wherever they apply, and the corpus has applied merges
+    assert sum(r.n_subwords for r in _rows(spark, "bpe_encode")) < sum(
+        r.n_chars for r in _rows(spark, "bpe_encode")
+    )
+
+
+def test_bpe_encode_tiny_corpus_by_hand(spark, tmp_path):
+    """Hand-checkable corpus. Word freqs: aaaa x3, aaa x1, zz x3.
+    Learned merges: (a,a) cnt 3*3+2*1=11, then (aa,aa) cnt 3 (beats
+    the (z,z) tie on the a,b tiebreak), then (z,z) cnt 3 (beats
+    (aa,a) cnt 1). Encodings: aaaa->[aaaa], aaa->[aa,a], zz->[zz]."""
+    rows = [(1, "en", "aaaa aaaa aaa zz"), (2, "en", "aaaa zz zz")]
+    d = str(tmp_path / "bpe_enc")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in REGISTRY["bpe_encode"].fn(spark, d).collect()}
+    # doc1 = aaaa aaaa aaa zz: subwords 1+1+2+1, merged syms 1+1+1+1
+    assert tuple(out[1]) == (1, 4, 13, 5, 4)
+    # doc2 = aaaa zz zz: subwords 1+1+1, merged syms 1+1+1
+    assert tuple(out[2]) == (2, 3, 8, 3, 3)
+    # cross-check the hand math against the pure-Python reference
+    wf = {"aaaa": 3, "aaa": 1, "zz": 3}
+    merges = _reference_bpe(wf, 3)
+    assert [(a, b) for _, a, b, _, _ in merges] == [("a", "a"), ("aa", "aa"), ("z", "z")]
+    assert _reference_bpe_encode("aaa", merges) == ["aa", "a"]
+
+
+def test_pack_bpe_matches_reference_layout(spark):
+    """pack_bpe_sequences vs a pure-Python recompute: per-doc subword
+    sizes from the reference encode, md5 lay-down order per lang, 2048
+    cuts — the full train->encode->pack loop independently."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from crm_etl_pipeline_spark.queries.llmops import _WS_CLASS
+
+    tbl = pq.read_table(SF_DIR + "/documents.parquet").to_pydict()
+    wf = Counter()
+    docs = []
+    for did, lang, t in zip(tbl["doc_id"], tbl["lang"], tbl["text"]):
+        if t is None:
+            continue
+        ws = [
+            w
+            for w in re.split("[" + _WS_CLASS + "]+", t)
+            if re.fullmatch(r"[a-z0-9]{2,16}", w)
+        ]
+        wf.update(ws)
+        if ws:
+            docs.append((did, lang, ws))
+    merges = _reference_bpe(wf, 3)
+    enc = {w: _reference_bpe_encode(w, merges) for w in wf}
+    sized = [
+        (did, lang, sum(len(enc[w]) for w in ws),
+         hashlib.md5(str(did).encode()).hexdigest())
+        for did, lang, ws in docs
+    ]
+    expected = []
+    for lang in sorted({lg for _, lg, _, _ in sized}):
+        cum = 0
+        for did, lg, n, _h in sorted(
+            (s for s in sized if s[1] == lang), key=lambda s: (s[3], s[0])
+        ):
+            start = cum
+            cum += n
+            expected.append(
+                (did, lg, n, start // 2048, (cum - 1) // 2048, start % 2048)
+            )
+    got = sorted(tuple(r) for r in _rows(spark, "pack_bpe_sequences"))
+    assert got == sorted(expected)
