@@ -48,27 +48,28 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #         _bpe_words/_bpe_train helpers (oracle text changed too:
 #         shared _BPE_TRAIN_CTES fragment) — pytest-oracle-green and
 #         11-batch sweep-certified at the new HEAD;
-#       - bpe_encode, pack_bpe_sequences: NEW (the round-12 verdict's
-#         growth slot #5, closing the tokenizer train->encode->pack
-#         loop); textbook-reference-tested against an independent
-#         pure-Python train+encode+pack, 11 document sweep batches,
-#         full DuckDB oracles sharing the trainer's CTE chain.
+#       - bpe_encode, pack_bpe_sequences, bpe_subword_vocab: NEW (the
+#         round-12 verdict's growth slot #5, closing the tokenizer
+#         train->encode->pack loop, plus the trained-vocabulary
+#         artifact); textbook-reference-tested against an independent
+#         pure-Python train+encode+pack, 11 document sweep batches
+#         each, full DuckDB oracles sharing the trainer's CTE chain.
 #   (b) the 39 r9 rows — 4 driver-rounds stale after this round if
 #       skipped (the repo's own ceiling); verdict task 2.
 #   (c) the two r8 defers, age 4 THIS round, promised by name at
 #       their round-12 defer notes: topk_per_group,
 #       percent_rank_acctbal (verdict task 2).
-#   (d) 5 pre-rotated r10 rows (window headroom 45 -> 50): next
+#   (d) 4 pre-rotated r10 rows (window headroom 46 -> 50): next
 #       round's natural window is the r10 tier, which at 48 rows plus
 #       changed-code slots would not fit 50; pre-rotating
-#       ann_cosine_topk, embedding_kmeans, multimodal_real_decode,
-#       sessionization and utf8_ingest_quarantine now (one anchor per
-#       major family) leaves 43 + headroom for round 14.
+#       ann_cosine_topk, embedding_kmeans, multimodal_real_decode and
+#       sessionization now (one anchor per major family) leaves 44 +
+#       headroom for round 14.
 #
-# Age accounting if this window lands 50/50: registry 187 -> 189,
-# r13:50, r12:46, r11:47, r10:43, r9:0 tier cleared, r8:0 — max age 3
+# Age accounting if this window lands 50/50: registry 187 -> 190,
+# r13:50, r12:46, r11:47, r10:44, r9:0 tier cleared, r8:0 — max age 3
 # rounds, no query past the ceiling, every registered query
-# driver-checked at least once. Round 14's natural window is the 43
+# driver-checked at least once. Round 14's natural window is the 44
 # remaining r10 rows + changed-code slots.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the
@@ -80,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_merge_training",
     "bpe_encode",
     "pack_bpe_sequences",
+    "bpe_subword_vocab",
     # --- (b) the 39 r9 rows, age 4 after this round if skipped ---
     "approx_distinct_selfcheck",
     "attribution_last_touch",
@@ -128,5 +130,4 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_kmeans",
     "multimodal_real_decode",
     "sessionization",
-    "utf8_ingest_quarantine",
 ]

@@ -2800,6 +2800,54 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_VOCAB_ORACLE = rf"""
+    WITH {_BPE_TRAIN_CTES}
+    SELECT sym AS subword,
+           CAST(SUM(f) AS BIGINT) AS corpus_freq,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+           length(sym) > 1 AS is_merged
+    FROM tok3 GROUP BY sym
+"""
+
+
+@query(
+    "bpe_subword_vocab",
+    oracle=_BPE_VOCAB_ORACLE,
+    survey="§2.9 training prep (the trained subword vocabulary artifact: "
+    "per-subword corpus frequency + containing-word count under the "
+    "learned merges — what a tokenizer persists)",
+)
+def bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained subword VOCABULARY with corpus statistics — the
+    artifact a tokenizer pipeline actually persists (every shipped
+    tokenizer.json is exactly this: the symbol inventory the merges
+    produce, with the frequencies used for ranking/truncation). One
+    row per distinct post-merge symbol: its corpus occurrence count
+    (word frequency x positions), how many distinct words contain it,
+    and whether it is a merged (multi-char) unit. Completes the
+    tokenizer family's artifact surface: bpe_merge_training emits the
+    merge RULES, this emits the resulting VOCABULARY, bpe_encode /
+    pack_bpe_sequences consume it against the corpus.
+
+    Per-row symmetric (pure vocabulary statistics), winner-free under
+    identity collisions like the trainer.
+
+    Scale shape: the whole query runs at VOCAB grain after the
+    trainer's one corpus pass — the groupBy(sym) input is the final
+    symbol table (positions-per-word rows over ~1e6 distinct words at
+    web scale), map-side combinable; output is the vocabulary itself.
+    Nothing here touches corpus bytes a second time."""
+    tok_final, _ = _bpe_train(_bpe_words(spark, sf_dir))
+    return (
+        tok_final.groupBy(F.col("sym").alias("subword"))
+        .agg(
+            F.sum("f").cast("bigint").alias("corpus_freq"),
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+        )
+        .withColumn("is_merged", F.length("subword") > 1)
+    )
+
+
 _PACK_BPE_ORACLE = rf"""
     WITH {_BPE_TRAIN_CTES},
     {_BPE_WENC_SQL},

@@ -1122,3 +1122,37 @@ def test_pack_bpe_matches_reference_layout(spark):
             )
     got = sorted(tuple(r) for r in _rows(spark, "pack_bpe_sequences"))
     assert got == sorted(expected)
+
+
+def test_bpe_subword_vocab_matches_reference(spark):
+    """bpe_subword_vocab vs the pure-Python train+encode: per-subword
+    corpus frequency (word freq x positions) and containing-word
+    count over the encoded vocabulary."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from crm_etl_pipeline_spark.queries.llmops import _WS_CLASS
+
+    texts = pq.read_table(SF_DIR + "/documents.parquet").to_pydict()["text"]
+    wf = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.split("[" + _WS_CLASS + "]+", t):
+            if re.fullmatch(r"[a-z0-9]{2,16}", w):
+                wf[w] += 1
+    merges = _reference_bpe(wf, 3)
+    freq, nwords = Counter(), Counter()
+    for w, f in wf.items():
+        enc = _reference_bpe_encode(w, merges)
+        for s in enc:
+            freq[s] += f
+        for s in set(enc):
+            nwords[s] += 1
+    expected = sorted((s, freq[s], nwords[s], len(s) > 1) for s in freq)
+    got = sorted(tuple(r) for r in _rows(spark, "bpe_subword_vocab"))
+    assert got == expected
+    # the merged units learned by the trainer appear in the vocabulary
+    assert any(m for *_rest, m in got)
