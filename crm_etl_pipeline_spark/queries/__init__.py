@@ -48,6 +48,12 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #         _bpe_words/_bpe_train helpers (oracle text changed too:
 #         shared _BPE_TRAIN_CTES fragment) — pytest-oracle-green and
 #         11-batch sweep-certified at the new HEAD;
+#       - streaming_incremental_dedup: NEW — the streaming x dedup
+#         crossover (ingest-time first-arrival exact dedup:
+#         readStream -> per-batch hash collapse -> null-safe store
+#         anti-join -> append), 12 document sweep batches, invariant
+#         test proving the first-arrival winner differs from the
+#         batch recompute's min-id rule on this fixture;
 #       - bpe_encode, pack_bpe_sequences, bpe_subword_vocab: NEW (the
 #         round-12 verdict's growth slot #5, closing the tokenizer
 #         train->encode->pack loop, plus the trained-vocabulary
@@ -59,17 +65,17 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #   (c) the two r8 defers, age 4 THIS round, promised by name at
 #       their round-12 defer notes: topk_per_group,
 #       percent_rank_acctbal (verdict task 2).
-#   (d) 4 pre-rotated r10 rows (window headroom 46 -> 50): next
+#   (d) 3 pre-rotated r10 rows (window headroom 47 -> 50): next
 #       round's natural window is the r10 tier, which at 48 rows plus
 #       changed-code slots would not fit 50; pre-rotating
-#       ann_cosine_topk, embedding_kmeans, multimodal_real_decode and
-#       sessionization now (one anchor per major family) leaves 44 +
-#       headroom for round 14.
+#       ann_cosine_topk, embedding_kmeans and multimodal_real_decode
+#       now (one anchor per major family) leaves 45 + headroom for
+#       round 14.
 #
-# Age accounting if this window lands 50/50: registry 187 -> 190,
-# r13:50, r12:46, r11:47, r10:44, r9:0 tier cleared, r8:0 — max age 3
+# Age accounting if this window lands 50/50: registry 187 -> 191,
+# r13:50, r12:46, r11:47, r10:45, r9:0 tier cleared, r8:0 — max age 3
 # rounds, no query past the ceiling, every registered query
-# driver-checked at least once. Round 14's natural window is the 44
+# driver-checked at least once. Round 14's natural window is the 45
 # remaining r10 rows + changed-code slots.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the
@@ -82,6 +88,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_encode",
     "pack_bpe_sequences",
     "bpe_subword_vocab",
+    "streaming_incremental_dedup",
     # --- (b) the 39 r9 rows, age 4 after this round if skipped ---
     "approx_distinct_selfcheck",
     "attribution_last_touch",
@@ -129,5 +136,4 @@ DRIVER_PRIORITY: list[str] = [
     "ann_cosine_topk",
     "embedding_kmeans",
     "multimodal_real_decode",
-    "sessionization",
 ]

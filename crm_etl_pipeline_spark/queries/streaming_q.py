@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from crm_etl_pipeline_spark import scd, streaming, tmpdirs
 from crm_etl_pipeline_spark.queries.gateway_q import _ADMISSION_SQL
 from crm_etl_pipeline_spark.queries.layout_q import ZCURVE_ORACLE_SQL
+from crm_etl_pipeline_spark.queries.llmops import _EXACT_CORPUS_SQL, _WS_CLASS
 from crm_etl_pipeline_spark.queries.scd_q import _STORE_SQL
 from crm_etl_pipeline_spark.registry import query
 
@@ -466,3 +467,55 @@ def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     collided custkey cannot fan a micro-batch out."""
     out = streaming.stream_static_enrichment(spark, sf_dir, _workdir("dimjoin", sf_dir))
     return spark.read.parquet(out).select("event_id", "user_id", "event_type", "segment")
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    hashed AS (
+      SELECT doc_id,
+             sha256(lower(trim(regexp_replace(text, '[{_WS_CLASS}]+', ' ', 'g')))) AS content_hash,
+             CAST((COALESCE(ABS(doc_id), 0) // 7) % 4 AS INT) AS arrival_chunk
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT content_hash, doc_id, arrival_chunk,
+             ROW_NUMBER() OVER (PARTITION BY content_hash
+                                ORDER BY arrival_chunk, doc_id) AS rn
+      FROM hashed
+    )
+    SELECT content_hash, doc_id AS keep_doc_id, arrival_chunk
+    FROM ranked WHERE rn = 1
+    """,
+    survey="S7/ST1/ST6 x §2.9 exact dedup (ingest-time first-arrival dedup: "
+    "readStream -> per-batch hash collapse -> store anti-join -> append)",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup over a live document stream — the
+    streaming crossover of the §2.9 dedup family (exact_dedup_documents
+    is the batch recompute, dedup_incremental_new_docs the snapshot-
+    delta form; this is the FRONT-of-funnel gate that decides as bytes
+    arrive). Four genuine micro-batches drain the exact-dedup corpus
+    (fixture + fabricated clones, scattered across chunks so the
+    cross-batch store anti-join genuinely fires — see
+    streaming.dedup_arrival_chunk); each batch collapses to one winner
+    per content hash and only hashes the store has never accepted get
+    appended. FIRST-ARRIVAL-WINS: the converged store equals the batch
+    window the oracle runs (partition by hash, order by arrival chunk
+    then doc_id) — an ingest gate's survivor is the earliest arrival,
+    NOT the global min doc_id a batch recompute would pick. The NULL
+    text hash rides a null-safe anti-join (one NULL-hash winner
+    globally, not one per batch). Per-batch cost is O(batch) + one
+    uniform-key anti-join against the accepted store; store size is
+    the distinct corpus, never the arrival volume."""
+    wd = _workdir("incdedup", sf_dir)
+    shutil.rmtree(wd, ignore_errors=True)
+    store = streaming.incremental_dedup_stream(spark, sf_dir, wd)
+    if store is None:
+        return spark.createDataFrame(
+            [], "content_hash string, keep_doc_id long, arrival_chunk int"
+        )
+    return spark.read.parquet(store).select(
+        "content_hash", "keep_doc_id", "arrival_chunk"
+    )

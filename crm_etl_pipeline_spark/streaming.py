@@ -36,7 +36,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crm_etl_pipeline_spark import scd
@@ -920,7 +920,9 @@ def _curve_columns(ev: DataFrame, anchor: DataFrame) -> DataFrame:
     )
 
 
-def pmod_chunk_relay(df: DataFrame, dest_dir: str, n: int = 4) -> None:
+def pmod_chunk_relay(
+    df: DataFrame, dest_dir: str, n: int = 4, key: Column | None = None
+) -> None:
     """Re-lay a fixture frame as ``n`` single-file parquet chunks so a
     file-source readStream with ``maxFilesPerTrigger=1`` drains it as
     ``n`` genuine micro-batches, in deterministic order (monotone
@@ -931,10 +933,18 @@ def pmod_chunk_relay(df: DataFrame, dest_dir: str, n: int = 4) -> None:
     ``%`` — a NULL/negative event_id under ``%`` matches NO chunk and
     the row silently never arrives while the shared oracle still emits
     it (round-10 advisor find). pmod lands negatives in [0, n); NULL
-    ids shard to chunk 0. The frame is cached for the n filter passes
-    (one real scan, n-1 cache reads) and unpersisted before return."""
+    ids shard to chunk 0. ``key`` overrides the sharding expression for
+    non-event frames (round 13: incremental_dedup_stream shards
+    documents on a clone-scattering key; callers owning an oracle must
+    mirror their key there) — it must already be NULL-safe and
+    nonnegative. The frame is cached for the n filter passes (one real
+    scan, n-1 cache reads) and unpersisted before return."""
     os.makedirs(dest_dir, exist_ok=True)
-    chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(n))
+    chunk = (
+        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(n))
+        if key is None
+        else F.pmod(key, F.lit(n))
+    )
     df = df.cache()
     try:
         with tempfile.TemporaryDirectory() as tmp:
@@ -1064,6 +1074,129 @@ def zorder_ingest_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str 
     delta = spark.read.parquet(delta_log)
     layout.compact_zordered_increment(spark, store, delta, "zval", "seg")
     return store
+
+
+#: chunk count for the document ingest-dedup harness
+DEDUP_CHUNKS = 4
+
+
+def dedup_arrival_chunk() -> Column:
+    """Arrival-chunk assignment for the document ingest-dedup harness:
+    ``pmod(coalesce(abs(doc_id), 0) div 7, 4)``. Deliberately NOT the
+    raw pmod(doc_id, n) contract: the exact-dedup fixture fabricates
+    clones at doc_id + DUP_OFFSET (100000, ≡ 0 mod 4), which raw pmod
+    would land in the SAME chunk as their originals — the cross-batch
+    store anti-join would never fire on any fixture. The div-7 fold
+    scatters clone/original pairs across chunks (100000 div 7 varies
+    with doc_id mod 7), so first-arrival-wins is genuinely exercised
+    across micro-batch boundaries. abs+coalesce keeps the expression
+    NULL-safe and nonnegative, which makes the oracle's ``// 7 ... % 4``
+    read identically (floor and truncating integer division coincide on
+    nonnegative operands — the pmod-vs-% hazard class)."""
+    return F.pmod(
+        F.expr("coalesce(abs(doc_id), 0) div 7"), F.lit(DEDUP_CHUNKS)
+    ).cast("int")
+
+
+def incremental_dedup_stream(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> str | None:
+    """Ingest-time exact dedup — the streaming form of the corpus
+    dedup stage every pretraining pipeline runs at the FRONT of the
+    funnel (dedup_incremental_new_docs is its batch snapshot-delta
+    twin; this closes the same semantics over a live arrival stream):
+    documents arrive in micro-batches; each batch is deduplicated
+    against itself AND against everything already accepted, and only
+    first arrivals enter the store. FIRST-ARRIVAL-WINS is the real
+    ingest-dedup contract (a batch recompute prefers min doc_id; an
+    ingest gate cannot — it must decide as bytes arrive).
+
+    Mechanics, mirroring the zorder_ingest harness: the exact-dedup
+    corpus (fixture + fabricated clones) is re-laid as 4 arrival files
+    with monotone mtimes (``dedup_arrival_chunk`` scatters
+    clone/original pairs across chunks — see its docstring), drained by
+    a real file-source readStream with maxFilesPerTrigger=1.
+    ``foreachBatch``: (1) normalize + sha256 the batch (the
+    exact_dedup_documents normalization, verbatim); (2) collapse the
+    batch to one winner per content hash (min doc_id — within one
+    chunk, arrival order has no sub-batch grain); (3) LEFT ANTI join
+    against the store's accepted hashes; (4) append the survivors.
+    Returns the store path (None for an empty corpus).
+
+    Scale shape: per micro-batch cost is O(batch) for the hash +
+    map-side-combined batch collapse, plus one hash-keyed anti-join
+    against the accepted-hash store — the standard foreachBatch merge
+    pattern (streaming_scd2_state's shape; a production store would
+    back it with a MERGE-capable table format, same dataflow). The
+    64-hex hash key is uniform by construction — no skew; store size
+    is the DISTINCT corpus (the thing dedup exists to bound), never
+    the arrival volume."""
+    from crm_etl_pipeline_spark.queries.llmops import (
+        _WS_CLASS,
+        _casefold,
+        _exact_corpus,
+    )
+
+    corpus = _exact_corpus(spark, sf_dir)
+    if corpus.isEmpty():
+        return None
+
+    arrivals = os.path.join(workdir, "arrivals")
+    pmod_chunk_relay(
+        corpus.select("doc_id", "text"),
+        arrivals,
+        n=DEDUP_CHUNKS,
+        key=F.expr("coalesce(abs(doc_id), 0) div 7"),
+    )
+
+    store = os.path.join(workdir, "dedup_store")
+    schema = spark.read.parquet(os.path.join(arrivals, "e0.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals)
+    )
+    normalized = _casefold(
+        F.trim(F.regexp_replace(F.col("text"), "[" + _WS_CLASS + "]+", " "))
+    )
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        winners = (
+            batch.select(
+                "doc_id",
+                F.sha2(normalized, 256).alias("content_hash"),
+                dedup_arrival_chunk().alias("arrival_chunk"),
+            )
+            .groupBy("content_hash")
+            .agg(
+                F.min("doc_id").alias("keep_doc_id"),
+                F.min("arrival_chunk").alias("arrival_chunk"),
+            )
+        )
+        if os.path.isdir(store):
+            # NULL-SAFE anti-join: a NULL text hashes to a NULL
+            # content_hash (one winner per batch), and a plain
+            # equi-anti-join never matches NULL = NULL — every batch
+            # would re-append its NULL-hash winner while the oracle's
+            # window keeps exactly one (the null_text sweep class)
+            accepted = spark.read.parquet(store).select(
+                F.col("content_hash").alias("_acc_hash")
+            )
+            winners = winners.join(
+                accepted,
+                winners["content_hash"].eqNullSafe(accepted["_acc_hash"]),
+                "left_anti",
+            )
+        winners.write.mode("append").parquet(store)
+
+    q = (
+        raw.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", os.path.join(workdir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store if os.path.isdir(store) else None
 
 
 def stream_static_enrichment(spark: SparkSession, sf_dir: str, workdir: str) -> str:

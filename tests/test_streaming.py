@@ -630,3 +630,42 @@ def test_dim_enrichment_spans_four_microbatches(spark, tmp_path):
     expected_unknown = ev.join(cust, "user_id", "left_anti").count()
     assert res.filter(F.col("segment") == "UNKNOWN").count() == expected_unknown
     assert res.filter(F.col("segment") != "UNKNOWN").count() == res.count() - expected_unknown
+
+
+def test_incremental_dedup_first_arrival_wins(spark):
+    """The ingest gate's survivor is the EARLIEST arrival (chunk, then
+    doc_id) — provably different from the batch recompute's global
+    min-doc_id rule on this fixture: the fabricated clone of some
+    originals lands in an EARLIER chunk and must win. Also proves the
+    cross-batch store anti-join fired (one row per distinct hash,
+    never re-accepted)."""
+    from crm_etl_pipeline_spark.queries.llmops import DUP_OFFSET
+    from crm_etl_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    rows = reg["streaming_incremental_dedup"].fn(spark, SF_DIR).collect()
+    by_hash = {r.content_hash: r for r in rows}
+    assert len(by_hash) == len(rows)  # one winner per hash: anti-join held
+
+    def chunk(d):
+        return (abs(d) // 7) % 4
+
+    # expected winners from the arrival schedule
+    docs = reg["exact_dedup_documents"].fn(spark, SF_DIR).collect()
+    # exact_dedup emits (content_hash, keep_doc_id=min, n_copies)
+    dup_hashes = {r.content_hash: r.keep_doc_id for r in docs if r.n_copies == 2}
+    assert dup_hashes, "fixture must fabricate duplicate pairs"
+    clone_wins = 0
+    for h, d in dup_hashes.items():
+        c = d + DUP_OFFSET
+        expect = min((chunk(d), d), (chunk(c), c))[1]
+        got = by_hash[h]
+        assert got.keep_doc_id == expect
+        assert got.arrival_chunk == chunk(expect)
+        if expect != d:
+            clone_wins += 1
+    # the schedule must actually exercise clone-first arrivals, or the
+    # first-arrival contract degenerates to the batch min rule
+    assert clone_wins > 0
+    # full coverage: every distinct hash accepted exactly once
+    assert len(rows) == len(docs)

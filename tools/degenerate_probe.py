@@ -783,10 +783,11 @@ PROBES = [
       "abc_pareto_classification", "rfm_segmentation"]),
     ("empty_docs", {"documents": const_col("text", "", pa.string())},
      ["bm25_topk_search", "token_rarity_score", "chunk_documents",
-      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "bigram_lm_quality_filter"]),
+      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("unique_docs", {"documents": unique_docs},
      ["minhash_near_dup", "simhash_near_dup", "dedup_components",
-      "prefix_filter_setsim_join", "exact_dedup_documents", "ngram_jaccard_verify"]),
+      "prefix_filter_setsim_join", "exact_dedup_documents", "ngram_jaccard_verify",
+      "streaming_incremental_dedup"]),
     ("singleton_orders", {"lineitem": singleton_lineitem},
      ["copurchase_pagerank", "copurchase_lift_topk", "triangle_count"]),
     ("empty_names", {"customer": const_col("c_name", "", pa.string())},
@@ -845,7 +846,7 @@ PROBES = [
       "skew_salted_join", "variant_props_shred"]),
     ("null_text", {"documents": null_every_10th("text")},
      ["text_stats", "token_rarity_score", "chunk_documents", "bm25_topk_search",
-      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "bigram_lm_quality_filter"]),
+      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("one_lineitem", {"lineitem": one_row},
      ["rollup_revenue", "cube_lineitem_flags", "pivot_status_by_priority",
       "grouping_sets_region_segment"]),
@@ -892,14 +893,14 @@ PROBES = [
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "curation_pipeline",
-      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "bigram_lm_quality_filter"]),
+      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("one_document", {"documents": one_document},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "audio_energy_windows", "utf8_ingest_quarantine",
-      "bpe_encode", "pack_bpe_sequences"]),
+      "bpe_encode", "pack_bpe_sequences", "streaming_incremental_dedup"]),
     ("null_langs", {"documents": null_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
       "train_split_stratified", "language_id_ngram"]),
@@ -923,7 +924,7 @@ PROBES = [
       "bm25_topk_search", "language_temperature_sample",
       "train_split_stratified", "pack_training_sequences",
       "multimodal_byte_dedup", "doc_quality_score",
-      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "bigram_lm_quality_filter"]),
+      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("const_ts", {"events": const_ts_events},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
@@ -942,7 +943,7 @@ PROBES = [
       "ngram_jaccard_verify", "contamination_ngram_overlap",
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
-      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "bigram_lm_quality_filter"]),
+      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("mega_doc", {"documents": mega_doc},
      ["minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
       "dedup_components", "prefix_filter_setsim_join",
@@ -951,7 +952,7 @@ PROBES = [
       "text_stats", "doc_quality_score", "token_profile",
       "vocab_top_tokens", "tfidf_top_terms", "bm25_topk_search",
       "inverted_index_postings", "curation_pipeline",
-      "pack_training_sequences", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences",
+      "pack_training_sequences", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup",
       "utf8_ingest_quarantine", "bigram_lm_quality_filter"]),
     ("far_future_ts", {"events": far_future_ts},
      ["ewma_user_value", "streaming_stateful_sessions",
@@ -961,19 +962,19 @@ PROBES = [
     ("crlf_docs", {"documents": crlf_docs},
      ["boilerplate_line_removal", "exact_dedup_documents",
       "chunk_documents", "text_stats", "doc_fingerprint",
-      "repeated_span_mining", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "bigram_lm_quality_filter"]),
+      "repeated_span_mining", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("whitespace_storm", {"documents": whitespace_storm_docs},
      ["exact_dedup_documents", "dedup_incremental_new_docs",
       "token_profile", "text_stats", "vocab_top_tokens",
       "chunk_documents", "pack_training_sequences",
-      "boilerplate_line_removal", "doc_quality_score", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "bigram_lm_quality_filter"]),
+      "boilerplate_line_removal", "doc_quality_score", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("unicode_text", {"documents": unicode_docs},
      ["text_stats", "language_id_ngram", "vocab_top_tokens",
       "token_rarity_score", "doc_fingerprint", "doc_quality_score",
       "minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
       "chunk_documents", "pii_redaction", "doc_repetition_ratio",
       "tfidf_top_terms", "boilerplate_line_removal",
-      "token_profile", "dedup_incremental_new_docs", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "bigram_lm_quality_filter"]),
+      "token_profile", "dedup_incremental_new_docs", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("const_etype", {"events": const_etype_events},
      ["event_type_routing", "funnel_conversion", "event_transition_matrix",
       "session_path_trigrams", "countmin_heavy_hitters",
@@ -1019,7 +1020,7 @@ PROBES = [
       "minhash_near_dup", "simhash_near_dup",
       "pack_training_sequences", "train_split_stratified",
       "curation_pipeline", "utf8_ingest_quarantine",
-      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "bigram_lm_quality_filter"]),
+      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("id_collision_embs", {"embeddings": id_collision_embs},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
