@@ -43,7 +43,16 @@ Java-vs-RE2 whitespace-class divergence its own comment predicts
 ASCII class in both engines). 18 batches / 196 probes re-ran OK at
 the round-12 mid-round HEAD after the advice/recall/triangle changes;
 the FULL 58-batch / 651-probe pass then ran 651/651 OK at the closing
-HEAD. Round-12(b): the NEW mega_doc batch (x21) probes the
+HEAD. Round-13: the whitespace_storm batch gained three
+trailing-line-terminator frames (U+0085/U+2028/U+2029 glued to token
+ends — the Java-$-vs-RE2-$ anchor class the round-12 ADVICE named;
+closed by the shared \z-anchored _TOKEN_GATE_RE) and ran 11/11 OK on
+the extended frames; the four round-13 registrations joined their
+families — bpe_encode + pack_bpe_sequences (11 batches, 22/22 OK),
+bpe_subword_vocab (11 batches, 11/11 OK), and
+streaming_incremental_dedup (12 batches incl. unique_docs and
+one_document, 12/12 OK — its NULL-hash anti-join contract was closed
+at registration before the null_text probe ran). Round-12(b): the NEW mega_doc batch (x21) probes the
 pathological-page-size class (one ~130 KB document, 50-100x the
 fixture median, with an over-gate token and a 10k-char line) — 21/21
 OK, with the per-row grains genuinely stressed (span mining 16,070
