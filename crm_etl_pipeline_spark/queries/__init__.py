@@ -60,6 +60,13 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #         artifact); textbook-reference-tested against an independent
 #         pure-Python train+encode+pack, 11 document sweep batches
 #         each, full DuckDB oracles sharing the trainer's CTE chain.
+#       Changed code NOT in the window, hash-unchanged-proven:
+#       streaming.pmod_chunk_relay gained an optional ``key`` param
+#       for the document ingest harness; the default preserves the
+#       event_id contract byte-for-byte, and both existing consumers
+#       are covered at this HEAD (streaming_zorder_ingest re-verified
+#       through the entry contract this round, hash-match at sf0.01;
+#       streaming_dim_enrichment oracle-green in the full pytest run).
 #   (b) the 39 r9 rows — 4 driver-rounds stale after this round if
 #       skipped (the repo's own ceiling); verdict task 2.
 #   (c) the two r8 defers, age 4 THIS round, promised by name at
