@@ -72,18 +72,27 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #   (c) the two r8 defers, age 4 THIS round, promised by name at
 #       their round-12 defer notes: topk_per_group,
 #       percent_rank_acctbal (verdict task 2).
-#   (d) 3 pre-rotated r10 rows (window headroom 47 -> 50): next
-#       round's natural window is the r10 tier, which at 48 rows plus
-#       changed-code slots would not fit 50; pre-rotating
-#       ann_cosine_topk, embedding_kmeans and multimodal_real_decode
-#       now (one anchor per major family) leaves 45 + headroom for
-#       round 14.
+#   (d) 3 changed-code/changed-oracle rows from the round-13(d)
+#       null_doc_ids sweep batch (changed code outranks the
+#       pre-rotation headroom that previously filled these slots):
+#       pack_training_sequences + language_temperature_sample gained
+#       spelled NULLS FIRST placements in their oracle ORDER BYs
+#       (md5(CAST(NULL)) is a NULL key; Spark's ASC default is NULLS
+#       FIRST, DuckDB's is NULLS LAST — the batch caught both), and
+#       boilerplate_line_removal's doc-key assembly joins went
+#       null-safe in both engines (a NULL-id winner vanished from the
+#       plain inner equi-join). All three (and pack_bpe_sequences,
+#       already in (a)) are full-hash pytest-oracle-green at sf0.01 at
+#       this HEAD — the driver fixtures carry no NULL doc_ids, so the
+#       changes are value-identical there; the new batch certifies the
+#       NULL-id behavior (21/21 OK after the fixes).
 #
 # Age accounting if this window lands 50/50: registry 187 -> 191,
-# r13:50, r12:46, r11:47, r10:45, r9:0 tier cleared, r8:0 — max age 3
+# r13:50, r12:46, r11:47, r10:48, r9:0 tier cleared, r8:0 — max age 3
 # rounds, no query past the ceiling, every registered query
-# driver-checked at least once. Round 14's natural window is the 45
-# remaining r10 rows + changed-code slots.
+# driver-checked at least once. Round 14's natural window is the 48
+# r10 rows + changed-code slots (the two-defer precedent covers the
+# overflow if registrations land).
 #
 # registry.load_all reorders REGISTRY to put these at the front; the
 # rest follow in module order. Keep this list <= 50
@@ -139,8 +148,8 @@ DRIVER_PRIORITY: list[str] = [
     # --- (c) the two age-4 r8 defers, promised by name ---
     "topk_per_group",
     "percent_rank_acctbal",
-    # --- (d) 5 pre-rotated r10 rows (round-14 headroom) ---
-    "ann_cosine_topk",
-    "embedding_kmeans",
-    "multimodal_real_decode",
+    # --- (d) changed-code rows from the null_doc_ids batch ---
+    "pack_training_sequences",
+    "language_temperature_sample",
+    "boilerplate_line_removal",
 ]

@@ -1454,7 +1454,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ({_DOCS_ONE_LANG_SQL})
     ), laid AS (
       SELECT doc_id, lang, n_tokens,
-             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+             -- NULLS FIRST spelled: md5(CAST(NULL AS VARCHAR)) is a NULL
+             -- h, Spark's ASC default is NULLS FIRST, DuckDB's is NULLS
+             -- LAST — a NULL-id doc shifted every later running sum in
+             -- its shard (round-13 null_doc_ids find)
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                      ORDER BY h NULLS FIRST, doc_id NULLS FIRST
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM sized
     )
@@ -1492,7 +1497,8 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
+        # NULLS FIRST spelled on both sides (round-13 null_doc_ids find)
+        .orderBy(F.col("h").asc_nulls_first(), F.col("doc_id").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     laid = sized.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
@@ -2177,12 +2183,15 @@ _BOILER = (
       FROM lines l WHERE l.line NOT IN (SELECT line FROM boiler)
     )
     SELECT f.doc_id,
-           (SELECT COUNT(*) FROM lines l2 WHERE l2.doc_id = f.doc_id)
+           -- null-safe (round-13 null_doc_ids find): plain equality
+           -- scored the NULL-id doc zero lines while its rows exist
+           (SELECT COUNT(*) FROM lines l2
+            WHERE l2.doc_id IS NOT DISTINCT FROM f.doc_id)
              AS n_lines_before,
            COUNT(k.line) AS n_lines_after,
            COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '')
              AS clean_text
-    FROM fab f LEFT JOIN kept k ON k.doc_id = f.doc_id
+    FROM fab f LEFT JOIN kept k ON k.doc_id IS NOT DISTINCT FROM f.doc_id
     GROUP BY f.doc_id
     """,
     survey="§2.9 curation (CCNet-style line-level boilerplate removal with corpus-frequency gate)",
@@ -2261,16 +2270,25 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
     )
     before = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines_before"))
-    return (
-        fab.select("doc_id")
-        .join(before, "doc_id")
-        .join(reassembled, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines_before",
-            F.coalesce(F.col("n_lines_after"), F.lit(0)).alias("n_lines_after"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
+    # null-safe doc-key assembly (round-13 null_doc_ids find): the
+    # NULL-id winner row vanished from the plain inner equi-join while
+    # the oracle's GROUP BY kept it — eqNullSafe keeps the NULL
+    # identity with its true counts, mirrored by IS NOT DISTINCT FROM
+    # in the oracle
+    base = fab.select("doc_id")
+    before_r = before.withColumnRenamed("doc_id", "_b_id")
+    reasm_r = reassembled.withColumnRenamed("doc_id", "_r_id")
+    joined = (
+        base.join(before_r, F.col("doc_id").eqNullSafe(F.col("_b_id")), "inner")
+        .drop("_b_id")
+        .join(reasm_r, F.col("doc_id").eqNullSafe(F.col("_r_id")), "left")
+        .drop("_r_id")
+    )
+    return joined.select(
+        "doc_id",
+        "n_lines_before",
+        F.coalesce(F.col("n_lines_after"), F.lit(0)).alias("n_lines_after"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
 
 
@@ -2300,8 +2318,12 @@ _TEMP_BUDGET = 1200  # target corpus size after the language re-mix
       FROM lang_counts, tot
     ), ranked AS (
       SELECT d.doc_id, d.lang, a.n_docs, a.weight, a.n_target,
+             -- NULLS FIRST spelled (round-13 null_doc_ids find): a NULL
+             -- doc_id ranks first in Spark's ASC default and last in
+             -- DuckDB's, shifting every samp_rank in its language
              ROW_NUMBER() OVER (PARTITION BY d.lang
-                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)) NULLS FIRST,
+                                         d.doc_id NULLS FIRST)
                AS samp_rank
       FROM documents d JOIN alloc a ON d.lang = a.lang
     )
@@ -2375,7 +2397,11 @@ def language_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.lit(float(_TEMP_BUDGET)) * weight).alias("n_target"),
         )
     )
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        # NULLS FIRST spelled on both sides (round-13 null_doc_ids find)
+        F.md5(F.col("doc_id").cast("string")).asc_nulls_first(),
+        F.col("doc_id").asc_nulls_first(),
+    )
     return (
         docs.join(F.broadcast(alloc), "lang")
         .withColumn("samp_rank", F.row_number().over(w))
@@ -2872,7 +2898,10 @@ _PACK_BPE_ORACLE = rf"""
     ),
     laid AS (
       SELECT doc_id, lang, n_tokens,
-             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+             -- NULLS FIRST spelled (the round-13 null_doc_ids find —
+             -- see pack_training_sequences)
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                      ORDER BY h NULLS FIRST, doc_id NULLS FIRST
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM sized
     )
@@ -2943,7 +2972,8 @@ def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
+        # NULLS FIRST spelled on both sides (round-13 null_doc_ids find)
+        .orderBy(F.col("h").asc_nulls_first(), F.col("doc_id").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     laid = sized.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(

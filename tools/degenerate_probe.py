@@ -43,7 +43,16 @@ Java-vs-RE2 whitespace-class divergence its own comment predicts
 ASCII class in both engines). 18 batches / 196 probes re-ran OK at
 the round-12 mid-round HEAD after the advice/recall/triangle changes;
 the FULL 58-batch / 651-probe pass then ran 651/651 OK at the closing
-HEAD. Round-13: the whitespace_storm batch gained three
+HEAD. Round-13(d): the NEW null_doc_ids batch (x21) probes the
+identity-ABSENT class the round-12 ADVICE named (NULL doc_id every
+10th row) and found the NULLS-placement divergence class three times
+(pack_training_sequences, pack_bpe_sequences,
+language_temperature_sample: Spark's ASC default is NULLS FIRST,
+DuckDB's is NULLS LAST — both engines now spell NULLS FIRST) plus a
+null-key join drop (boilerplate_line_removal's assembly joins, now
+null-safe in both engines); 21/21 OK after the fixes, with the
+round-13 ADVICE close (bigram's n_pairs attach key) passing its first
+real NULL-id probe. Round-13: the whitespace_storm batch gained three
 trailing-line-terminator frames (U+0085/U+2028/U+2029 glued to token
 ends — the Java-$-vs-RE2-$ anchor class the round-12 ADVICE named;
 closed by the shared \z-anchored _TOKEN_GATE_RE) and ran 11/11 OK on
@@ -478,6 +487,27 @@ def id_collision_docs(tbl):
     return tbl.set_column(
         tbl.column_names.index("doc_id"), "doc_id",
         pa.array(ids, tbl.schema.field("doc_id").type),
+    )
+
+
+def null_doc_ids(tbl):
+    # NULL document identity (round 13 — the hazard the round-12 ADVICE
+    # named with no covering batch): every 10th doc_id becomes NULL
+    # while the text stays. NULL ids stress three distinct contracts:
+    # (a) always-1 attach keys derived from doc_id (NULL key silently
+    # drops the group from an inner equi-join while a CROSS JOIN oracle
+    # keeps it — the bigram corpus-mean class, fixed to key on n_pairs);
+    # (b) identity-grain loaders (_one_per_doc / _DOCS_ONE_SQL window a
+    # NULL partition — all NULL-id rows collapse to ONE winner in both
+    # engines, an aggressive but symmetric identity rule); (c) any
+    # ORDER BY on a NULL-bearing expression (md5(CAST(NULL)) is NULL,
+    # and Spark's ASC default is NULLS FIRST while DuckDB's is NULLS
+    # LAST — lay-down orders must spell the placement).
+    ids = tbl.column("doc_id").to_pylist()
+    out = [None if i % 10 == 3 else v for i, v in enumerate(ids)]
+    return tbl.set_column(
+        tbl.column_names.index("doc_id"), "doc_id",
+        pa.array(out, tbl.schema.field("doc_id").type),
     )
 
 
@@ -1030,6 +1060,15 @@ PROBES = [
       "pack_training_sequences", "train_split_stratified",
       "curation_pipeline", "utf8_ingest_quarantine",
       "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+    ("null_doc_ids", {"documents": null_doc_ids},
+     ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
+      "pack_training_sequences", "curation_pipeline", "chunk_documents",
+      "doc_fingerprint", "doc_quality_score", "text_stats",
+      "vocab_top_tokens", "tfidf_top_terms", "boilerplate_line_removal",
+      "train_split_stratified", "language_temperature_sample",
+      "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
+      "bpe_subword_vocab", "pack_bpe_sequences",
+      "bigram_lm_quality_filter", "streaming_incremental_dedup"]),
     ("id_collision_embs", {"embeddings": id_collision_embs},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
