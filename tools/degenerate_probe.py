@@ -52,7 +52,12 @@ DuckDB's is NULLS LAST — both engines now spell NULLS FIRST) plus a
 null-key join drop (boilerplate_line_removal's assembly joins, now
 null-safe in both engines); 21/21 OK after the fixes, with the
 round-13 ADVICE close (bigram's n_pairs attach key) passing its first
-real NULL-id probe. Round-13: the whitespace_storm batch gained three
+real NULL-id probe. Its negative_doc_ids sibling (x21,
+every 10th id negated — the div/%%-sign and pmod-range class) ran
+21/21 OK with no fix needed: the sign-sensitive spots were already
+guarded (abs() on the streaming chunk key, truncation-consistent %%
+fabrications, sign-stable md5 rank strings).
+Round-13: the whitespace_storm batch gained three
 trailing-line-terminator frames (U+0085/U+2028/U+2029 glued to token
 ends — the Java-$-vs-RE2-$ anchor class the round-12 ADVICE named;
 closed by the shared \z-anchored _TOKEN_GATE_RE) and ran 11/11 OK on
@@ -505,6 +510,24 @@ def null_doc_ids(tbl):
     # LAST — lay-down orders must spell the placement).
     ids = tbl.column("doc_id").to_pylist()
     out = [None if i % 10 == 3 else v for i, v in enumerate(ids)]
+    return tbl.set_column(
+        tbl.column_names.index("doc_id"), "doc_id",
+        pa.array(out, tbl.schema.field("doc_id").type),
+    )
+
+
+def negative_doc_ids(tbl):
+    # negative document identity (round 13 — completes the identity
+    # hazard axis: collision / NULL / negative): every 10th doc_id is
+    # negated. Negative ids stress sign-sensitive arithmetic — Spark's
+    # `div` and `%` truncate toward zero while DuckDB's `//` FLOORS
+    # (they disagree on negatives), pmod lands in [0, n) while both
+    # engines' `%` can go negative, and CAST(neg AS VARCHAR) feeds md5
+    # ranks a '-' prefix (same bytes both engines, but any oracle that
+    # re-derives the id from the string must round-trip the sign).
+    ids = tbl.column("doc_id").to_pylist()
+    out = [(-v if (i % 10 == 3 and v is not None and v > 0) else v)
+           for i, v in enumerate(ids)]
     return tbl.set_column(
         tbl.column_names.index("doc_id"), "doc_id",
         pa.array(out, tbl.schema.field("doc_id").type),
@@ -1061,6 +1084,15 @@ PROBES = [
       "curation_pipeline", "utf8_ingest_quarantine",
       "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("null_doc_ids", {"documents": null_doc_ids},
+     ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
+      "pack_training_sequences", "curation_pipeline", "chunk_documents",
+      "doc_fingerprint", "doc_quality_score", "text_stats",
+      "vocab_top_tokens", "tfidf_top_terms", "boilerplate_line_removal",
+      "train_split_stratified", "language_temperature_sample",
+      "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
+      "bpe_subword_vocab", "pack_bpe_sequences",
+      "bigram_lm_quality_filter", "streaming_incremental_dedup"]),
+    ("negative_doc_ids", {"documents": negative_doc_ids},
      ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
       "doc_fingerprint", "doc_quality_score", "text_stats",
