@@ -67,6 +67,14 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       are covered at this HEAD (streaming_zorder_ingest re-verified
 #       through the entry contract this round, hash-match at sf0.01;
 #       streaming_dim_enrichment oracle-green in the full pytest run).
+#       Changed code NOT in the window (the round-12 precedent),
+#       each hash-unchanged-proven at the driver SF: embedding_kmeans,
+#       kmeans_cluster_purity and ann_pq_adc gained spelled NULLS
+#       FIRST seed windows (the round-13(e) null_vec_ids batch find —
+#       value-identical at sf0.01 where no NULL vec_id exists;
+#       full-hash oracle pytest green at HEAD, 15/15 batch-certified).
+#       All three are r10-tier rows: round 14's natural window takes
+#       them WITH their changed-code priority.
 #   (b) the 39 r9 rows — 4 driver-rounds stale after this round if
 #       skipped (the repo's own ceiling); verdict task 2.
 #   (c) the two r8 defers, age 4 THIS round, promised by name at

@@ -970,7 +970,11 @@ def _dist_q(vd: Column, cv: Column) -> Column:
       -- ordering ties on a collided id; mirrors Spark's _one_per_vec)
       {_EMB_ONE_SQL}
     ), seeds AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+      -- NULLS FIRST spelled (round-13 null_vec_ids find): a NULL
+      -- vec_id's md5 is NULL — Spark's ASC default is NULLS FIRST,
+      -- DuckDB's NULLS LAST, so the engines trained on different seeds
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) NULLS FIRST,
+                                         vec_id NULLS FIRST) - 1
                AS cluster, vd AS cv
       FROM emb QUALIFY cluster < {_KMEANS_K}
     ), d1 AS (
@@ -1040,7 +1044,11 @@ def embedding_kmeans(
         "_k", F.least(F.col("vec_id") + 1, F.lit(1)).cast("int")
     )  # vec_id >= 0 → key is provably 1 but non-foldable
 
-    seed_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    # NULLS FIRST spelled on both sides (round-13 null_vec_ids find)
+    seed_w = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc_nulls_first(),
+        F.col("vec_id").asc_nulls_first(),
+    )
     # the seed window is global but bounded: it runs on the hash-TOP-k
     # only after a WindowGroupLimit prune (row_number + filter k), the
     # same shape as every top-k query here
@@ -1256,8 +1264,11 @@ _PQ_ADC_ORACLE = f"""
       FROM emb, unnest(range(0, {_PQ_M})) t(s)
     ), seeds AS (
       SELECT sub,
+             -- NULLS FIRST spelled (round-13 null_vec_ids find — see
+             -- the kmeans seed window)
              ROW_NUMBER() OVER (PARTITION BY sub
-                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)) NULLS FIRST,
+                                         vec_id NULLS FIRST) - 1
                AS code,
              svec AS cv
       FROM sv QUALIFY code < {_PQ_K}
@@ -1357,7 +1368,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices = F.array(*[F.slice("vd", s * _PQ_SD + 1, _PQ_SD) for s in range(_PQ_M)])
     sv = emb.select("vec_id", F.posexplode(slices).alias("sub", "svec"))
 
-    seed_w = Window.partitionBy("sub").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    # NULLS FIRST spelled on both sides (round-13 null_vec_ids find)
+    seed_w = Window.partitionBy("sub").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc_nulls_first(),
+        F.col("vec_id").asc_nulls_first(),
+    )
     seeds = (
         sv.withColumn("rn", F.row_number().over(seed_w))
         .filter(F.col("rn") <= _PQ_K)

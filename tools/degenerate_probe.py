@@ -57,6 +57,11 @@ every 10th id negated — the div/%%-sign and pmod-range class) ran
 21/21 OK with no fix needed: the sign-sensitive spots were already
 guarded (abs() on the streaming chunk key, truncation-consistent %%
 fabrications, sign-stable md5 rank strings).
+The null_vec_ids twin (x15) found the
+NULLS-placement class a THIRD time — the kmeans/PQ seed hash-rank
+windows trained the two engines on different seed vectors under a
+NULL-id winner row; every seed window now spells NULLS FIRST in both
+engines (15/15 OK after the fix).
 Round-13: the whitespace_storm batch gained three
 trailing-line-terminator frames (U+0085/U+2028/U+2029 glued to token
 ends — the Java-$-vs-RE2-$ anchor class the round-12 ADVICE named;
@@ -377,6 +382,22 @@ def extreme_values(tbl):
         vals[3] = 9.9e15
     return tbl.set_column(
         tbl.column_names.index("value"), "value", pa.array(vals, pa.float64())
+    )
+
+
+def null_vec_ids(tbl):
+    # NULL vector identity (round 13 — the embeddings twin of
+    # null_doc_ids): every 31st vec_id becomes NULL while the payload
+    # stays. Candidate hazard: the kmeans/PQ seed hash-rank orderings
+    # (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) meet a NULL key —
+    # the engines' NULL-placement defaults disagree — and the
+    # _one_per_vec groupBy collapses ALL NULL-id rows to one winner
+    # (aggressive but symmetric, like the docs twin).
+    ids = tbl.column("vec_id").to_pylist()
+    out = [None if i % 31 == 7 else v for i, v in enumerate(ids)]
+    return tbl.set_column(
+        tbl.column_names.index("vec_id"), "vec_id",
+        pa.array(out, tbl.schema.field("vec_id").type),
     )
 
 
@@ -1101,6 +1122,13 @@ PROBES = [
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
       "bigram_lm_quality_filter", "streaming_incremental_dedup"]),
+    ("null_vec_ids", {"embeddings": null_vec_ids},
+     ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+      "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
+      "embedding_standardize",
+      "embedding_quantize_int8", "embedding_centroid_per_label",
+      "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck"]),
     ("id_collision_embs", {"embeddings": id_collision_embs},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
