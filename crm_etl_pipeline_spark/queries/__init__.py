@@ -74,7 +74,15 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       value-identical at sf0.01 where no NULL vec_id exists;
 #       full-hash oracle pytest green at HEAD, 15/15 batch-certified).
 #       All three are r10-tier rows: round 14's natural window takes
-#       them WITH their changed-code priority.
+#       them WITH their changed-code priority. The same audit then
+#       spelled the two remaining unspelled hash-rank windows
+#       (weighted_sample_allocation, r10-tier — same round-14 path)
+#       and gave sample_stratified_hashrank (r12-fresh) the text
+#       tiebreak closing the second-order complete-tie split — both
+#       full-hash pytest- AND entry-contract-green at sf0.01 at this
+#       HEAD, probe-certified on null_doc_ids + id_collision_docs;
+#       sample_stratified_hashrank leads the round-14 changed-code
+#       slots.
 #   (b) the 39 r9 rows — 4 driver-rounds stale after this round if
 #       skipped (the repo's own ceiling); verdict task 2.
 #   (c) the two r8 defers, age 4 THIS round, promised by name at

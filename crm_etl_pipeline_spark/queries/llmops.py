@@ -1286,8 +1286,16 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT doc_id, lang,
              len(string_split(text, ' ')) AS n_tokens,
+             -- NULLS FIRST spelled + CONTENT tiebreak (round-13
+             -- null_doc_ids find, second order: two NULL-id rows tie
+             -- completely on (md5, doc_id) and ROW_NUMBER splits them
+             -- arbitrarily PER ENGINE; text breaks the tie — and two
+             -- rows equal in (id, text) produce interchangeable output
+             -- tuples, so the multiset stays deterministic)
              ROW_NUMBER() OVER (PARTITION BY lang
-                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+                                         doc_id NULLS FIRST,
+                                         text NULLS FIRST) AS rk
       FROM documents
     )
     SELECT lang, doc_id, n_tokens, rk
@@ -1304,7 +1312,11 @@ def sample_stratified_hashrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes before the shuffle, so the exchanged volume is k·|strata|,
     not the corpus."""
     w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+        # NULLS FIRST + content tiebreak spelled on both sides
+        # (round-13 placement audit; see the oracle comment)
+        F.md5(F.col("doc_id").cast("string")).asc_nulls_first(),
+        F.col("doc_id").asc_nulls_first(),
+        F.col("text").asc_nulls_first(),
     )
     return (
         table(spark, sf_dir, "documents")

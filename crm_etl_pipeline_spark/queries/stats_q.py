@@ -219,8 +219,10 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seg, tot
     ), ranked AS (
       SELECT c.c_mktsegment, c_custkey, rev_share, n_target,
+             -- NULLS FIRST spelled (round-13 NULLS-placement audit)
              ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
-                                ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
+                                ORDER BY md5(CAST(c_custkey AS VARCHAR)) NULLS FIRST,
+                                         c_custkey NULLS FIRST)
                AS samp_rank
       FROM customer c JOIN alloc a ON c.c_mktsegment = a.c_mktsegment
     )
@@ -272,7 +274,9 @@ def weighted_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+        # NULLS FIRST spelled on both sides (round-13 placement audit)
+        F.md5(F.col("c_custkey").cast("string")).asc_nulls_first(),
+        F.col("c_custkey").asc_nulls_first(),
     )
     return (
         cust.join(F.broadcast(alloc), "c_mktsegment")

@@ -62,6 +62,13 @@ NULLS-placement class a THIRD time — the kmeans/PQ seed hash-rank
 windows trained the two engines on different seed vectors under a
 NULL-id winner row; every seed window now spells NULLS FIRST in both
 engines (15/15 OK after the fix).
+The follow-up registry-wide
+placement audit spelled NULLS FIRST at the two remaining unspelled
+hash-rank windows and found the class's SECOND ORDER on
+sample_stratified_hashrank (complete (md5,id) ties under duplicate
+NULL ids split arbitrarily per engine when the output carries
+row-distinguishable payload) — closed with a text tiebreak,
+probe-certified on null_doc_ids and id_collision_docs.
 Round-13: the whitespace_storm batch gained three
 trailing-line-terminator frames (U+0085/U+2028/U+2029 glued to token
 ends — the Java-$-vs-RE2-$ anchor class the round-12 ADVICE named;
@@ -1101,7 +1108,7 @@ PROBES = [
       "tfidf_top_terms", "inverted_index_postings",
       "boilerplate_line_removal", "repeated_span_mining",
       "minhash_near_dup", "simhash_near_dup",
-      "pack_training_sequences", "train_split_stratified",
+      "sample_stratified_hashrank", "pack_training_sequences", "train_split_stratified",
       "curation_pipeline", "utf8_ingest_quarantine",
       "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
     ("null_doc_ids", {"documents": null_doc_ids},
@@ -1109,7 +1116,7 @@ PROBES = [
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
       "doc_fingerprint", "doc_quality_score", "text_stats",
       "vocab_top_tokens", "tfidf_top_terms", "boilerplate_line_removal",
-      "train_split_stratified", "language_temperature_sample",
+      "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
       "bigram_lm_quality_filter", "streaming_incremental_dedup"]),
@@ -1118,7 +1125,7 @@ PROBES = [
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
       "doc_fingerprint", "doc_quality_score", "text_stats",
       "vocab_top_tokens", "tfidf_top_terms", "boilerplate_line_removal",
-      "train_split_stratified", "language_temperature_sample",
+      "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
       "bigram_lm_quality_filter", "streaming_incremental_dedup"]),
