@@ -82,7 +82,16 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       full-hash pytest- AND entry-contract-green at sf0.01 at this
 #       HEAD, probe-certified on null_doc_ids + id_collision_docs;
 #       sample_stratified_hashrank leads the round-14 changed-code
-#       slots.
+#       slots — joined by the const_ts_null_ids closes: fifo_head
+#       (r10-tier), event_transition_matrix (r9 — IN this window, so
+#       its changed code is window-covered), and the _STORE_SQL
+#       placement spelling, which changes the ORACLE TEXT of the whole
+#       scd2 family (versioned_store, current_view, asof_snapshot,
+#       expire_versions, store_roundtrip, soft_delete, compact,
+#       streaming_scd2_state) — every one full-hash pytest-green at
+#       sf0.01 at this HEAD (no NULL event_id / tied-ts storm exists
+#       in the driver fixtures) and re-certified by the const_ts,
+#       null_event_ids, dup_events and far_future_ts batches.
 #   (b) the 39 r9 rows — 4 driver-rounds stale after this round if
 #       skipped (the repo's own ceiling); verdict task 2.
 #   (c) the two r8 defers, age 4 THIS round, promised by name at

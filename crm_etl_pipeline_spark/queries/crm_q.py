@@ -495,8 +495,14 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT event_type,
+             -- placement + event_type tiebreak spelled (round-13
+             -- const_ts_null_ids find: tied-ts NULL-id rows ordered
+             -- engine-dependently; breaking on the type makes the
+             -- remaining ties same-type, which transitions cannot see)
              LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
+                                   ORDER BY ts NULLS FIRST,
+                                            event_id NULLS FIRST,
+                                            event_type NULLS FIRST) AS prev_type
       FROM events
     ), trans AS (
       SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n_transitions
@@ -518,7 +524,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, the normalizer joins broadcast, probabilities are one IEEE
     division of exact counts."""
     events = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        # placement + type tiebreak spelled (round-13 find)
+        F.col("ts").asc_nulls_first(),
+        F.col("event_id").asc_nulls_first(),
+        F.col("event_type").asc_nulls_first(),
+    )
     seq = events.select(
         F.col("event_type").alias("to_type"),
         F.lag("event_type").over(w).alias("from_type"),

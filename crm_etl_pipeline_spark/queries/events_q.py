@@ -23,8 +23,12 @@ from crm_etl_pipeline_spark.registry import query
 @query(
     "fifo_head",
     oracle="""
+    -- placement spelled + FULL output-column tiebreak (round-13
+    -- const_ts_null_ids find: tied-ts NULL-id rows made the LIMIT cut
+    -- engine-dependent); ties beyond all four keys are identical rows
     SELECT event_id, ts, user_id, event_type
-    FROM events ORDER BY ts, event_id LIMIT 5
+    FROM events ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                         user_id NULLS FIRST, event_type NULLS FIRST LIMIT 5
     """,
     survey="L1 (FIFO pop, oldest first; PodioApiGateway.py:190)",
 )
@@ -32,7 +36,13 @@ def fifo_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oldest pending events — TakeOrderedAndProject, no full sort."""
     return (
         table(spark, sf_dir, "events")
-        .orderBy("ts", "event_id")
+        .orderBy(
+            # placement + full tiebreak spelled (round-13 find)
+            F.col("ts").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+            F.col("user_id").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
         .limit(5)
         .select("event_id", "ts", "user_id", "event_type")
     )

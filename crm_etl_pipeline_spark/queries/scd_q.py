@@ -51,10 +51,18 @@ _STORE_SQL = f"""
       ) GROUP BY item_id, event_id, ts
     ), v AS (
       SELECT item_id, event_id, ts, value,
+             -- placement spelled to Spark's defaults (round-13
+             -- const_ts_null_ids find: a NULL event_id among tied
+             -- timestamps placed first in Spark, last in DuckDB,
+             -- shifting every version number after it); the all_v
+             -- collapse guarantees (item_id, event_id, ts) uniqueness,
+             -- so no tie survives the spelled keys
              CAST(ROW_NUMBER() OVER
-                  (PARTITION BY item_id ORDER BY ts, event_id) AS INT) AS version,
+                  (PARTITION BY item_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS INT) AS version,
              ROW_NUMBER() OVER
-                  (PARTITION BY item_id ORDER BY ts DESC, event_id DESC) = 1 AS is_current
+                  (PARTITION BY item_id
+                   ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1 AS is_current
       FROM all_v
     )
 """
@@ -190,7 +198,8 @@ _ASOF_TS = "2024-01-15 00:00:00"
     SELECT item_id, event_id, ts, value, version
     FROM v WHERE ts <= TIMESTAMP '{_ASOF_TS}'
     QUALIFY ROW_NUMBER() OVER (PARTITION BY item_id
-                               ORDER BY ts DESC, event_id DESC) = 1
+                               ORDER BY ts DESC NULLS LAST,
+                                        event_id DESC NULLS LAST) = 1
     """,
     survey="L2/L3 time travel (as-of snapshot of the versioned store; PodioApiGateway.py:131-137)",
 )
@@ -216,7 +225,7 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     , s AS (
       SELECT item_id, event_id, ts, value, version, is_current,
              LEAD(ts) OVER (PARTITION BY item_id
-                            ORDER BY ts, event_id) AS nxt
+                            ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS nxt
       FROM v
     )
     SELECT item_id, event_id, ts, value, version, is_current

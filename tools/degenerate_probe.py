@@ -69,6 +69,14 @@ sample_stratified_hashrank (complete (md5,id) ties under duplicate
 NULL ids split arbitrarily per engine when the output carries
 row-distinguishable payload) — closed with a text tiebreak,
 probe-certified on null_doc_ids and id_collision_docs.
+The events axis closed the campaign:
+null_event_ids (x23) ran clean, but its COMPOSITION with the const_ts
+tie storm (const_ts_null_ids, x16) found the placement class a FOURTH
+time — fifo_head's LIMIT cut, the SCD2 version windows (both
+directions; DESC defaults disagree mirrored), and the transition
+matrix's lag sequence; closed by spelling placement to Spark's
+defaults plus payload tiebreaks where output distinguishes tied rows
+(16/16 OK after; scd family + 4 sibling batches re-ran green).
 Round-13: the whitespace_storm batch gained three
 trailing-line-terminator frames (U+0085/U+2028/U+2029 glued to token
 ends — the Java-$-vs-RE2-$ anchor class the round-12 ADVICE named;
@@ -390,6 +398,32 @@ def extreme_values(tbl):
     return tbl.set_column(
         tbl.column_names.index("value"), "value", pa.array(vals, pa.float64())
     )
+
+
+def null_event_ids(tbl):
+    # NULL event identity (round 13 — the events member of the
+    # identity-absent axis): every 13th event_id becomes NULL.
+    # Candidate hazards: (ts, event_id) tiebreak orderings meet a NULL
+    # key (engine placement defaults disagree), the pmod chunk relay's
+    # coalesce(event_id, 0) routing (round-10 advisor find, here
+    # probed with REAL NULLs for the first time), and dedup/SCD2
+    # identity rules under an absent key.
+    ids = tbl.column("event_id").to_pylist()
+    out = [None if i % 13 == 5 else v for i, v in enumerate(ids)]
+    return tbl.set_column(
+        tbl.column_names.index("event_id"), "event_id",
+        pa.array(out, tbl.schema.field("event_id").type),
+    )
+
+
+def const_ts_null_ids(tbl):
+    # the COMPOSED hazard (round 13): every timestamp tied at one
+    # instant AND every 13th event_id NULL — the (ts, event_id)
+    # tiebreaks degrade to ordering on event_id ALONE, where a NULL
+    # key meets the engines' opposite placement defaults. The
+    # separate batches each pass (unique ts hides the placement;
+    # non-NULL ids hide the tie); only the composition exposes it.
+    return null_event_ids(const_ts_events(tbl))
 
 
 def null_vec_ids(tbl):
@@ -1129,6 +1163,25 @@ PROBES = [
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
       "bigram_lm_quality_filter", "streaming_incremental_dedup"]),
+    ("null_event_ids", {"events": null_event_ids},
+     ["sessionization", "session_window_builtin", "fifo_head",
+      "asof_join_latest_order", "event_dedup_last_write_wins",
+      "scd2_versioned_store", "scd2_current_view", "ewma_user_value",
+      "running_revenue", "sliding_1h_user_value",
+      "streaming_scd2_state", "streaming_tumbling_counts",
+      "tumbling_daily_counts", "event_transition_matrix",
+      "rate_limit_admission", "credential_rotation_schedule",
+      "attribution_last_touch", "range_join_clicks_before_purchase",
+      "cdc_derive_changes", "streaming_dlq", "streaming_requeue",
+      "streaming_zorder_ingest", "kmv_distinct_sketch"]),
+    ("const_ts_null_ids", {"events": const_ts_null_ids},
+     ["sessionization", "session_window_builtin", "fifo_head",
+      "asof_join_latest_order", "event_dedup_last_write_wins",
+      "scd2_versioned_store", "scd2_current_view", "ewma_user_value",
+      "running_revenue", "sliding_1h_user_value",
+      "event_transition_matrix", "attribution_last_touch",
+      "cdc_derive_changes", "keyset_pagination_orders",
+      "rate_limit_admission", "credential_rotation_schedule"]),
     ("null_vec_ids", {"embeddings": null_vec_ids},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
