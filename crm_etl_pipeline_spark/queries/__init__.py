@@ -91,7 +91,12 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       streaming_scd2_state) — every one full-hash pytest-green at
 #       sf0.01 at this HEAD (no NULL event_id / tied-ts storm exists
 #       in the driver fixtures) and re-certified by the const_ts,
-#       null_event_ids, dup_events and far_future_ts batches.
+#       null_event_ids, dup_events and far_future_ts batches. The
+#       orders composition closed the axis: keyset_pagination_orders
+#       (IN this window — changed code window-covered: NULL keys now
+#       excluded by the keyset contract) and lag_order_gap_days
+#       (r12-fresh; placement spelled — joins the round-14
+#       changed-code slots), both full-hash green at sf0.01.
 #   (b) the 39 r9 rows — 4 driver-rounds stale after this round if
 #       skipped (the repo's own ceiling); verdict task 2.
 #   (c) the two r8 defers, age 4 THIS round, promised by name at

@@ -381,8 +381,14 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
     FROM orders
-    WHERE o_orderdate > TIMESTAMP '1996-06-01'
-       OR (o_orderdate = TIMESTAMP '1996-06-01' AND o_orderkey > 1000)
+    -- keyset contract (round-13 composed-hazard find): the cursor
+    -- tuple cannot represent a NULL key, and NULL-key rows made the
+    -- page cut engine-dependent (placement defaults) — a real serving
+    -- path paginates over a total NON-NULL key, so NULL keys are
+    -- excluded outright in both engines
+    WHERE o_orderkey IS NOT NULL
+      AND (o_orderdate > TIMESTAMP '1996-06-01'
+       OR (o_orderdate = TIMESTAMP '1996-06-01' AND o_orderkey > 1000))
     ORDER BY o_orderdate, o_orderkey
     LIMIT 20
     """,
@@ -405,6 +411,8 @@ def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         table(spark, sf_dir, "orders")
+        # keyset keys are total and non-NULL (see the oracle comment)
+        .filter(F.col("o_orderkey").isNotNull())
         .filter(after)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         .orderBy("o_orderdate", "o_orderkey")

@@ -107,8 +107,14 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            DATE_DIFF('day',
+                     -- placement spelled (round-13 composed-hazard find:
+                     -- a NULL orderkey among tied dates placed first in
+                     -- Spark, last in DuckDB, shifting the lag chain);
+                     -- complete NULL-key ties produce interchangeable
+                     -- same-date rows, so no further tiebreak needed
                      LAG(o_orderdate) OVER (PARTITION BY o_custkey
-                                            ORDER BY o_orderdate, o_orderkey),
+                                            ORDER BY o_orderdate NULLS FIRST,
+                                                     o_orderkey NULLS FIRST),
                      o_orderdate) AS days_since_prev
     FROM orders
     """,
@@ -116,7 +122,11 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days between consecutive orders per customer (lag + datediff)."""
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        # placement spelled on both sides (round-13 find)
+        F.col("o_orderdate").asc_nulls_first(),
+        F.col("o_orderkey").asc_nulls_first(),
+    )
     prev = F.lag("o_orderdate").over(w)
     return table(spark, sf_dir, "orders").select(
         "o_custkey",

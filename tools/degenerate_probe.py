@@ -77,7 +77,11 @@ directions; DESC defaults disagree mirrored), and the transition
 matrix's lag sequence; closed by spelling placement to Spark's
 defaults plus payload tiebreaks where output distinguishes tied rows
 (16/16 OK after; scd family + 4 sibling batches re-ran green).
-Round-13: the whitespace_storm batch gained three
+The orders composition
+(zero_prices_null_okeys, x12) found it twice more — the keyset page
+cut (closed by the keyset contract: pagination keys are total and
+non-NULL) and the order-gap lag chain (placement spelled); 12/12 OK
+after. Round-13: the whitespace_storm batch gained three
 trailing-line-terminator frames (U+0085/U+2028/U+2029 glued to token
 ends — the Java-$-vs-RE2-$ anchor class the round-12 ADVICE named;
 closed by the shared \z-anchored _TOKEN_GATE_RE) and ran 11/11 OK on
@@ -424,6 +428,24 @@ def const_ts_null_ids(tbl):
     # separate batches each pass (unique ts hides the placement;
     # non-NULL ids hide the tie); only the composition exposes it.
     return null_event_ids(const_ts_events(tbl))
+
+
+def zero_prices_null_okeys(tbl):
+    # the orders member of the composed-hazard axis (round 13): every
+    # o_totalprice zeroed (total value-tie storm) AND every 11th
+    # o_orderkey NULL — revenue/value rankings degrade to their
+    # orderkey tiebreaks, which meet a NULL key; DESC rankings hit the
+    # MIRRORED placement defaults (Spark DESC = NULLS LAST, DuckDB
+    # DESC = NULLS FIRST).
+    prices = [0.0 if v is not None else None
+              for v in tbl.column("o_totalprice").to_pylist()]
+    tbl = tbl.set_column(tbl.column_names.index("o_totalprice"),
+                         "o_totalprice", pa.array(prices, pa.float64()))
+    keys = tbl.column("o_orderkey").to_pylist()
+    out = [None if i % 11 == 4 else v for i, v in enumerate(keys)]
+    return tbl.set_column(tbl.column_names.index("o_orderkey"),
+                          "o_orderkey",
+                          pa.array(out, tbl.schema.field("o_orderkey").type))
 
 
 def null_vec_ids(tbl):
@@ -1182,6 +1204,13 @@ PROBES = [
       "event_transition_matrix", "attribution_last_touch",
       "cdc_derive_changes", "keyset_pagination_orders",
       "rate_limit_admission", "credential_rotation_schedule"]),
+    ("zero_prices_null_okeys", {"orders": zero_prices_null_okeys},
+     ["topk_orders_by_revenue", "keyset_pagination_orders",
+      "latest_order_per_customer", "lag_order_gap_days",
+      "global_rank_two_phase", "ntile_order_value_quartiles",
+      "decile_gains_table", "abc_pareto_classification",
+      "mom_revenue_growth", "dq_audit_orders", "topk_per_group",
+      "running_revenue"]),
     ("null_vec_ids", {"embeddings": null_vec_ids},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
