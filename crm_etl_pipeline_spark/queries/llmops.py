@@ -2484,6 +2484,18 @@ def _bpe_iteration_sql(k: int) -> str:
     )"""
 
 
+# The dependent oracle fragments (_BPE_ORACLE, _BPE_WENC_SQL,
+# _BPE_VOCAB_ORACLE, _PACK_BPE_ORACLE) read tok3/best3 BY NAME;
+# bumping _BPE_MERGES without regenerating the whole fragment family
+# would silently desync those oracles (still reading tok3) from the
+# Spark side's deeper merge chain (round-13 ADVICE). Fail at import
+# instead.
+assert _BPE_MERGES == 3, (
+    "_BPE_MERGES changed: regenerate _BPE_TRAIN_CTES's unrolled "
+    "_bpe_iteration_sql(k) calls AND every tok3/best3 reference in "
+    "_BPE_ORACLE/_BPE_WENC_SQL/_BPE_VOCAB_ORACLE/_PACK_BPE_ORACLE"
+)
+
 # The full training chain as a reusable CTE fragment: word-frequency
 # corpus pass + char split + _BPE_MERGES unrolled merge iterations.
 # tok3 (== tok{_BPE_MERGES}) is the final per-word symbol sequence —

@@ -481,8 +481,14 @@ def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT content_hash, doc_id, arrival_chunk,
+             -- doc_id NULLS LAST spelled, not defaulted: the Spark
+             -- side's per-batch winner is F.min(doc_id), which IGNORES
+             -- NULLs — a NULL-id row must lose to any non-NULL id in
+             -- its chunk (DuckDB's ASC default happens to coincide,
+             -- but the contract is explicit; round-13 ADVICE).
+             -- arrival_chunk is COALESCE-built above, never NULL.
              ROW_NUMBER() OVER (PARTITION BY content_hash
-                                ORDER BY arrival_chunk, doc_id) AS rn
+                                ORDER BY arrival_chunk, doc_id NULLS LAST) AS rn
       FROM hashed
     )
     SELECT content_hash, doc_id AS keep_doc_id, arrival_chunk

@@ -936,14 +936,18 @@ def pmod_chunk_relay(
     ids shard to chunk 0. ``key`` overrides the sharding expression for
     non-event frames (round 13: incremental_dedup_stream shards
     documents on a clone-scattering key; callers owning an oracle must
-    mirror their key there) — it must already be NULL-safe and
-    nonnegative. The frame is cached for the n filter passes (one real
-    scan, n-1 cache reads) and unpersisted before return."""
+    mirror their key there). The override is coalesced to 0 here, not
+    trusted: a NULL-producing key makes pmod NULL, which matches NO
+    chunk filter and the row silently never arrives — the exact
+    round-10 hazard the default path exists to prevent (round-13
+    ADVICE). Negatives land in [0, n) via pmod either way. The frame
+    is cached for the n filter passes (one real scan, n-1 cache reads)
+    and unpersisted before return."""
     os.makedirs(dest_dir, exist_ok=True)
     chunk = (
         F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(n))
         if key is None
-        else F.pmod(key, F.lit(n))
+        else F.pmod(F.coalesce(key, F.lit(0)), F.lit(n))
     )
     df = df.cache()
     try:

@@ -638,8 +638,16 @@ def test_incremental_dedup_first_arrival_wins(spark):
     min-doc_id rule on this fixture: the fabricated clone of some
     originals lands in an EARLIER chunk and must win. Also proves the
     cross-batch store anti-join fired (one row per distinct hash,
-    never re-accepted)."""
-    from crm_etl_pipeline_spark.queries.llmops import DUP_OFFSET
+    never re-accepted). Expected winners are derived from the RELAYED
+    corpus itself — (content_hash, arrival_chunk) per doc through the
+    harness's own hash + chunk expressions — not reconstructed via
+    clone-id arithmetic, which would break spuriously if two fixture
+    texts were naturally identical (round-13 ADVICE)."""
+    from crm_etl_pipeline_spark.queries.llmops import (
+        _WS_CLASS,
+        _casefold,
+        _exact_corpus,
+    )
     from crm_etl_pipeline_spark.registry import load_all
 
     reg = load_all()
@@ -647,25 +655,42 @@ def test_incremental_dedup_first_arrival_wins(spark):
     by_hash = {r.content_hash: r for r in rows}
     assert len(by_hash) == len(rows)  # one winner per hash: anti-join held
 
-    def chunk(d):
-        return (abs(d) // 7) % 4
-
-    # expected winners from the arrival schedule
-    docs = reg["exact_dedup_documents"].fn(spark, SF_DIR).collect()
-    # exact_dedup emits (content_hash, keep_doc_id=min, n_copies)
-    dup_hashes = {r.content_hash: r.keep_doc_id for r in docs if r.n_copies == 2}
-    assert dup_hashes, "fixture must fabricate duplicate pairs"
-    clone_wins = 0
-    for h, d in dup_hashes.items():
-        c = d + DUP_OFFSET
-        expect = min((chunk(d), d), (chunk(c), c))[1]
+    normalized = _casefold(
+        F.trim(F.regexp_replace(F.col("text"), "[" + _WS_CLASS + "]+", " "))
+    )
+    arrivals = (
+        _exact_corpus(spark, SF_DIR)
+        .select(
+            "doc_id",
+            F.sha2(normalized, 256).alias("content_hash"),
+            streaming.dedup_arrival_chunk().alias("chunk"),
+        )
+        .collect()
+    )
+    assert arrivals, "fixture corpus must be non-empty"
+    # first arrival per hash: min (chunk, doc_id) with NULL ids losing
+    # inside a chunk (the store's F.min ignores NULLs); and the batch
+    # recompute's rule (global min non-NULL doc_id) for the contrast
+    expected: dict = {}
+    batch_min: dict = {}
+    for r in arrivals:
+        key = (r.chunk, r.doc_id is None, r.doc_id or 0)
+        cur = expected.get(r.content_hash)
+        if cur is None or key < cur[0]:
+            expected[r.content_hash] = (key, r.doc_id, r.chunk)
+        if r.doc_id is not None:
+            m = batch_min.get(r.content_hash)
+            if m is None or r.doc_id < m:
+                batch_min[r.content_hash] = r.doc_id
+    # full coverage: every distinct hash accepted exactly once
+    assert set(by_hash) == set(expected)
+    for h, (_, doc_id, chunk) in expected.items():
         got = by_hash[h]
-        assert got.keep_doc_id == expect
-        assert got.arrival_chunk == chunk(expect)
-        if expect != d:
-            clone_wins += 1
+        assert got.keep_doc_id == doc_id
+        assert got.arrival_chunk == chunk
     # the schedule must actually exercise clone-first arrivals, or the
     # first-arrival contract degenerates to the batch min rule
+    clone_wins = sum(
+        1 for h, (_, doc_id, _c) in expected.items() if doc_id != batch_min.get(h)
+    )
     assert clone_wins > 0
-    # full coverage: every distinct hash accepted exactly once
-    assert len(rows) == len(docs)
