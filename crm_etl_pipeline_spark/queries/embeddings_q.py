@@ -957,6 +957,49 @@ def _dist_q(vd: Column, cv: Column) -> Column:
     )
 
 
+def _kmeans_core_sql(src: str) -> str:
+    """The 2-iteration Lloyd CTE chain (seeds → d1 → a1 → c1 → d2) over
+    a deduped (vec_id, vd) source CTE named ``src``. Parameterized in
+    round 14 so semantic_dedup can train the SAME oracle-able k-means
+    on its clone-augmented corpus; ``_kmeans_core_sql("emb")`` renders
+    byte-identical to the r10-certified inline form (md5-pinned in
+    tests/test_llmops.py), so embedding_kmeans's registered oracle text
+    is unchanged."""
+    return f"""seeds AS (
+      -- NULLS FIRST spelled (round-13 null_vec_ids find): a NULL
+      -- vec_id's md5 is NULL — Spark's ASC default is NULLS FIRST,
+      -- DuckDB's NULLS LAST, so the engines trained on different seeds
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) NULLS FIRST,
+                                         vec_id NULLS FIRST) - 1
+               AS cluster, vd AS cv
+      FROM {src} QUALIFY cluster < {_KMEANS_K}
+    ), d1 AS (
+      SELECT e.vec_id, s.cluster,
+             SUM(CAST(FLOOR((e.vd[i] - s.cv[i]) * (e.vd[i] - s.cv[i]) * 1e12)
+                      AS BIGINT)) AS dq
+      FROM {src} e, seeds s, unnest(range(1, {_DIM + 1})) t(i)
+      GROUP BY 1, 2
+    ), a1 AS (
+      SELECT vec_id, cluster
+      FROM d1 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dq, cluster) = 1
+    ), c1 AS (
+      SELECT cluster, list(mean_d ORDER BY i) AS cv FROM (
+        SELECT a1.cluster, i,
+               CAST(SUM(CAST(FLOOR(e.vd[i] * {_MOMENT_SCALE}) AS BIGINT)) AS DOUBLE)
+                 / {_MOMENT_SCALE} / COUNT(*) AS mean_d
+        FROM {src} e JOIN a1 USING (vec_id), unnest(range(1, {_DIM + 1})) t(i)
+        GROUP BY 1, 2
+      ) GROUP BY cluster
+    ), d2 AS (
+      SELECT e.vec_id, c.cluster,
+             SUM(CAST(FLOOR((e.vd[i] - c.cv[i]) * (e.vd[i] - c.cv[i]) * 1e12)
+                      AS BIGINT)) AS dq
+      FROM {src} e, c1 c, unnest(range(1, {_DIM + 1})) t(i)
+      GROUP BY 1, 2
+    )"""
+
+
 @query(
     "embedding_kmeans",
     oracle=f"""
@@ -969,39 +1012,7 @@ def _dist_q(vd: Column, cv: Column) -> Column:
       -- winner (round-10 identity-collision contract — the seed rank
       -- ordering ties on a collided id; mirrors Spark's _one_per_vec)
       {_EMB_ONE_SQL}
-    ), seeds AS (
-      -- NULLS FIRST spelled (round-13 null_vec_ids find): a NULL
-      -- vec_id's md5 is NULL — Spark's ASC default is NULLS FIRST,
-      -- DuckDB's NULLS LAST, so the engines trained on different seeds
-      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) NULLS FIRST,
-                                         vec_id NULLS FIRST) - 1
-               AS cluster, vd AS cv
-      FROM emb QUALIFY cluster < {_KMEANS_K}
-    ), d1 AS (
-      SELECT e.vec_id, s.cluster,
-             SUM(CAST(FLOOR((e.vd[i] - s.cv[i]) * (e.vd[i] - s.cv[i]) * 1e12)
-                      AS BIGINT)) AS dq
-      FROM emb e, seeds s, unnest(range(1, {_DIM + 1})) t(i)
-      GROUP BY 1, 2
-    ), a1 AS (
-      SELECT vec_id, cluster
-      FROM d1 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY dq, cluster) = 1
-    ), c1 AS (
-      SELECT cluster, list(mean_d ORDER BY i) AS cv FROM (
-        SELECT a1.cluster, i,
-               CAST(SUM(CAST(FLOOR(e.vd[i] * {_MOMENT_SCALE}) AS BIGINT)) AS DOUBLE)
-                 / {_MOMENT_SCALE} / COUNT(*) AS mean_d
-        FROM emb e JOIN a1 USING (vec_id), unnest(range(1, {_DIM + 1})) t(i)
-        GROUP BY 1, 2
-      ) GROUP BY cluster
-    ), d2 AS (
-      SELECT e.vec_id, c.cluster,
-             SUM(CAST(FLOOR((e.vd[i] - c.cv[i]) * (e.vd[i] - c.cv[i]) * 1e12)
-                      AS BIGINT)) AS dq
-      FROM emb e, c1 c, unnest(range(1, {_DIM + 1})) t(i)
-      GROUP BY 1, 2
-    )
+    ), {_kmeans_core_sql("emb")}
     SELECT vec_id, cluster, CAST(dq AS BIGINT) AS dq
     FROM d2 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                        ORDER BY dq, cluster) = 1
@@ -1040,6 +1051,14 @@ def embedding_kmeans(
         # id must not tie the seed rank (round-10 identity-collision
         # contract — see _one_per_vec)
     )
+    return _kmeans_assign(emb, iters)
+
+
+def _kmeans_assign(emb: DataFrame, iters: int = _KMEANS_ITERS) -> DataFrame:
+    """Spark twin of _kmeans_core_sql over a deduped (vec_id, vd) frame
+    (extracted from embedding_kmeans in round 14 so semantic_dedup can
+    train on its clone-augmented corpus; the loop body is the
+    r10-certified code verbatim). Returns (vec_id, cluster, dq)."""
     probe = emb.withColumn(
         "_k", F.least(F.col("vec_id") + 1, F.lit(1)).cast("int")
     )  # vec_id >= 0 → key is provably 1 but non-foldable
@@ -1151,6 +1170,183 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "majority_label",
         "n_majority",
         (F.col("n_majority").cast("double") / F.col("n_members")).alias("purity"),
+    )
+
+
+# --- SemDeDup: semantic near-dedup over k-means cells (round 14) ----
+# Keep/drop threshold: the fabricated perturbed clone reads cosine
+# ≈ 0.999 vs ≤ 0.6 for random fixture pairs, so 0.9 separates cleanly.
+# The perturbation is 10× smaller than embedding_near_dup's (+0.05 vs
+# +0.5): near_dup only needs the clone inside the same SIGN bucket,
+# but here the clone must stay in its original's LEARNED cell — on the
+# near-uniform fixture a +0.5 shift flips the argmin centroid for most
+# clones (measured at sf0.01: 3/84 drops at +0.5 vs 81/84 at +0.05),
+# which would leave the drop path practically unexercised.
+_SEM_THRESHOLD = 0.9
+# Full pairwise up to this cell size, anchor-star above — sized so the
+# fixture decades stay full-pairwise (≤ ~300 members/cell at sf0.1)
+# while a pathological mega-cell degrades to O(n) like the LSH buckets.
+# At production scale the REAL bound is k itself: SemDeDup trains
+# k ∝ N/target_cell_size (50k cells for LAION-scale corpora), so the
+# per-cell quadratic term is a constant-sized block; this cap is the
+# guardrail for the skewed tail, not the design point.
+_SEM_CELL_CAP = 512
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH raw_emb AS (
+      -- non-NULL identity spelled (keyset contract precedent): a
+      -- keep/drop verdict is PER IDENTITY — a NULL vec_id cannot be
+      -- kept or dropped, so it is excluded symmetrically up front
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+        AND vec_id IS NOT NULL
+    ), base AS (
+      -- one row per vec_id (round-8 dup + round-10 collision contracts)
+      {_EMB_ONE_SQL}
+    ), emb AS (
+      -- fabricated near-duplicates: the embedding_near_dup perturbation
+      -- shape with a 10× smaller shift (one element shifted +0.05 →
+      -- cosine ≈ 0.999, small enough to keep the clone in its
+      -- original's learned cell), so the drop path is genuinely
+      -- exercised on the clean fixture
+      SELECT vec_id, vd FROM base
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             vd[1:{_PERT_DIM - 1}] || [vd[{_PERT_DIM}] + 0.05] || vd[{_PERT_DIM + 1}:{_DIM}] AS vd
+      FROM base WHERE vec_id % 6 = 0
+    ), {_kmeans_core_sql("emb")},
+    assigned AS (
+      SELECT vec_id, cluster AS cell
+      FROM d2 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dq, cluster) = 1
+    ), m AS (
+      SELECT a.cell, e.vec_id, e.vd, {_fixed_dot_sql('e.vd', 'e.vd')} AS n2
+      FROM emb e JOIN assigned a USING (vec_id)
+    ), sizes AS (
+      SELECT cell, COUNT(*) AS n, MIN(vec_id) AS anchor FROM m GROUP BY cell
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk FROM m
+    ), pairs AS (
+      SELECT b.vec_id AS vec_id,
+             COALESCE(CAST({_fixed_dot_sql('a.vd', 'b.vd')} AS DOUBLE)
+               / NULLIF(SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)), 0), 0.0)
+               AS cosine
+      FROM ranked a
+      JOIN ranked b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN sizes s ON s.cell = a.cell
+      WHERE (s.n <= {_SEM_CELL_CAP} OR a.vec_id = s.anchor)
+        AND a.rk <= {lsh.MEMBER_CAP} AND b.rk <= {lsh.MEMBER_CAP}
+    ), best AS (
+      SELECT vec_id, MAX(cosine) AS best_earlier_sim FROM pairs GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.cell, b.best_earlier_sim,
+           COALESCE(b.best_earlier_sim < {_SEM_THRESHOLD}, TRUE) AS kept
+    FROM assigned a LEFT JOIN best b ON a.vec_id = b.vec_id
+    """,
+    survey="§2.9 near-dedup (SemDeDup: semantic dedup via in-cell cosine over "
+    "k-means cells — Abbas et al. 2023, composed on embedding_kmeans)",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — semantic near-deduplication (Abbas, Tirumala, Simig,
+    Ganguli & Morcos, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", 2023): cluster the embedding
+    corpus with k-means, then inside each cell drop every vector whose
+    cosine similarity to an EARLIER cell member reaches the threshold —
+    the published implementation's rule exactly (per item, max
+    similarity to the items before it in a fixed within-cluster
+    ordering; threshold → drop). The kept set of a duplicate clique is
+    its minimum vec_id; chains over-drop relative to a greedy
+    kept-only sweep, matching the paper's pairwise-matrix form.
+
+    Composed on the SAME oracle-able k-means as embedding_kmeans
+    (_kmeans_assign / _kmeans_core_sql, clone-augmented corpus) — the
+    round-13 verdict's growth slot: exact fixed-point cosine, cell-
+    bucketed pairs, never all-pairs. Perturbed clones are fabricated in
+    the embedding_near_dup shape (+0.05 in one dim — small enough that
+    the clone shares its original's learned cell) so the drop path
+    genuinely fires on the clean fixture (clone id = original + 100000
+    → the original is the earlier member whenever k-means lands the
+    pair in one cell — asserted in tests, not assumed).
+
+    Identity contracts: one row per vec_id (_one_per_vec winner), NULL
+    identities excluded symmetrically up front (a keep/drop verdict is
+    per identity — the keyset_pagination non-NULL-key precedent).
+
+    Scale shape: k-means is the embedding_kmeans plan (broadcast
+    centroids, one window, bounded M-step); the pairwise stage shuffles
+    each vector ONCE to its cell and generates pairs inside the sorted,
+    MEMBER_CAP-bounded membership array (the lsh.py discipline —
+    over-cap cells degrade to anchor-star pairs, counted not silent).
+    At 100 TB the controlling knob is k ∝ N (the paper's posture): cells
+    stay constant-sized, so total pair work is O(N · cell_size), one
+    shuffle, no skew (cell ids are learned, near-balanced by
+    construction of the objective)."""
+    base = _one_per_vec(
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id").isNotNull())
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+        )
+    )
+    pert = base.filter(F.col("vec_id") % 6 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("vd", 1, _PERT_DIM - 1),
+            F.array(F.element_at("vd", _PERT_DIM) + F.lit(0.05)),
+            F.slice("vd", _PERT_DIM + 1, _DIM - _PERT_DIM),
+        ).alias("vd"),
+    )
+    corpus = base.unionAll(pert)
+    assigned = _kmeans_assign(corpus).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    m = corpus.join(assigned, "vec_id").select(
+        "cell", "vec_id", "vd", _fixed_norm2(F.col("vd")).alias("n2")
+    )
+    cells = lsh.bounded_sorted_members(
+        m,
+        ["cell"],
+        member=F.struct("vec_id", "vd", "n2"),
+        order=F.col("vec_id"),
+        alias="m",
+    )
+    pair_array = lsh.capped_pair_array(
+        F.col("m"),
+        lambda x, y: F.struct(
+            y["vec_id"].alias("vec_id"),
+            x["vd"].alias("va"),
+            y["vd"].alias("vb"),
+            x["n2"].alias("n2a"),
+            y["n2"].alias("n2b"),
+        ),
+        cap=_SEM_CELL_CAP,
+    )
+    p = cells.select(F.explode(pair_array).alias("p"))
+    cosine = F.coalesce(
+        F.try_divide(
+            F.col("dotq").cast("double"),
+            F.sqrt(F.col("p.n2a").cast("double"))
+            * F.sqrt(F.col("p.n2b").cast("double")),
+        ),
+        F.lit(0.0),
+    )
+    best = (
+        p.withColumn("dotq", _fixed_dot(F.col("p.va"), F.col("p.vb")))
+        .select(F.col("p.vec_id").alias("vec_id"), cosine.alias("cosine"))
+        .groupBy("vec_id")
+        .agg(F.max("cosine").alias("best_earlier_sim"))
+    )
+    return assigned.join(best, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "best_earlier_sim",
+        F.coalesce(
+            F.col("best_earlier_sim") < F.lit(_SEM_THRESHOLD), F.lit(True)
+        ).alias("kept"),
     )
 
 

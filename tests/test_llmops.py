@@ -1156,3 +1156,71 @@ def test_bpe_subword_vocab_matches_reference(spark):
     assert got == expected
     # the merged units learned by the trainer appear in the vocabulary
     assert any(m for *_rest, m in got)
+
+
+# --- semantic_dedup (round 14) ---------------------------------------
+
+
+def test_kmeans_core_sql_rendering_pinned():
+    """_kmeans_core_sql("emb") must render embedding_kmeans's oracle
+    byte-identical to the r10-certified inline form — the round-14
+    parameterization (for semantic_dedup's clone-augmented corpus) is a
+    pure extraction, not a semantic change."""
+    import hashlib
+
+    assert (
+        hashlib.md5(REGISTRY["embedding_kmeans"].oracle.encode()).hexdigest()
+        == "ed8ebb80376e7976f253bbfa91295935"
+    )
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup keep/drop contract: (1) coverage — exactly one verdict
+    per corpus identity (deduped base + fabricated clones), never a
+    silent drop of a row; (2) each cell's minimum vec_id is kept with
+    no earlier-member similarity (it HAS no earlier member); (3) the
+    verdict is exactly the threshold rule; (4) every fabricated clone
+    that shares its original's learned cell is dropped (cosine ≈ 0.999
+    to an earlier member), and on this fixture that is most of them —
+    the drop path is genuinely exercised."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.queries.embeddings_q import (
+        _SEM_THRESHOLD,
+        _emb,
+        _one_per_vec,
+    )
+
+    rows = _rows(spark, "semantic_dedup")
+    base_ids = {
+        r.vec_id
+        for r in _one_per_vec(
+            _emb(spark, SF_DIR)
+            .filter(F.col("vec_id").isNotNull())
+            .select("vec_id", F.col("embedding").alias("vd"))
+        )
+        .select("vec_id")
+        .collect()
+    }
+    clone_ids = {v + 100000 for v in base_ids if v % 6 == 0}
+    assert {r.vec_id for r in rows} == base_ids | clone_ids
+    assert len(rows) == len(base_ids) + len(clone_ids)
+
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for members in by_cell.values():
+        anchor = min(members, key=lambda r: r.vec_id)
+        assert anchor.kept and anchor.best_earlier_sim is None
+
+    for r in rows:
+        assert r.kept == (
+            r.best_earlier_sim is None or r.best_earlier_sim < _SEM_THRESHOLD
+        )
+
+    cell_of = {r.vec_id: r.cell for r in rows}
+    kept_of = {r.vec_id: r.kept for r in rows}
+    shared = [c for c in clone_ids if cell_of[c] == cell_of[c - 100000]]
+    assert len(shared) >= len(clone_ids) // 2, "perturbation flipped most cells"
+    # a clone in its original's cell has an earlier ≈0.999 neighbor
+    assert all(not kept_of[c] for c in shared)
