@@ -1266,3 +1266,115 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str, workdir: str) -> 
     )
     q.awaitTermination()
     return out
+
+
+def ivf_arrival_pred() -> Column:
+    """Arrival split for the incremental-IVF harness: every vector
+    whose (NULL-safe, nonnegative) id lands on residue 2 mod 5 arrives
+    LIVE through the stream; the rest form the bootstrap corpus the
+    codebook is trained on. abs+coalesce keeps the predicate NULL-safe
+    and makes the oracle's ``%`` read identically (the pmod-vs-%%
+    hazard class; a NULL vec_id bootstraps — it could never arrive
+    through the id-sharded relay anyway)."""
+    return F.pmod(
+        F.coalesce(F.abs(F.col("vec_id")), F.lit(0)), F.lit(5)
+    ) == F.lit(2)
+
+
+def incremental_ivf_stream(spark: SparkSession, sf_dir: str, workdir: str) -> str | None:
+    """Incremental IVF index maintenance — the serving-index half of
+    the ingest story (the streaming_zorder_ingest pattern applied to
+    ann_ivf_persisted_index, the round-13 verdict's growth slot #6):
+    new vectors arrive in micro-batches, are assigned to the EXISTING
+    cells of a bootstrap-trained codebook, and land as appends that
+    touch only their cell partitions — the base index is never
+    rewritten, and probe queries against the merged store return
+    exactly what a one-shot batch assignment against the same codebook
+    would (the invariance the oracle checks).
+
+    Three stages, mirroring how a production IVF index runs:
+
+    1. **Bootstrap (batch)** — vectors off the arrival residue
+       (ivf_arrival_pred) train the per-label codebook
+       (``_ivf_codebook``), and the assigned base index lands
+       cell-partitioned (``partitionBy("cell")``), exactly the
+       ann_ivf_persisted_index layout. The codebook is persisted as
+       store METADATA — incremental maintenance must assign against
+       the frozen codebook, not retrain it (retraining is a rebuild).
+    2. **Live tail (stream)** — arrival vectors re-laid as 4 files
+       with monotone mtimes, drained by a real file-source readStream
+       (maxFilesPerTrigger=1 → 4 genuine micro-batches).
+       ``foreachBatch``: assign the batch against the broadcast frozen
+       codebook, append partitioned by cell — each micro-batch writes
+       ONLY the cell directories it touches, O(batch·k) work, zero
+       reads of the base index on the hot path.
+    3. **Serve** — the probe search runs against the merged store
+       (see ann_ivf_incremental_index), dynamic-partition-pruned to
+       the probes' cells like the persisted-index twin.
+
+    Returns the store path (None for an empty bootstrap corpus — with
+    no codebook there are no cells to assign arrivals to; the oracle's
+    centroid CTE is empty too).
+
+    Scale shape: steady state is stage 2 — per-batch cost is one
+    broadcast of the k×d codebook + an argmin window partitioned by
+    vec_id within the batch, then a cell-partitioned append. Cell
+    drift (arrivals shifting the true centroids away from the frozen
+    codebook) is the documented operational trade: production systems
+    re-train + rebuild when recall decays (ann_recall_selfcheck is the
+    monitor), exactly as this harness separates bootstrap from
+    maintenance."""
+    from crm_etl_pipeline_spark.queries.embeddings_q import (
+        _emb,
+        _fixed_norm2,
+        _ivf_assign,
+        _ivf_codebook,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    boot = emb.filter(~ivf_arrival_pred())
+    if boot.isEmpty():
+        return None
+
+    cb_dir = os.path.join(workdir, "codebook")
+    _ivf_codebook(boot).write.mode("overwrite").parquet(cb_dir)
+    codebook = spark.read.parquet(cb_dir)
+
+    store = os.path.join(workdir, "ivf_index")
+
+    def indexed(frame: DataFrame) -> DataFrame:
+        cells = _ivf_assign(frame, codebook, max_rank=1).select("vec_id", "cell")
+        return frame.join(cells, "vec_id").select(
+            "vec_id",
+            "embedding",
+            _fixed_norm2(F.col("embedding")).alias("n2"),
+            "cell",
+        )
+
+    indexed(boot).write.mode("overwrite").partitionBy("cell").parquet(store)
+
+    arrivals_dir = os.path.join(workdir, "arrivals")
+    pmod_chunk_relay(
+        emb.filter(ivf_arrival_pred()).select("vec_id", "embedding"),
+        arrivals_dir,
+        n=4,
+        key=F.coalesce(F.abs(F.col("vec_id")), F.lit(0)),
+    )
+    schema = spark.read.parquet(os.path.join(arrivals_dir, "e0.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals_dir)
+    )
+
+    def index_batch(batch: DataFrame, batch_id: int) -> None:
+        indexed(batch).write.mode("append").partitionBy("cell").parquet(store)
+
+    q = (
+        raw.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", os.path.join(workdir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store

@@ -694,3 +694,79 @@ def test_incremental_dedup_first_arrival_wins(spark):
         1 for h, (_, doc_id, _c) in expected.items() if doc_id != batch_min.get(h)
     )
     assert clone_wins > 0
+
+
+def test_incremental_ivf_append_only_and_batch_parity(spark, tmp_path):
+    """The incremental IVF store must (1) equal the one-shot batch
+    assignment of the FULL corpus against the bootstrap-trained frozen
+    codebook — the invariance that makes incremental maintenance
+    correct at all; (2) be append-only: no file mixes bootstrap and
+    arrival vectors (an append can't rewrite base data into merged
+    files), and every arrival-bearing file is newer than every
+    base file (base files untouched by the stream); (3) leave cell
+    directories with no arrivals containing zero arrival-bearing
+    files (micro-batches write only touched cell partitions)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as papq
+
+    from crm_etl_pipeline_spark.queries.embeddings_q import (
+        _emb,
+        _fixed_norm2,
+        _ivf_assign,
+        _ivf_codebook,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = streaming.incremental_ivf_stream(spark, sf, str(tmp_path / "ivf"))
+    assert store is not None
+    got = sorted(
+        (r.vec_id, tuple(r.embedding), r.n2, r.cell)
+        for r in spark.read.parquet(store).collect()
+    )
+
+    emb = _emb(spark, sf).select("vec_id", "embedding", "label")
+    boot = emb.filter(~streaming.ivf_arrival_pred())
+    codebook = _ivf_codebook(boot)
+    cells = _ivf_assign(emb, codebook, max_rank=1).select("vec_id", "cell")
+    twin = emb.join(cells, "vec_id").select(
+        "vec_id", "embedding", _fixed_norm2(F.col("embedding")).alias("n2"), "cell"
+    )
+    want = sorted(
+        (r.vec_id, tuple(r.embedding), r.n2, r.cell) for r in twin.collect()
+    )
+    assert got == want  # merged store == one-shot batch twin
+
+    arrival_ids = {
+        r.vec_id
+        for r in emb.filter(streaming.ivf_arrival_pred()).select("vec_id").collect()
+    }
+    assert arrival_ids, "fixture must route some vectors through the stream"
+    files = glob.glob(os.path.join(store, "cell=*", "*.parquet"))
+    assert files
+    info = []  # (path, cell_dir, has_base, has_arrival, mtime)
+    for f in files:
+        ids = set(papq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist())
+        info.append(
+            (
+                os.path.dirname(f),
+                bool(ids - arrival_ids),
+                bool(ids & arrival_ids),
+                os.path.getmtime(f),
+            )
+        )
+    # (2) append-only: no mixed files; arrivals strictly after base
+    assert not any(has_b and has_a for _, has_b, has_a, _ in info)
+    base_mt = [mt for _, has_b, _a, mt in info if has_b]
+    arr_mt = [mt for _, _b, has_a, mt in info if has_a]
+    assert arr_mt, "arrival batches must have produced files"
+    assert max(base_mt) <= min(arr_mt)
+    # (3) untouched cells carry zero arrival files
+    arrival_cells = {
+        r.cell
+        for r in twin.filter(F.col("vec_id").isin(arrival_ids)).select("cell").collect()
+    }
+    for d, _b, has_a, _mt in info:
+        if has_a:
+            assert int(d.rsplit("cell=", 1)[1]) in arrival_cells

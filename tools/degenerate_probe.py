@@ -941,11 +941,11 @@ PROBES = [
     ("tiny_embeddings", {"embeddings": lambda t: t.slice(0, 3)},
      ["knn_label_disagreement", "embedding_kmeans", "kmeans_cluster_purity",
       "ann_cosine_topk", "embedding_standardize", "embedding_quantize_int8",
-      "ann_pq_adc", "semantic_dedup"]),
+      "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("zero_vec", {"embeddings": zero_first_vec},
      ["ann_cosine_topk", "embedding_near_dup", "ann_lsh_bucketed",
       "ann_ivf_probe", "ann_ivf_nprobe2", "embedding_norm_topk",
-      "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup"]),
+      "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("single_event", {"events": one_row},
      ["sessionization", "session_window_builtin", "session_path_trigrams",
       "event_transition_matrix", "ewma_user_value", "funnel_conversion",
@@ -1057,7 +1057,7 @@ PROBES = [
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
-      "embedding_kmeans", "knn_label_disagreement", "ann_pq_adc", "semantic_dedup"]),
+      "embedding_kmeans", "knn_label_disagreement", "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("dup_docs", {"documents": duplicate_every_7th},
      ["exact_dedup_documents", "minhash_near_dup", "simhash_near_dup",
       "lsh_bucket_profile", "ngram_jaccard_verify",
@@ -1141,7 +1141,7 @@ PROBES = [
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("extreme_values", {"events": extreme_values},
      ["event_value_anomalies", "streaming_moments_anomalies",
       "winsorize_event_values", "robust_outliers_mad",
@@ -1157,7 +1157,7 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("id_collision_docs", {"documents": id_collision_docs},
      ["exact_dedup_documents", "dedup_incremental_new_docs",
       "chunk_documents", "doc_fingerprint", "bm25_topk_search",
@@ -1217,14 +1217,14 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("id_collision_embs", {"embeddings": id_collision_embs},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("id_collision_events", {"events": id_collision_events},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_soft_delete", "scd2_expire_versions",
@@ -1264,14 +1264,14 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("dup_embs", {"embeddings": duplicate_every_7th},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_ivf_persisted_index",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("dup_events", {"events": duplicate_every_7th},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_expire_versions", "version_counts_per_key",
@@ -1297,7 +1297,7 @@ PROBES = [
       "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
-      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
     ("empty_orders", {"orders": empty_table},
      ["join_left_missing", "join_semi", "join_anti", "join_full_outer",
       "latest_order_per_customer", "topk_orders_by_revenue",
