@@ -24,162 +24,127 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 )
 
 # Queries the driver's bounded correctness prefix should check FIRST
-# this round. Round-13 rotation, executing the round-12 verdict's
-# ranked tasks 1-2 verbatim:
+# this round. Round-14 rotation, executing the round-13 verdict's
+# ranked task 1 (with the round-14 changed-bytes rows folded in):
 #
-# CORRECTNESS_r12 landed 50/50 green; the age distribution over the
-# r1-r12 union is r12:50, r11:47, r10:48, r9:39, r8:2 — 186 queries
-# ever checked, zero latest-check failures, and exactly one
-# registered query (bigram_lm_quality_filter) never yet in a window.
+# CORRECTNESS_r13 landed 50/50 green; the age distribution over the
+# r1-r13 union is r13:50, r12:48, r11:45, r10:48 — 191 queries ever
+# checked, zero latest-check failures, every registered query checked
+# at least once. This round registers 2 new queries (193 total) and
+# the candidate set is 62 for 50 slots; the two-defer precedent
+# extends to TWELVE defers, named below and promised for round 15.
 #
 # This window, in verdict-ranked order:
-#   (a) never-driver-checked + changed code + new registrations
-#       (changed code outranks age, per the standing precedent):
-#       - bigram_lm_quality_filter FIRST: the only registered query
-#         with no CORRECTNESS row ever (verdict task 1, promised by
-#         name at its round-12 late-registration note); its code also
-#         changed this round (the \z token-gate anchor closing the
-#         trailing-line-terminator divergence, and the null-safe
-#         n_pairs corpus-mean attach key — both round-12 ADVICE
-#         closes, sweep-certified on the new whitespace_storm
-#         trailing-terminator frames);
-#       - bpe_merge_training: its token gate changed to the same \z
-#         anchor and its body was refactored into the shared
-#         _bpe_words/_bpe_train helpers (oracle text changed too:
-#         shared _BPE_TRAIN_CTES fragment) — pytest-oracle-green and
-#         11-batch sweep-certified at the new HEAD;
-#       - streaming_incremental_dedup: NEW — the streaming x dedup
-#         crossover (ingest-time first-arrival exact dedup:
-#         readStream -> per-batch hash collapse -> null-safe store
-#         anti-join -> append), 12 document sweep batches, invariant
-#         test proving the first-arrival winner differs from the
-#         batch recompute's min-id rule on this fixture;
-#       - bpe_encode, pack_bpe_sequences, bpe_subword_vocab: NEW (the
-#         round-12 verdict's growth slot #5, closing the tokenizer
-#         train->encode->pack loop, plus the trained-vocabulary
-#         artifact); textbook-reference-tested against an independent
-#         pure-Python train+encode+pack, 11 document sweep batches
-#         each, full DuckDB oracles sharing the trainer's CTE chain.
-#       Changed code NOT in the window, hash-unchanged-proven:
-#       streaming.pmod_chunk_relay gained an optional ``key`` param
-#       for the document ingest harness; the default preserves the
-#       event_id contract byte-for-byte, and both existing consumers
-#       are covered at this HEAD (streaming_zorder_ingest re-verified
-#       through the entry contract this round, hash-match at sf0.01;
-#       streaming_dim_enrichment oracle-green in the full pytest run).
-#       Changed code NOT in the window (the round-12 precedent),
-#       each hash-unchanged-proven at the driver SF: embedding_kmeans,
-#       kmeans_cluster_purity and ann_pq_adc gained spelled NULLS
-#       FIRST seed windows (the round-13(e) null_vec_ids batch find —
-#       value-identical at sf0.01 where no NULL vec_id exists;
-#       full-hash oracle pytest green at HEAD, 15/15 batch-certified).
-#       All three are r10-tier rows: round 14's natural window takes
-#       them WITH their changed-code priority. The same audit then
-#       spelled the two remaining unspelled hash-rank windows
-#       (weighted_sample_allocation, r10-tier — same round-14 path)
-#       and gave sample_stratified_hashrank (r12-fresh) the text
-#       tiebreak closing the second-order complete-tie split — both
-#       full-hash pytest- AND entry-contract-green at sf0.01 at this
-#       HEAD, probe-certified on null_doc_ids + id_collision_docs;
-#       sample_stratified_hashrank leads the round-14 changed-code
-#       slots — joined by the const_ts_null_ids closes: fifo_head
-#       (r10-tier), event_transition_matrix (r9 — IN this window, so
-#       its changed code is window-covered), and the _STORE_SQL
-#       placement spelling, which changes the ORACLE TEXT of the whole
-#       scd2 family (versioned_store, current_view, asof_snapshot,
-#       expire_versions, store_roundtrip, soft_delete, compact,
-#       streaming_scd2_state) — every one full-hash pytest-green at
-#       sf0.01 at this HEAD (no NULL event_id / tied-ts storm exists
-#       in the driver fixtures) and re-certified by the const_ts,
-#       null_event_ids, dup_events and far_future_ts batches. The
-#       orders composition closed the axis: keyset_pagination_orders
-#       (IN this window — changed code window-covered: NULL keys now
-#       excluded by the keyset contract) and lag_order_gap_days
-#       (r12-fresh; placement spelled — joins the round-14
-#       changed-code slots), both full-hash green at sf0.01.
-#   (b) the 39 r9 rows — 4 driver-rounds stale after this round if
-#       skipped (the repo's own ceiling); verdict task 2.
-#   (c) the two r8 defers, age 4 THIS round, promised by name at
-#       their round-12 defer notes: topk_per_group,
-#       percent_rank_acctbal (verdict task 2).
-#   (d) 3 changed-code/changed-oracle rows from the round-13(d)
-#       null_doc_ids sweep batch (changed code outranks the
-#       pre-rotation headroom that previously filled these slots):
-#       pack_training_sequences + language_temperature_sample gained
-#       spelled NULLS FIRST placements in their oracle ORDER BYs
-#       (md5(CAST(NULL)) is a NULL key; Spark's ASC default is NULLS
-#       FIRST, DuckDB's is NULLS LAST — the batch caught both), and
-#       boilerplate_line_removal's doc-key assembly joins went
-#       null-safe in both engines (a NULL-id winner vanished from the
-#       plain inner equi-join). All three (and pack_bpe_sequences,
-#       already in (a)) are full-hash pytest-oracle-green at sf0.01 at
-#       this HEAD — the driver fixtures carry no NULL doc_ids, so the
-#       changes are value-identical there; the new batch certifies the
-#       NULL-id behavior (21/21 OK after the fixes).
+#   (a) NEVER-CHECKED (new round-14 registrations):
+#       - semantic_dedup: SemDeDup over k-means cells (verdict growth
+#         slot #5) — parameterized _kmeans_core_sql/_kmeans_assign,
+#         full oracle, 10 embedding sweep batches green;
+#       - ann_ivf_incremental_index: streamed arrivals assigned to a
+#         frozen bootstrap codebook, append-only cell partitions
+#         (verdict growth slot #6) — batch-parity + append-only proven
+#         in tests/test_streaming.py, 10 sweep batches green.
+#   (b) CHANGED BYTES this round (changed code outranks age):
+#       - ann_recall_selfcheck (r12), ann_ivf_probe, ann_ivf_nprobe2,
+#         ann_ivf_persisted_index (r10): the _ASSIGN_SQL row-grain
+#         collision fix — the new incremental query EXPOSED a latent
+#         cross-engine split (DuckDB argmin-of-summed-residuals vs
+#         Spark per-row argmin under id_collision_embs: 9/16 collided
+#         ids flipped cells); the whole IVF family's oracle text moved
+#         together and re-swept green (see _ASSIGN_SQL's comment);
+#       - embedding_kmeans, kmeans_cluster_purity (r10): Spark loop
+#         extracted into _kmeans_assign and the oracle CTE chain into
+#         _kmeans_core_sql for semantic_dedup — rendering byte-identical
+#         (md5-pinned in tests/test_llmops.py), plus the round-13
+#         campaign's NULLS FIRST seed windows, still un-driver-checked;
+#       - streaming_incremental_dedup (r13): the round-13 ADVICE close
+#         spelled doc_id NULLS LAST in its oracle's ranked window, and
+#         pmod_chunk_relay's key override went null-safe;
+#       - ann_pq_adc, weighted_sample_allocation, fifo_head (r10) and
+#         sample_stratified_hashrank, lag_order_gap_days (r12): the
+#         round-13 hazard campaign's changed bytes (seed windows,
+#         hash-rank spellings, tiebreaks) that never got a driver row
+#         on the new bytes — the round-13 verdict's #1 ask;
+#       - the scd2 family x8 (r11): _STORE_SQL's placement spelling
+#         changed the ORACLE TEXT of scd2_versioned_store,
+#         scd2_current_view, scd2_asof_snapshot, scd2_expire_versions,
+#         scd2_store_roundtrip, scd2_soft_delete,
+#         scd2_compact_small_files, streaming_scd2_state — all
+#         full-hash pytest-green at HEAD, const_ts/null_event_ids/
+#         dup_events batch-certified, now driver-checked on the bytes.
+#   (c) 28 of the 40 unchanged r10 rows (age 4 this round — at the
+#       ceiling): every multimodal decode path, the gateway family,
+#       the serving ANN/embedding scans, sources and sessionization.
+#   (d) TWELVE r10 defers to round 15, promised by name (unchanged
+#       bytes since r10, pure-Catalyst or manifest-grain shapes with
+#       the strongest sweep coverage and pytest-oracle re-verification
+#       every round): join_anti, join_semi, setops_segments,
+#       hidden_field_projection, return_type_fallback,
+#       props_from_json_typed, partition_pruned_scan,
+#       abc_pareto_classification, multimodal_manifest,
+#       multimodal_mp4_seek_plan, multimodal_frame_sample,
+#       interpolate_daily_user_value. Round 15's window is these 12 +
+#       whatever round 14 changes — far under budget.
 #
-# Age accounting if this window lands 50/50: registry 187 -> 191,
-# r13:50, r12:46, r11:47, r10:48, r9:0 tier cleared, r8:0 — max age 3
-# rounds, no query past the ceiling, every registered query
-# driver-checked at least once. Round 14's natural window is the 48
-# r10 rows + changed-code slots (the two-defer precedent covers the
-# overflow if registrations land).
+# Age accounting if this window lands 50/50: registry 193; r14:50,
+# r13:49, r12:45, r11:37, r10:12 (the named defers, age 5 when round
+# 15 checks them first) — every other query age <= 3, zero
+# never-checked.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the
 # rest follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).
 DRIVER_PRIORITY: list[str] = [
-    # --- (a) never-checked first, then changed code / new ---
-    "bigram_lm_quality_filter",
-    "bpe_merge_training",
-    "bpe_encode",
-    "pack_bpe_sequences",
-    "bpe_subword_vocab",
+    # --- (a) never-checked new registrations ---
+    "semantic_dedup",
+    "ann_ivf_incremental_index",
+    # --- (b) changed-bytes rows ---
+    "ann_recall_selfcheck",
+    "ann_ivf_probe",
+    "ann_ivf_nprobe2",
+    "ann_ivf_persisted_index",
+    "embedding_kmeans",
+    "kmeans_cluster_purity",
     "streaming_incremental_dedup",
-    # --- (b) the 39 r9 rows, age 4 after this round if skipped ---
-    "approx_distinct_selfcheck",
-    "attribution_last_touch",
-    "benford_price_audit",
-    "bloom_semi_join_prune",
-    "bm25_topk_search",
-    "catalog_tree",
-    "cdc_derive_changes",
-    "chi_square_segment_nation",
-    "cohort_retention",
-    "copurchase_lift_topk",
-    "countmin_heavy_hitters",
-    "dedup_incremental_new_docs",
-    "event_transition_matrix",
-    "event_value_anomalies",
-    "ewma_user_value",
-    "exact_dedup_documents",
-    "funnel_conversion",
-    "gapfill_daily_user_revenue",
-    "histogram_equi_depth",
-    "incremental_agg_merge",
-    "inverted_index_postings",
-    "keyset_pagination_orders",
-    "kmv_set_intersection",
-    "multimodal_byte_dedup",
-    "ols_frequency_monetary",
-    "pii_redaction",
-    "pps_systematic_sample",
-    "record_linkage_fuzzy",
-    "regional_supplier_volume",
-    "rfm_segmentation",
-    "robust_outliers_mad",
-    "shipping_delay_audit",
-    "streaming_dlq_replay",
-    "streaming_late_data_audit",
-    "streaming_moments_anomalies",
-    "streaming_stream_stream_join",
-    "token_profile",
-    "token_rarity_score",
-    "winsorize_event_values",
-    # --- (c) the two age-4 r8 defers, promised by name ---
-    "topk_per_group",
-    "percent_rank_acctbal",
-    # --- (d) changed-code rows from the null_doc_ids batch ---
-    "pack_training_sequences",
-    "language_temperature_sample",
-    "boilerplate_line_removal",
+    "ann_pq_adc",
+    "weighted_sample_allocation",
+    "fifo_head",
+    "sample_stratified_hashrank",
+    "lag_order_gap_days",
+    "scd2_versioned_store",
+    "scd2_current_view",
+    "scd2_asof_snapshot",
+    "scd2_expire_versions",
+    "scd2_store_roundtrip",
+    "scd2_soft_delete",
+    "scd2_compact_small_files",
+    "streaming_scd2_state",
+    # --- (c) the 28 windowed r10 age rows ---
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "audio_energy_windows",
+    "backoff_penalty_audit",
+    "catalog_drift",
+    "cdc_apply_snapshot",
+    "chunk_documents",
+    "embedding_centroid_per_label",
+    "embedding_near_dup",
+    "embedding_norm_topk",
+    "embedding_quantize_int8",
+    "embedding_standardize",
+    "event_dedup_last_write_wins",
+    "join_fk_enrichment",
+    "json_source_roundtrip",
+    "knn_label_disagreement",
+    "language_id_ngram",
+    "multimodal_decode_quarantine",
+    "multimodal_features",
+    "multimodal_real_decode",
+    "rate_limit_admission",
+    "salted_user_event_totals",
+    "session_path_trigrams",
+    "sessionization",
+    "streaming_rate_limit",
+    "text_stats",
+    "tumbling_daily_counts",
+    "utf8_ingest_quarantine",
 ]
