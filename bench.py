@@ -92,6 +92,15 @@ TIER2 = [
     # filter — document-corpus family, one corpus pass + vocabulary
     # model joins (isolated anchor 2.07 s)
     "bigram_lm_quality_filter",
+    # round-14 additions (the round-13 verdict's task 4: the tokenizer
+    # loop promoted together at the round boundary, anchors
+    # bpe_merge_training 3.42 / bpe_encode 3.392 / pack_bpe_sequences
+    # 2.790 / bpe_subword_vocab 2.840 — all share the trainer's
+    # vocab-grain merge chain)
+    "bpe_merge_training",
+    "bpe_encode",
+    "pack_bpe_sequences",
+    "bpe_subword_vocab",
 ]
 
 # Tier 3 (new in round 8): the MAINTENANCE jobs — write-inclusive
@@ -115,7 +124,25 @@ TIER3 = [
     # comparability): the incremental Z-order merge — delta-touched
     # curve segments only, via dynamic partition overwrite
     "zorder_incremental_compact",
+    # round-14 addition (verdict task 4 placed it "into the dedup
+    # family"; it lands HERE because every run re-lays the 4 arrival
+    # chunks, drains a real readStream and writes the store — fully
+    # write-inclusive, the tier-3 regime, unlike its read-only batch
+    # twin exact_dedup_documents in tier 1). Loaded-draw anchor 3.027.
+    "streaming_incremental_dedup",
 ]
+
+# Host-normalization control (round-14 protocol, replacing the
+# unreachable idle-calib band as the cross-boot gate — the round-13
+# verdict's task 3): the r10-certified tier-1 bytes, re-timed on THE
+# SAME BOOT as every bench block under the modern protocol (3 warmups
+# + best-of-5 separated passes). Byte-identical code can only move
+# with the host, so (HEAD old-14 subtotal) / (control total) is a
+# host-free code gate: the round-13 control run measured HEAD at
+# ~0.85x the certified bytes on a boot where BOTH read ~54% above
+# their certified absolutes. Gate: the ratio, not the absolute.
+CONTROL_COMMIT = "7edbb7a"
+CONTROL_DIR = f"/tmp/spark_graft_control_{CONTROL_COMMIT}"
 
 
 def _time_tier(reg, spark: object, sf_dir: str, names: list[str], warmups: int, reps: int) -> dict[str, float]:
@@ -179,6 +206,70 @@ def _calibrate(spark: object) -> dict[str, float]:
     return out
 
 
+_CONTROL_SCRIPT = """
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from bench import HEADLINE
+from crm_etl_pipeline_spark.registry import load_all
+from crm_etl_pipeline_spark.session import get_spark
+sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+spark = get_spark("bench-control")
+reg = load_all()
+names = [n for n in HEADLINE if n in reg]
+for _ in range(3):
+    for n in names:
+        reg[n].fn(spark, sf_dir).count()
+t = dict.fromkeys(names, float("inf"))
+for _ in range(5):
+    for n in names:
+        t0 = time.perf_counter()
+        reg[n].fn(spark, sf_dir).count()
+        t[n] = min(t[n], time.perf_counter() - t0)
+print("CONTROL_JSON:" + json.dumps(
+    {"total": round(sum(t.values()), 4),
+     "queries": {k: round(v, 4) for k, v in t.items()}}))
+spark.stop()
+"""
+
+
+def _control_tier1(sf_dir: str) -> dict:
+    """Time the pinned control bytes (CONTROL_COMMIT's own HEADLINE,
+    its own registry code) in a detached worktree under the modern
+    estimator, in a SEPARATE process so the two code versions never
+    share an interpreter. Returns {"total", "queries"} plus the
+    control headline names, or {"error": ...} — the bench line always
+    prints either way."""
+    import subprocess
+
+    repo = str(Path(__file__).resolve().parent)
+    if not os.path.isdir(os.path.join(CONTROL_DIR, "crm_etl_pipeline_spark")):
+        subprocess.run(
+            ["git", "worktree", "prune"], cwd=repo, check=False, capture_output=True
+        )
+        r = subprocess.run(
+            ["git", "worktree", "add", "--force", "--detach", CONTROL_DIR, CONTROL_COMMIT],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode:
+            return {"error": f"worktree add failed: {r.stderr.strip()[:200]}"}
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
+    env.pop("PYTHONPATH", None)  # the control must import ONLY its own bytes
+    r = subprocess.run(
+        [sys.executable, "-c", _CONTROL_SCRIPT],
+        cwd=CONTROL_DIR,
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1800,
+    )
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith("CONTROL_JSON:"):
+            return json.loads(line[len("CONTROL_JSON:"):])
+    return {"error": f"no control output (rc={r.returncode}): {r.stderr.strip()[-200:]}"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
@@ -192,6 +283,28 @@ def main() -> None:
     # N >= 3 draws per query (the write path is stable, but the
     # estimator's whole point is surviving one roaming-I/O pass)
     tier3 = _time_tier(reg, spark, sf_dir, [n for n in TIER3 if n in reg], 1, 3)
+    spark.stop()
+    # host-normalization control (round-14 protocol): run AFTER the
+    # HEAD session stops so the two JVMs never contend; skippable for
+    # fast local iteration with SPARK_GRAFT_CONTROL=0
+    control: dict = {"commit": CONTROL_COMMIT}
+    if os.environ.get("SPARK_GRAFT_CONTROL", "1") != "0":
+        try:
+            control.update(_control_tier1(sf_dir))
+        except Exception as exc:  # noqa: BLE001 — the bench line must still print
+            control["error"] = repr(exc)[:200]
+        if "total" in control:
+            # the ratio compares LIKE membership: HEAD's subtotal over
+            # the control's own headline names (the BENCHNOTES "old-N
+            # subtotal" convention), so tier-1 growth never skews it
+            shared = [n for n in control.get("queries", {}) if n in tier1]
+            head_shared = round(sum(tier1[n] for n in shared), 4)
+            control["head_shared_subtotal"] = head_shared
+            control["head_over_control"] = (
+                round(head_shared / control["total"], 4) if control["total"] else None
+            )
+    else:
+        control["skipped"] = True
     print(
         json.dumps(
             {
@@ -204,11 +317,11 @@ def main() -> None:
                 "tier3": tier3,
                 "tier3_total": round(sum(tier3.values()), 4),
                 "calib": calib,
+                "control": control,
                 "sf": sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
