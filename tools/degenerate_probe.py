@@ -262,6 +262,20 @@ duplicated vector's dq (and its M-step weight) while Spark's per-row
 expression didn't, and embedding_near_dup's bucket membership
 join-exploded — both closed with the vec_id identity dedup on both
 sides (Spark dropDuplicates + oracle DISTINCT).
+Round-14: the two new registrations joined all 10 embedding batches
+(semantic_dedup and ann_ivf_incremental_index, 20 memberships, incl.
+const_vec exercising semantic_dedup's >cap star path on a 584-member
+cell and empty_embeddings its empty-bootstrap return). The
+incremental-index probe immediately found the round-14 divergence
+class: _ASSIGN_SQL's argmin ran over residuals SUMMED ACROSS a
+collided id's payload rows (GROUP BY vec_id, label) while Spark's
+_ivf_assign window argmins per row — a latent split in the whole
+certified IVF family that never surfaced because collided vectors
+don't reach any probe's top-3 on this fixture (verified: 9/16
+collided ids flip cells between the two grains). Closed by spelling
+the row grain in the oracle (GROUP BY vec_id, embedding, label — a
+no-op on collision-free data); the 10 batches re-ran 170/170 OK and
+the IVF family re-joined the round-14 driver window on the new bytes.
 """
 
 from __future__ import annotations
