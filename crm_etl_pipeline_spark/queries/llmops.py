@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from crm_etl_pipeline_spark import lsh
 from crm_etl_pipeline_spark.io import table
+from crm_etl_pipeline_spark.queries.embeddings_q import _fixed_dot_sql
 from crm_etl_pipeline_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -1869,6 +1870,207 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
         .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# --- hybrid retrieval fusion (round 14) ------------------------------------
+# RRF constants: the canonical k=60 damping (Cormack, Clarke & Buettcher,
+# SIGIR 2009), 50-deep per-system candidate lists, and a 1e9 integer
+# quantum so each rank's contribution floor(1e9/(60+rank)) is exact
+# BIGINT arithmetic — rank fusion needs NO floats at all.
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_PROBE_ID = 0  # dense arm's probe: the embedding registered at vec_id 0
+
+
+@query(
+    "hybrid_rank_fusion",
+    oracle=f"""
+    WITH lexdocs AS (
+      -- keyset non-NULL-key contract: the fusion JOINS the two arms on
+      -- the document id, so a NULL id cannot participate in either arm
+      -- (excluded symmetrically up front, the semantic_dedup precedent)
+      SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+    ), sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM lexdocs
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM sized
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM lexdocs)
+      WHERE tok IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), lex_scored AS (
+      -- bm25_topk_search's scoring tree VERBATIM (pinned by
+      -- tests/test_llmops.py::test_hybrid_fusion_lexical_arm_is_bm25)
+      SELECT doc_id,
+             CAST(SUM(CAST(FLOOR(
+               ((n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * (dl / avgdl))))
+               * 1000000) AS BIGINT)) AS BIGINT) AS score_fp
+      FROM tf JOIN df USING (tok) CROSS JOIN stats
+      GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS lex_rank
+        FROM lex_scored)
+      WHERE lex_rank <= {_RRF_DEPTH}
+    ), emb_ok AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+    ), probe AS (
+      SELECT embedding AS qe FROM emb_ok WHERE vec_id = {_RRF_PROBE_ID}
+    ), dense_scored AS (
+      -- cand-grain MAX absorbs BOTH collision axes: a collided cand id
+      -- scores as its best payload row, a collided probe id scores every
+      -- cand against its best probe row — deterministic in both engines
+      SELECT vec_id AS cand_id, MAX({_fixed_dot_sql('qe', 'embedding')}) AS dotq
+      FROM emb_ok, probe GROUP BY vec_id
+    ), dense AS (
+      SELECT cand_id, dense_rank FROM (
+        SELECT cand_id,
+               ROW_NUMBER() OVER (ORDER BY dotq DESC, cand_id) AS dense_rank
+        FROM dense_scored)
+      WHERE dense_rank <= {_RRF_DEPTH}
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d.cand_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             CAST(COALESCE({10**9} // ({_RRF_K} + l.lex_rank), 0)
+                + COALESCE({10**9} // ({_RRF_K} + d.dense_rank), 0) AS BIGINT) AS rrf_fp
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.cand_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_fp FROM fused
+    ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """,
+    survey="§2.9 retrieval (hybrid lexical+dense retrieval: BM25 arm ∪ "
+    "inner-product arm fused by reciprocal-rank fusion, exact integer "
+    "arithmetic end to end)",
+)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the standard two-tower serving stack (a lexical
+    BM25 ranking and a dense embedding ranking fused by Reciprocal Rank
+    Fusion, Cormack et al. SIGIR 2009; every production RAG pipeline
+    ships this shape): rank the corpus twice, keep each arm's top-50,
+    and score the union by Σ floor(1e9/(60+rank)) over the arms a
+    document appears in. RRF is rank-only, so the fusion needs NO score
+    normalization across incomparable scales — exactly why it is the
+    default fuser in Elasticsearch/OpenSearch/Vespa.
+
+    The lexical arm is bm25_topk_search's scoring tree VERBATIM (same
+    fixed term set, same fixed-point micro-score; a cross-query test
+    pins the two expression trees to each other) over non-NULL doc_ids.
+    The dense arm ranks by the exact fixed-point INNER PRODUCT against
+    the probe registered at vec_id 0 (MIPS retrieval — the trained-
+    normalized-embedding serving convention; ann_cosine_topk already
+    certifies the cosine form). Both ranks and the fused score are pure
+    BIGINT arithmetic: floor-division by (60+rank) in both engines, so
+    value hashes match bit-for-bit with zero float reductions.
+
+    Identity contracts: NULL ids are excluded symmetrically up front
+    (the fusion's full-outer join is id-keyed — the keyset non-NULL-key
+    contract); a COLLIDED cand or probe vec_id resolves through the
+    cand-grain MAX(dotq) (best payload row wins, engine-independent),
+    and a collided doc_id scores through bm25's (doc_id, tok) tf grain
+    — both arms stay window-free on identity. An absent probe (no
+    vec_id 0 after the _emb corruption gate) yields an empty dense arm
+    and the fusion degrades to lexical-only, per RRF's union semantics.
+
+    Scale shape: the lexical arm is the certified BM25 plan (IN-filter
+    before the explode, map-side-combined tf, 1-row broadcast stats);
+    the dense arm is one broadcast probe row against a single linear
+    scan (O(N·d), the ann_cosine_topk shape) collapsed to cand grain by
+    a map-side-combinable MAX. Each arm's top-50 compiles to
+    TakeOrderedAndProject (per-partition heads — no corpus-wide window,
+    no single-partition sort); the rank-assignment windows then run
+    over ≤50 rows, and the fusion joins two ≤50-row frames. At 100 TB
+    the arms scale as their certified parents; the fusion itself is
+    constant-size."""
+    from crm_etl_pipeline_spark.queries.embeddings_q import _emb, _fixed_dot
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    stats = (
+        docs.select(F.size(_tokens()).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .select(
+            "n_docs",
+            "avgdl",
+            F.least(F.col("n_docs"), F.lit(1)).cast("int").alias("_k"),
+        )
+    )
+    tf = (
+        docs.select("doc_id", F.size(_tokens()).alias("dl"), F.explode(_tokens()).alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    satur = (F.col("tf") * F.lit(2.5)) / (
+        F.col("tf") + F.lit(1.5) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+    )
+    term_fp = F.floor(idf * satur * F.lit(1000000))
+    lex_scored = (
+        tf.join(df, "tok")
+        .withColumn("_k", F.least(F.col("tf"), F.lit(1)).cast("int"))
+        .join(F.broadcast(stats), "_k")
+        .groupBy("doc_id")
+        .agg(F.sum(term_fp).alias("score_fp"))
+    )
+    # top-50 SET via TakeOrderedAndProject first; the rank window then
+    # runs over <= 50 rows (single tiny task — never the corpus)
+    w_lex = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+    lex = (
+        lex_scored.orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+    )
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id").isNotNull())
+    # non-foldable always-1 equi-key (the bm25 stats-attach pattern) so
+    # the probe attach stays a BroadcastHashJoin, not a nested loop;
+    # size(embedding) >= 0 on every post-_emb row, so least(size+1, 1)=1
+    probe = emb.filter(F.col("vec_id") == _RRF_PROBE_ID).select(
+        F.col("embedding").alias("qe"),
+        F.least(F.size("embedding") + F.lit(1), F.lit(1)).cast("int").alias("_k"),
+    )
+    dense_scored = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+        .withColumn("_k", F.least(F.size("ce") + F.lit(1), F.lit(1)).cast("int"))
+        .join(F.broadcast(probe), "_k")
+        .groupBy("cand_id")
+        .agg(F.max(_fixed_dot(F.col("qe"), F.col("ce"))).alias("dotq"))
+    )
+    w_dense = Window.orderBy(F.col("dotq").desc(), F.col("cand_id").asc())
+    dense = (
+        dense_scored.orderBy(F.col("dotq").desc(), "cand_id")
+        .limit(_RRF_DEPTH)
+        .select("cand_id", F.row_number().over(w_dense).alias("dense_rank"))
+    )
+
+    fused = lex.join(dense, lex["doc_id"] == dense["cand_id"], "full_outer")
+    part = lambda rank: F.coalesce(  # noqa: E731 — local fused-score term
+        F.expr(f"{10**9}L div ({_RRF_K} + {rank})"), F.lit(0).cast("bigint")
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("cand_id")).alias("doc_id"),
+            "lex_rank",
+            "dense_rank",
+            (part("lex_rank") + part("dense_rank")).cast("bigint").alias("rrf_fp"),
+        )
+        .orderBy(F.col("rrf_fp").desc(), "doc_id")
         .limit(10)
     )
 

@@ -1224,3 +1224,43 @@ def test_semantic_dedup_invariants(spark):
     assert len(shared) >= len(clone_ids) // 2, "perturbation flipped most cells"
     # a clone in its original's cell has an earlier ≈0.999 neighbor
     assert all(not kept_of[c] for c in shared)
+
+
+def test_hybrid_fusion_lexical_arm_is_bm25(spark):
+    """The fusion's lexical arm is bm25_topk_search's scoring tree
+    VERBATIM (the docstring's pin): every fused row carrying a
+    lex_rank <= 10 must name exactly the document bm25_topk_search
+    ranks at that position (bm25's output is ordered by
+    (score_fp DESC, doc_id) and limited to 10, so position = rank)."""
+    bm25_docs = [r.doc_id for r in _rows(spark, "bm25_topk_search")]
+    fused = _rows(spark, "hybrid_rank_fusion")
+    checked = 0
+    for r in fused:
+        if r.lex_rank is not None and r.lex_rank <= len(bm25_docs):
+            assert bm25_docs[r.lex_rank - 1] == r.doc_id, (
+                f"lex_rank {r.lex_rank}: fusion says {r.doc_id}, "
+                f"bm25 says {bm25_docs[r.lex_rank - 1]}"
+            )
+            checked += 1
+    assert checked >= 1, "fused top-10 never met the bm25 top-10 — vacuous pin"
+
+
+def test_hybrid_fusion_rrf_arithmetic_and_order(spark):
+    """rrf_fp is exactly Σ floor(1e9/(60+rank)) over the arms present
+    (integer arithmetic — recomputable in pure Python), rows arrive in
+    (rrf_fp DESC, doc_id) order, both arms contribute somewhere in the
+    top-10, and a row with NO arm cannot exist."""
+    rows = _rows(spark, "hybrid_rank_fusion")
+    assert rows, "fixture corpus must produce a fused top-10"
+    for r in rows:
+        expect = 0
+        if r.lex_rank is not None:
+            expect += 10**9 // (60 + r.lex_rank)
+        if r.dense_rank is not None:
+            expect += 10**9 // (60 + r.dense_rank)
+        assert r.lex_rank is not None or r.dense_rank is not None
+        assert r.rrf_fp == expect, (r.doc_id, r.lex_rank, r.dense_rank, r.rrf_fp)
+    keys = [(-r.rrf_fp, r.doc_id) for r in rows]
+    assert keys == sorted(keys), "output must be (rrf_fp DESC, doc_id) ordered"
+    assert any(r.lex_rank is not None for r in rows)
+    assert any(r.dense_rank is not None for r in rows)

@@ -943,7 +943,7 @@ PROBES = [
       "abc_pareto_classification", "rfm_segmentation"]),
     ("empty_docs", {"documents": const_col("text", "", pa.string())},
      ["bm25_topk_search", "token_rarity_score", "chunk_documents",
-      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
     ("unique_docs", {"documents": unique_docs},
      ["minhash_near_dup", "simhash_near_dup", "dedup_components",
       "prefix_filter_setsim_join", "exact_dedup_documents", "ngram_jaccard_verify",
@@ -955,11 +955,11 @@ PROBES = [
     ("tiny_embeddings", {"embeddings": lambda t: t.slice(0, 3)},
      ["knn_label_disagreement", "embedding_kmeans", "kmeans_cluster_purity",
       "ann_cosine_topk", "embedding_standardize", "embedding_quantize_int8",
-      "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("zero_vec", {"embeddings": zero_first_vec},
      ["ann_cosine_topk", "embedding_near_dup", "ann_lsh_bucketed",
       "ann_ivf_probe", "ann_ivf_nprobe2", "embedding_norm_topk",
-      "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("single_event", {"events": one_row},
      ["sessionization", "session_window_builtin", "session_path_trigrams",
       "event_transition_matrix", "ewma_user_value", "funnel_conversion",
@@ -1006,7 +1006,7 @@ PROBES = [
       "skew_salted_join", "variant_props_shred"]),
     ("null_text", {"documents": null_every_10th("text")},
      ["text_stats", "token_rarity_score", "chunk_documents", "bm25_topk_search",
-      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
     ("one_lineitem", {"lineitem": one_row},
      ["rollup_revenue", "cube_lineitem_flags", "pivot_status_by_priority",
       "grouping_sets_region_segment"]),
@@ -1053,14 +1053,14 @@ PROBES = [
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "curation_pipeline",
-      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
     ("one_document", {"documents": one_document},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "audio_energy_windows", "utf8_ingest_quarantine",
-      "bpe_encode", "pack_bpe_sequences", "streaming_incremental_dedup"]),
+      "bpe_encode", "pack_bpe_sequences", "streaming_incremental_dedup", "hybrid_rank_fusion"]),
     ("null_langs", {"documents": null_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
       "train_split_stratified", "language_id_ngram"]),
@@ -1071,7 +1071,7 @@ PROBES = [
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
-      "embedding_kmeans", "knn_label_disagreement", "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "embedding_kmeans", "knn_label_disagreement", "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("dup_docs", {"documents": duplicate_every_7th},
      ["exact_dedup_documents", "minhash_near_dup", "simhash_near_dup",
       "lsh_bucket_profile", "ngram_jaccard_verify",
@@ -1084,7 +1084,7 @@ PROBES = [
       "bm25_topk_search", "language_temperature_sample",
       "train_split_stratified", "pack_training_sequences",
       "multimodal_byte_dedup", "doc_quality_score",
-      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
     ("const_ts", {"events": const_ts_events},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
@@ -1103,7 +1103,7 @@ PROBES = [
       "ngram_jaccard_verify", "contamination_ngram_overlap",
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
-      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
     ("mega_doc", {"documents": mega_doc},
      ["minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
       "dedup_components", "prefix_filter_setsim_join",
@@ -1113,7 +1113,7 @@ PROBES = [
       "vocab_top_tokens", "tfidf_top_terms", "bm25_topk_search",
       "inverted_index_postings", "curation_pipeline",
       "pack_training_sequences", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup",
-      "utf8_ingest_quarantine", "bigram_lm_quality_filter"]),
+      "utf8_ingest_quarantine", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
     ("far_future_ts", {"events": far_future_ts},
      ["ewma_user_value", "streaming_stateful_sessions",
       "streaming_rate_limit", "sessionization", "session_window_builtin",
@@ -1155,7 +1155,7 @@ PROBES = [
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("extreme_values", {"events": extreme_values},
      ["event_value_anomalies", "streaming_moments_anomalies",
       "winsorize_event_values", "robust_outliers_mad",
@@ -1171,7 +1171,7 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("id_collision_docs", {"documents": id_collision_docs},
      ["exact_dedup_documents", "dedup_incremental_new_docs",
       "chunk_documents", "doc_fingerprint", "bm25_topk_search",
@@ -1180,7 +1180,7 @@ PROBES = [
       "minhash_near_dup", "simhash_near_dup",
       "sample_stratified_hashrank", "pack_training_sequences", "train_split_stratified",
       "curation_pipeline", "utf8_ingest_quarantine",
-      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
     ("null_doc_ids", {"documents": null_doc_ids},
      ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
@@ -1189,7 +1189,7 @@ PROBES = [
       "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
-      "bigram_lm_quality_filter", "streaming_incremental_dedup"]),
+      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion"]),
     ("negative_doc_ids", {"documents": negative_doc_ids},
      ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
@@ -1198,7 +1198,7 @@ PROBES = [
       "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
-      "bigram_lm_quality_filter", "streaming_incremental_dedup"]),
+      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion"]),
     ("null_event_ids", {"events": null_event_ids},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
@@ -1231,14 +1231,14 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("id_collision_embs", {"embeddings": id_collision_embs},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("id_collision_events", {"events": id_collision_events},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_soft_delete", "scd2_expire_versions",
@@ -1278,14 +1278,14 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("dup_embs", {"embeddings": duplicate_every_7th},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_ivf_persisted_index",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("dup_events", {"events": duplicate_every_7th},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_expire_versions", "version_counts_per_key",
@@ -1311,7 +1311,7 @@ PROBES = [
       "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
-      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
     ("empty_orders", {"orders": empty_table},
      ["join_left_missing", "join_semi", "join_anti", "join_full_outer",
       "latest_order_per_customer", "topk_orders_by_revenue",
