@@ -30,12 +30,20 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # CORRECTNESS_r13 landed 50/50 green; the age distribution over the
 # r1-r13 union is r13:50, r12:48, r11:45, r10:48 — 191 queries ever
 # checked, zero latest-check failures, every registered query checked
-# at least once. This round registers 2 new queries (193 total) and
-# the candidate set is 62 for 50 slots; the two-defer precedent
-# extends to TWELVE defers, named below and promised for round 15.
+# at least once. This round registers 4 new queries (195 total) and
+# the candidate set is 64 for 50 slots; the two-defer precedent
+# extends to FOURTEEN defers, named below and promised for round 15.
 #
 # This window, in verdict-ranked order:
 #   (a) NEVER-CHECKED (new round-14 registrations):
+#       - hybrid_rank_fusion: RRF fusion of the BM25 arm and a dense
+#         exact-inner-product arm (retrieval growth) — full oracle,
+#         20 sweep batches green, lexical arm pinned to
+#         bm25_topk_search positionally;
+#       - dsir_importance_resample: DSIR hashed-ngram importance
+#         weights + deterministic systematic resample (training-prep
+#         growth) — full oracle, 12 sweep batches green, the
+#         two-phase-vs-naive cumulation equivalence proven by hash;
 #       - semantic_dedup: SemDeDup over k-means cells (verdict growth
 #         slot #5) — parameterized _kmeans_core_sql/_kmeans_assign,
 #         full oracle, 10 embedding sweep batches green;
@@ -71,22 +79,24 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #         scd2_compact_small_files, streaming_scd2_state — all
 #         full-hash pytest-green at HEAD, const_ts/null_event_ids/
 #         dup_events batch-certified, now driver-checked on the bytes.
-#   (c) 28 of the 40 unchanged r10 rows (age 4 this round — at the
+#   (c) 26 of the 40 unchanged r10 rows (age 4 this round — at the
 #       ceiling): every multimodal decode path, the gateway family,
 #       the serving ANN/embedding scans, sources and sessionization.
-#   (d) TWELVE r10 defers to round 15, promised by name (unchanged
-#       bytes since r10, pure-Catalyst or manifest-grain shapes with
-#       the strongest sweep coverage and pytest-oracle re-verification
+#   (d) FOURTEEN defers to round 15, promised by name (unchanged
+#       bytes, pure-Catalyst or manifest-grain shapes with the
+#       strongest sweep coverage and pytest-oracle re-verification
 #       every round): join_anti, join_semi, setops_segments,
 #       hidden_field_projection, return_type_fallback,
 #       props_from_json_typed, partition_pruned_scan,
 #       abc_pareto_classification, multimodal_manifest,
 #       multimodal_mp4_seek_plan, multimodal_frame_sample,
-#       interpolate_daily_user_value. Round 15's window is these 12 +
-#       whatever round 14 changes — far under budget.
+#       interpolate_daily_user_value (r10), plus text_stats and
+#       chunk_documents (r10 — displaced mid-round by the two extra
+#       never-checked registrations, which outrank age). Round 15's
+#       window is these 14 + whatever round 14 changes — under budget.
 #
-# Age accounting if this window lands 50/50: registry 193; r14:50,
-# r13:49, r12:45, r11:37, r10:12 (the named defers, age 5 when round
+# Age accounting if this window lands 50/50: registry 195; r14:50,
+# r13:49, r12:45, r11:37, r10:14 (the named defers, age 5 when round
 # 15 checks them first) — every other query age <= 3, zero
 # never-checked.
 #
@@ -95,6 +105,14 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # (test_driver_priority_window enforces the fit).
 DRIVER_PRIORITY: list[str] = [
     # --- (a) never-checked new registrations ---
+    # (mid-round additions: the hybrid retrieval fusion and the DSIR
+    # importance resample registered after the window was first cut;
+    # never-checked outranks age, so they displace the two (c) rows
+    # with the densest sweep coverage — text_stats and chunk_documents,
+    # both pure-Catalyst doc-grain scans in 10+ document batches —
+    # which join the named round-15 defers, now FOURTEEN)
+    "hybrid_rank_fusion",
+    "dsir_importance_resample",
     "semantic_dedup",
     "ann_ivf_incremental_index",
     # --- (b) changed-bytes rows ---
@@ -125,7 +143,6 @@ DRIVER_PRIORITY: list[str] = [
     "backoff_penalty_audit",
     "catalog_drift",
     "cdc_apply_snapshot",
-    "chunk_documents",
     "embedding_centroid_per_label",
     "embedding_near_dup",
     "embedding_norm_topk",
@@ -144,7 +161,6 @@ DRIVER_PRIORITY: list[str] = [
     "session_path_trigrams",
     "sessionization",
     "streaming_rate_limit",
-    "text_stats",
     "tumbling_daily_counts",
     "utf8_ingest_quarantine",
 ]

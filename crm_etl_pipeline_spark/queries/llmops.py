@@ -3389,3 +3389,224 @@ def bigram_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_prob.alias("mean_prob_q"),
         (mean_prob < F.col("corpus_mean")).alias("below_corpus_mean"),
     )
+
+
+# --- DSIR data selection (round 14) -----------------------------------------
+# hashed n-gram feature space (unigrams + bigrams -> B buckets via the
+# cross-engine md5->52-bit idiom), target = the 'en' slice, and a
+# deterministic systematic importance resample of K draws
+_DSIR_B = 512  # fixture-sized; production trains 10k+ buckets (the paper's 10^4)
+_DSIR_K = 50
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance_resample",
+    oracle=f"""
+    WITH docs AS (
+      -- a NULL text carries no n-gram evidence: excluded symmetrically
+      SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+    ), feats AS (
+      SELECT doc_id, lang, f FROM (
+        SELECT doc_id, lang,
+               list_concat(string_split(text, ' '),
+                           {_shingles_sql("string_split(text, ' ')", 2)}) AS fs
+        FROM docs
+      ), unnest(fs) t(f)
+    ), bucketed AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5('0|' || f), 1, 13) AS BIGINT) % {_DSIR_B} AS b
+      FROM feats
+    ), model AS (
+      -- add-one-smoothed bucket counts: raw = every occurrence, target =
+      -- the '{_DSIR_TARGET_LANG}' slice (target ⊆ raw, so the ratio ≤ ~1e6)
+      SELECT b, COUNT(*) AS c_r,
+             COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS c_t
+      FROM bucketed GROUP BY b
+    ), weights AS (
+      SELECT doc_id, COUNT(*) AS n_feat,
+             CAST(SUM(((c_t + 1) * 1000000) // (c_r + 1)) AS BIGINT) AS sum_lr
+      FROM bucketed JOIN model USING (b)
+      GROUP BY doc_id
+    ), w AS (
+      SELECT doc_id, n_feat, sum_lr // n_feat AS mean_lr_fp,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM weights
+    ), c AS (
+      SELECT *, COALESCE(SUM(mean_lr_fp) OVER (
+          ORDER BY h ASC NULLS FIRST, doc_id ASC NULLS FIRST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM w
+    ), t AS (
+      SELECT CAST(SUM(mean_lr_fp) AS BIGINT) AS total FROM w
+    )
+    SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+           CAST(mean_lr_fp AS BIGINT) AS mean_lr_fp,
+           CAST((CASE WHEN total > 0
+                      THEN (cum_before + mean_lr_fp) * {_DSIR_K} // total
+                      ELSE 0 END)
+              - (CASE WHEN total > 0
+                      THEN cum_before * {_DSIR_K} // total
+                      ELSE 0 END) AS BIGINT) AS n_hits
+    FROM c, t
+    WHERE (CASE WHEN total > 0
+                THEN (cum_before + mean_lr_fp) * {_DSIR_K} // total
+                ELSE 0 END)
+        > (CASE WHEN total > 0
+                THEN cum_before * {_DSIR_K} // total
+                ELSE 0 END)
+    """,
+    survey="§2.9 training prep (DSIR data selection, Xie et al. NeurIPS 2023: "
+    "hashed n-gram importance weights vs a target slice + deterministic "
+    "systematic importance resample, exact integer arithmetic)",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al., NeurIPS 2023 — the
+    published importance-resampling stage between raw crawl and
+    training mix): featurize every document as a bag of hashed n-grams
+    (unigrams + bigrams → {_DSIR_B} buckets via the cross-engine
+    md5→52-bit idiom), fit smoothed bucket distributions for the
+    TARGET slice (lang='en' — the trusted-domain stand-in for the
+    paper's Wikipedia+books target) and the RAW corpus, weight each
+    document by its features' likelihood ratios, and draw a
+    deterministic K=50 systematic importance resample.
+
+    Exact-arithmetic substitutions, stated honestly: the paper's
+    per-document log-likelihood-ratio Σ count(b)·(log p_t(b) − log
+    p_r(b)) is replaced by the length-normalized mean of per-occurrence
+    fixed-point likelihood ratios lr_fp(b) = ((c_t(b)+1)·1e6) //
+    (c_r(b)+1) — ln() is not a cross-engine contract (the
+    bigram_lm_quality_filter / tfidf precedent), while the ratio form
+    is pure BIGINT. The corpus-constant normalizer (n_r+B)/(n_t+B) is
+    rank-neutral across documents and is dropped outright. The paper's
+    Gumbel-noise resample becomes the repo's rand()-free sampling rule:
+    the pps_systematic_sample walk in md5(doc_id) order (a fixed
+    pseudo-random permutation), inclusion ∝ mean_lr_fp exactly, and
+    SUM(n_hits) == K whenever any weight is positive.
+
+    Identity contracts: NULL text rows carry no n-gram evidence and are
+    excluded symmetrically; a collided doc_id collapses at the
+    weights grain (bag-of-ngrams is sequence-free per ROW — bigrams
+    never mint across payload rows — and the doc-grain SUM/COUNT are
+    order-independent), so the PPS walk's (md5(doc_id), doc_id) order
+    meets one row per identity and its complete-tie hazard class
+    cannot arise; a NULL doc_id hashes to a NULL h and both engines
+    spell NULLS FIRST. Overflow posture: target ⊆ raw keeps lr_fp ≤
+    ~1e6, so (c_t+1)·1e6 needs c_t < 9.2e12 per bucket and the
+    threshold product needs N_docs < ~1.8e11 — both far past 100 TB;
+    re-scale the 1e6 quantum before the corpus crosses those.
+
+    Scale shape: one corpus pass explodes features (fanout = tokens +
+    bigrams ≈ 2× tokens); the model table is EXACTLY B rows — broadcast
+    onto the feature stream, so the hot stopword buckets never shuffle
+    (no Zipf skew path at all); per-doc weights are one
+    map-side-combinable groupBy(doc_id). The global prefix sum is the
+    pps_systematic_sample two-phase decomposition (cumulate inside
+    256 md5-prefix groups in parallel, serial offset pass over the
+    256 group totals — no single-partition sort of the corpus); the
+    ORACLE computes the naive single-window cumulation, so the hash
+    match IS the equivalence proof."""
+    toks = _tokens()
+    # Spark's sequence() flips to step -1 when start > stop, so guard
+    # the bigram list on size >= 2 (DuckDB's range is empty there)
+    bigrams = F.when(F.size(toks) >= 2, _shingles(toks, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    feats = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("f"))
+    )
+    from crm_etl_pipeline_spark.queries.sketch_filters_q import _hash_long
+
+    bucketed = feats.select(
+        "doc_id", "lang", (_hash_long(F.col("f"), 0) % _DSIR_B).alias("b")
+    )
+    model = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, True)).alias("c_t"),
+    )
+    weights = (
+        bucketed.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.sum(F.expr("((c_t + 1) * 1000000L) div (c_r + 1)"))
+            .cast("bigint")
+            .alias("sum_lr"),
+        )
+    )
+    # the weights frame feeds THREE consumers (in-group cumulation,
+    # group totals, the grand total); checkpoint the doc-grain 5-column
+    # frame once so the corpus-scale feature explode + model join runs
+    # exactly once, not three times (the prefix_filter_setsim_join
+    # shared-subtree precedent)
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
+    w = reliable_checkpoint(
+        weights.select(
+            "doc_id",
+            "n_feat",
+            F.expr("sum_lr div n_feat").alias("mean_lr_fp"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("h2"),
+        )
+    )
+    # two-phase global prefix sum (the pps_systematic_sample pattern):
+    # phase 1 cumulates inside each 2-hex-digit md5 prefix group;
+    # phase 2 adds the serial offsets over the 256 group totals.
+    # Ordering by (h2, h, doc_id) == ordering by (h, doc_id) because h2
+    # is a prefix of h; placement spelled NULLS FIRST in both engines
+    # (a NULL doc_id yields a NULL h/h2 — one group, cumulated first)
+    gw = (
+        Window.partitionBy("h2")
+        .orderBy(F.col("h").asc_nulls_first(), F.col("doc_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_group = w.withColumn(
+        "cum_in_group", F.coalesce(F.sum("mean_lr_fp").over(gw), F.lit(0))
+    )
+    g_tot = w.groupBy("h2").agg(F.sum("mean_lr_fp").alias("g_tot"))
+    # always-1 non-foldable partition key, NULL-safe: length(h2) is NULL
+    # on the NULL-h2 group, so coalesce before least
+    pw = (
+        Window.partitionBy(
+            F.least(F.coalesce(F.length("h2"), F.lit(9)), F.lit(1))
+        )
+        .orderBy(F.col("h2").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = g_tot.select(
+        F.col("h2").alias("h2_o"),
+        F.coalesce(F.sum("g_tot").over(pw), F.lit(0)).alias("offset"),
+    )
+    # null-safe h2 equi-join (the round-13 boilerplate find: a plain
+    # equi-join silently drops the NULL-h2 group)
+    cum = (
+        in_group.join(
+            F.broadcast(offsets), F.col("h2").eqNullSafe(F.col("h2_o"))
+        )
+        .drop("h2_o")
+        .withColumn("cum_before", F.col("offset") + F.col("cum_in_group"))
+    )
+    tot = w.agg(F.sum("mean_lr_fp").cast("bigint").alias("total")).select(
+        "total", F.least(F.col("total"), F.lit(1)).cast("int").alias("_k")
+    )
+    # NULL-SAFE always-1 probe key: n_feat is a COUNT(*) over a group,
+    # provably >= 1 on every weights row even when doc_id is NULL
+    cum = cum.withColumn("_k", F.least(F.col("n_feat"), F.lit(1)).cast("int")).join(
+        F.broadcast(tot), "_k"
+    )
+    lo = F.when(
+        F.col("total") > 0, F.expr(f"cum_before * {_DSIR_K} div total")
+    ).otherwise(F.lit(0))
+    hi = F.when(
+        F.col("total") > 0,
+        F.expr(f"(cum_before + mean_lr_fp) * {_DSIR_K} div total"),
+    ).otherwise(F.lit(0))
+    return cum.filter(hi > lo).select(
+        "doc_id",
+        F.col("n_feat").cast("bigint").alias("n_feat"),
+        F.col("mean_lr_fp").cast("bigint").alias("mean_lr_fp"),
+        (hi - lo).cast("bigint").alias("n_hits"),
+    )

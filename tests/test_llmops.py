@@ -1264,3 +1264,35 @@ def test_hybrid_fusion_rrf_arithmetic_and_order(spark):
     assert keys == sorted(keys), "output must be (rrf_fp DESC, doc_id) ordered"
     assert any(r.lex_rank is not None for r in rows)
     assert any(r.dense_rank is not None for r in rows)
+
+
+def test_dsir_resample_draw_count_and_target_skew(spark):
+    """DSIR contract: (1) the systematic walk draws EXACTLY K=50 total
+    hits whenever any weight is positive (SUM(n_hits) == K by the
+    prefix-sum construction); (2) every selected doc exists in the
+    corpus with non-NULL text; (3) the selection skews toward the
+    target slice — the mean importance weight of selected 'en'
+    documents exceeds the mean weight of selected non-'en' documents
+    (the likelihood ratio is what the stage exists to compute)."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.io import table
+    from crm_etl_pipeline_spark.queries.llmops import _DSIR_K
+
+    rows = _rows(spark, "dsir_importance_resample")
+    assert sum(r.n_hits for r in rows) == _DSIR_K
+    assert all(r.n_hits >= 1 and r.mean_lr_fp >= 0 and r.n_feat >= 1 for r in rows)
+
+    docs = {
+        r.doc_id: r.lang
+        for r in table(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert all(r.doc_id in docs for r in rows)
+    en = [r.mean_lr_fp for r in rows if docs[r.doc_id] == "en"]
+    other = [r.mean_lr_fp for r in rows if docs[r.doc_id] != "en"]
+    assert en, "the target slice must appear in its own importance sample"
+    if other:
+        assert sum(en) / len(en) > sum(other) / len(other)

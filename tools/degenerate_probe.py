@@ -943,7 +943,7 @@ PROBES = [
       "abc_pareto_classification", "rfm_segmentation"]),
     ("empty_docs", {"documents": const_col("text", "", pa.string())},
      ["bm25_topk_search", "token_rarity_score", "chunk_documents",
-      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
+      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("unique_docs", {"documents": unique_docs},
      ["minhash_near_dup", "simhash_near_dup", "dedup_components",
       "prefix_filter_setsim_join", "exact_dedup_documents", "ngram_jaccard_verify",
@@ -1006,7 +1006,7 @@ PROBES = [
       "skew_salted_join", "variant_props_shred"]),
     ("null_text", {"documents": null_every_10th("text")},
      ["text_stats", "token_rarity_score", "chunk_documents", "bm25_topk_search",
-      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
+      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("one_lineitem", {"lineitem": one_row},
      ["rollup_revenue", "cube_lineitem_flags", "pivot_status_by_priority",
       "grouping_sets_region_segment"]),
@@ -1053,20 +1053,20 @@ PROBES = [
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "curation_pipeline",
-      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
+      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("one_document", {"documents": one_document},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "audio_energy_windows", "utf8_ingest_quarantine",
-      "bpe_encode", "pack_bpe_sequences", "streaming_incremental_dedup", "hybrid_rank_fusion"]),
+      "bpe_encode", "pack_bpe_sequences", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("null_langs", {"documents": null_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
-      "train_split_stratified", "language_id_ngram"]),
+      "train_split_stratified", "language_id_ngram", "dsir_importance_resample"]),
     ("empty_string_langs", {"documents": empty_string_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
-      "train_split_stratified", "language_id_ngram"]),
+      "train_split_stratified", "language_id_ngram", "dsir_importance_resample"]),
     ("null_embeddings", {"embeddings": null_every_10th("embedding")},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "embedding_standardize", "embedding_quantize_int8",
@@ -1084,7 +1084,7 @@ PROBES = [
       "bm25_topk_search", "language_temperature_sample",
       "train_split_stratified", "pack_training_sequences",
       "multimodal_byte_dedup", "doc_quality_score",
-      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
+      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("const_ts", {"events": const_ts_events},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
@@ -1103,7 +1103,7 @@ PROBES = [
       "ngram_jaccard_verify", "contamination_ngram_overlap",
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
-      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
+      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("mega_doc", {"documents": mega_doc},
      ["minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
       "dedup_components", "prefix_filter_setsim_join",
@@ -1113,7 +1113,7 @@ PROBES = [
       "vocab_top_tokens", "tfidf_top_terms", "bm25_topk_search",
       "inverted_index_postings", "curation_pipeline",
       "pack_training_sequences", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup",
-      "utf8_ingest_quarantine", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
+      "utf8_ingest_quarantine", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("far_future_ts", {"events": far_future_ts},
      ["ewma_user_value", "streaming_stateful_sessions",
       "streaming_rate_limit", "sessionization", "session_window_builtin",
@@ -1180,7 +1180,7 @@ PROBES = [
       "minhash_near_dup", "simhash_near_dup",
       "sample_stratified_hashrank", "pack_training_sequences", "train_split_stratified",
       "curation_pipeline", "utf8_ingest_quarantine",
-      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion"]),
+      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("null_doc_ids", {"documents": null_doc_ids},
      ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
@@ -1189,7 +1189,7 @@ PROBES = [
       "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
-      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion"]),
+      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("negative_doc_ids", {"documents": negative_doc_ids},
      ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
@@ -1198,7 +1198,7 @@ PROBES = [
       "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
-      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion"]),
+      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample"]),
     ("null_event_ids", {"events": null_event_ids},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
