@@ -919,11 +919,14 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIN_SHARED_BANDS = 2  # edge = pair agreeing in >= 2 of the 4 MinHash bands
 
-
-@query(
-    "dedup_components",
-    oracle=f"""
-    WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+# extracted to a constant in round 14 so dedup_cluster_keep_best can
+# embed the SAME recursive component chain as a subquery (the
+# _BRUTE_TOPK_ORACLE / _kmeans_core_sql pattern); the rendered
+# dedup_components oracle is md5-pinned byte-identical to the
+# r11-certified inline form (a999ddacc27637aa1414cb023aa3445a) in
+# tests/test_llmops.py — the Spark side is untouched, so the registered
+# artifacts did not change
+_COMPONENTS_CTES = f"""corpus AS ({_NEAR_CORPUS_SQL}),
     toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM corpus
     ), sh AS (
@@ -963,7 +966,13 @@ _MIN_SHARED_BANDS = 2  # edge = pair agreeing in >= 2 of the 4 MinHash bands
       SELECT doc_id, doc_id AS label FROM verts
       UNION
       SELECT e.dst AS doc_id, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
-    )
+    )"""
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_CTES}
     SELECT doc_id, MIN(label) AS component FROM walk GROUP BY doc_id
     """,
     survey="§2.9 near-dedup (cluster resolution: connected components via iterative min-label propagation)",
@@ -1024,6 +1033,98 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_CTES},
+    comp AS (
+      SELECT doc_id, MIN(label) AS component FROM walk GROUP BY doc_id
+    ), stats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM corpus
+    ), members AS (
+      SELECT c.component, c.doc_id, s.n_tokens, s.n_distinct,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY s.n_tokens DESC NULLS LAST,
+                                         s.n_distinct DESC NULLS LAST,
+                                         c.doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN stats s USING (doc_id)
+    )
+    SELECT component, doc_id AS keep_doc_id,
+           CAST(n_tokens AS BIGINT) AS kept_n_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM members WHERE rk = 1
+    """,
+    survey="§2.9 near-dedup (cluster canonical selection: keep the "
+    "best-quality member per resolved near-dup component — the "
+    "selection rule production dedup applies after clustering)",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over resolved near-dup clusters —
+    the stage published pipelines run BETWEEN clustering and the final
+    corpus (Dolma/SlimPajama/BigCode all pick one representative per
+    fuzzy-dup cluster; the published rules are keep-first, keep-longest
+    or keep-best-classifier-score): for every multi-member component
+    from dedup_components, keep the member with the most tokens,
+    breaking ties by lexical diversity (distinct-token count) then
+    smallest doc_id — a deterministic keep-longest rule, where
+    dedup_components alone encodes keep-SMALLEST-ID. The two rules
+    genuinely differ on this corpus: a fabricated near-clone carries
+    one extra token than its base, so keep-longest selects the CLONE
+    while the component id stays the base's — the oracle hash pins
+    that inversion cross-engine.
+
+    COMPOSITION: the Spark side calls the registered dedup_components
+    plan as a subplan (the ann_recall_selfcheck precedent) and the
+    oracle embeds the identical recursive-CTE chain via
+    _COMPONENTS_CTES (rendered byte-identical to the certified inline
+    form, md5-pinned). Member stats come from the same identity-
+    resolved near corpus, so every component member has exactly one
+    stats row (the _one_per_doc contract); n_tokens is provably
+    non-NULL for members (an edge requires >= 5 tokens) — DESC
+    placement is spelled anyway per the round-13 campaign discipline.
+
+    Scale shape: components output is cluster-member-grain (far
+    smaller than the corpus); the stats join is a uniform doc_id
+    equi-join; the winner window partitions BY COMPONENT — real
+    clusters are small (the capped-bucket star keeps even boilerplate
+    storms bounded), so no single partition ever holds more than a
+    cluster. One extra pass over the corpus for stats, zero extra
+    iterations."""
+    comp = dedup_components(spark, sf_dir)
+    toks = _tokens()
+    stats = _near_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    members = comp.join(stats, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc_nulls_last(),
+        F.col("n_distinct").desc_nulls_last(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        members.select(
+            "component",
+            "doc_id",
+            "n_tokens",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_tokens").cast("bigint").alias("kept_n_tokens"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1296,3 +1296,55 @@ def test_dsir_resample_draw_count_and_target_skew(spark):
     assert en, "the target slice must appear in its own importance sample"
     if other:
         assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_components_ctes_rendering_pinned():
+    """The round-14 extraction of dedup_components' oracle CTE chain
+    into _COMPONENTS_CTES (so dedup_cluster_keep_best can embed the
+    SAME chain) must render the registered oracle byte-identical to the
+    r11-certified inline form — the _kmeans_core_sql precedent."""
+    import hashlib
+
+    assert (
+        hashlib.md5(REGISTRY["dedup_components"].oracle.encode()).hexdigest()
+        == "a999ddacc27637aa1414cb023aa3445a"
+    )
+
+
+def test_keep_best_selects_longest_member(spark):
+    """Keep-best contract: (1) one winner per component, and the winner
+    IS a member of that component; (2) the winner maximizes
+    (n_tokens, n_distinct, -doc_id) over its members; (3) the rule
+    genuinely diverges from dedup_components' keep-smallest-id on this
+    corpus — a fabricated near-clone (+1 token) beats its base, so at
+    least one winner differs from its component id."""
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.queries.llmops import _near_corpus
+
+    comp = {(r.doc_id): r.component for r in _rows(spark, "dedup_components")}
+    stats = {
+        r.doc_id: (r.n_tokens, r.n_distinct)
+        for r in _near_corpus(spark, SF_DIR)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+        )
+        .collect()
+    }
+    winners = _rows(spark, "dedup_cluster_keep_best")
+    by_comp: dict = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    assert {r.component for r in winners} == set(by_comp)
+    for r in winners:
+        members = by_comp[r.component]
+        assert r.keep_doc_id in members
+        assert r.n_members == len(members)
+        best = min(members, key=lambda d: (-stats[d][0], -stats[d][1], d))
+        assert r.keep_doc_id == best
+        assert r.kept_n_tokens == stats[r.keep_doc_id][0]
+    assert any(r.keep_doc_id != r.component for r in winners), (
+        "keep-longest never diverged from keep-smallest-id — vacuous rule"
+    )
