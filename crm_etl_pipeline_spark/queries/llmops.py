@@ -3616,6 +3616,11 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
+        # the fixture is ONE parquet file; without this the CPU-bound
+        # explode+md5 map work runs on a single core (the _minhash_bands
+        # precedent — measured 5.3s -> 1.5s at sf0.1). At 100 TB the
+        # scan has thousands of splits and this is a cheap no-op shuffle
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("f"))
     )
     from crm_etl_pipeline_spark.queries.sketch_filters_q import _hash_long

@@ -276,6 +276,16 @@ collided ids flip cells between the two grains). Closed by spelling
 the row grain in the oracle (GROUP BY vec_id, embedding, label — a
 no-op on collision-free data); the 10 batches re-ran 170/170 OK and
 the IVF family re-joined the round-14 driver window on the new bytes.
+Round-14(b): the three mid-round registrations joined their families —
+hybrid_rank_fusion across BOTH axes (20 batches: 10 document + 10
+embedding — the first two-table query in the sweep; 20/20 OK at
+registration), dsir_importance_resample (12 batches incl. the
+null_langs/empty_string_langs lang axis its target slice depends on;
+12/12 OK — its NULL-id offset join was born null-safe, applying the
+round-13 boilerplate find at registration), and dedup_cluster_keep_best
+(10 document batches, 10/10 OK — the composed recursive chain is the
+certified dedup_components text verbatim via md5-pinned
+_COMPONENTS_CTES).
 """
 
 from __future__ import annotations
