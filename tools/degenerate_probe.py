@@ -1235,6 +1235,23 @@ PROBES = [
       "decile_gains_table", "abc_pareto_classification",
       "mom_revenue_growth", "dq_audit_orders", "topk_per_group",
       "running_revenue"]),
+    # round-14(b) COMPOSED batches (the const_ts_null_ids discipline:
+    # each component batch passes alone; the composition is the probe).
+    # null_ids_both_axes: the first TWO-TABLE composition — NULL ids in
+    # BOTH arms of the retrieval fusion simultaneously, so the id-keyed
+    # full-outer union and both arms' non-NULL-id gates must agree at
+    # the same time. null_langs_null_doc_ids: NULL lang AND NULL doc_id
+    # coincide on every 10th row — the target-slice membership and the
+    # identity axes compose on the lang-stratified lay-downs (the
+    # round-13 second-order tie shape).
+    ("null_ids_both_axes",
+     {"documents": null_doc_ids, "embeddings": null_vec_ids},
+     ["hybrid_rank_fusion"]),
+    ("null_langs_null_doc_ids",
+     {"documents": lambda t: null_every_10th("lang")(null_doc_ids(t))},
+     ["dsir_importance_resample", "language_temperature_sample",
+      "sample_stratified_hashrank", "train_split_stratified",
+      "pack_training_sequences"]),
     ("null_vec_ids", {"embeddings": null_vec_ids},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
