@@ -30,9 +30,9 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # CORRECTNESS_r13 landed 50/50 green; the age distribution over the
 # r1-r13 union is r13:50, r12:48, r11:45, r10:48 — 191 queries ever
 # checked, zero latest-check failures, every registered query checked
-# at least once. This round registers 5 new queries (196 total) and
-# the candidate set is 65 for 50 slots; the two-defer precedent
-# extends to FIFTEEN defers, named below and promised for round 15.
+# at least once. This round registers 6 new queries (197 total) and
+# the candidate set is 66 for 50 slots; the two-defer precedent
+# extends to SIXTEEN defers, named below and promised for round 15.
 #
 # This window, in verdict-ranked order:
 #   (a) NEVER-CHECKED (new round-14 registrations):
@@ -47,6 +47,9 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       - dedup_cluster_keep_best: canonical keep-longest selection
 #         per resolved near-dup component (composes dedup_components
 #         as a subplan; _COMPONENTS_CTES md5-pinned byte-identical);
+#       - chunk_bm25_retrieval: RAG passage retrieval — BM25 at CHUNK
+#         grain over the certified chunker (composes chunk_documents;
+#         _CHUNKS_SQL md5-pinned byte-identical), 13 sweep batches;
 #       - semantic_dedup: SemDeDup over k-means cells (verdict growth
 #         slot #5) — parameterized _kmeans_core_sql/_kmeans_assign,
 #         full oracle, 10 embedding sweep batches green;
@@ -82,10 +85,10 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #         scd2_compact_small_files, streaming_scd2_state — all
 #         full-hash pytest-green at HEAD, const_ts/null_event_ids/
 #         dup_events batch-certified, now driver-checked on the bytes.
-#   (c) 25 of the 40 unchanged r10 rows (age 4 this round — at the
+#   (c) 24 of the 40 unchanged r10 rows (age 4 this round — at the
 #       ceiling): every multimodal decode path, the gateway family,
 #       the serving ANN/embedding scans, sources and sessionization.
-#   (d) FIFTEEN defers to round 15, promised by name (unchanged
+#   (d) SIXTEEN defers to round 15, promised by name (unchanged
 #       bytes, pure-Catalyst or manifest-grain shapes with the
 #       strongest sweep coverage and pytest-oracle re-verification
 #       every round): join_anti, join_semi, setops_segments,
@@ -94,13 +97,14 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #       abc_pareto_classification, multimodal_manifest,
 #       multimodal_mp4_seek_plan, multimodal_frame_sample,
 #       interpolate_daily_user_value (r10), plus text_stats,
-#       chunk_documents and knn_label_disagreement (r10 — displaced
-#       mid-round by the three extra never-checked registrations,
-#       which outrank age; each sits in 10+ sweep batches). Round 15's
-#       window is these 15 + whatever round 14 changes — under budget.
+#       chunk_documents, knn_label_disagreement and
+#       embedding_standardize (r10 — displaced mid-round by the four
+#       extra never-checked registrations, which outrank age; each
+#       sits in 9+ sweep batches). Round 15's window is these 16 +
+#       whatever round 14 changes — under budget.
 #
-# Age accounting if this window lands 50/50: registry 196; r14:50,
-# r13:49, r12:45, r11:37, r10:15 (the named defers, age 5 when round
+# Age accounting if this window lands 50/50: registry 197; r14:50,
+# r13:49, r12:45, r11:37, r10:16 (the named defers, age 5 when round
 # 15 checks them first) — every other query age <= 3, zero
 # never-checked.
 #
@@ -110,15 +114,16 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 DRIVER_PRIORITY: list[str] = [
     # --- (a) never-checked new registrations ---
     # (mid-round additions: the hybrid retrieval fusion, the DSIR
-    # importance resample and the keep-best cluster selection
-    # registered after the window was first cut;
-    # never-checked outranks age, so they displace the three (c) rows
-    # with the densest sweep coverage — text_stats, chunk_documents and
-    # knn_label_disagreement, pure-Catalyst scans in 10+ batches each —
-    # which join the named round-15 defers, now FIFTEEN)
+    # importance resample, the keep-best cluster selection and the
+    # chunk-grain BM25 retrieval registered after the window was first
+    # cut; never-checked outranks age, so they displace the four (c)
+    # rows with the densest sweep coverage — text_stats,
+    # chunk_documents, knn_label_disagreement, embedding_standardize —
+    # which join the named round-15 defers, now SIXTEEN)
     "hybrid_rank_fusion",
     "dsir_importance_resample",
     "dedup_cluster_keep_best",
+    "chunk_bm25_retrieval",
     "semantic_dedup",
     "ann_ivf_incremental_index",
     # --- (b) changed-bytes rows ---
@@ -142,7 +147,7 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_soft_delete",
     "scd2_compact_small_files",
     "streaming_scd2_state",
-    # --- (c) the 25 windowed r10 age rows ---
+    # --- (c) the 24 windowed r10 age rows ---
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "audio_energy_windows",
@@ -153,7 +158,6 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_near_dup",
     "embedding_norm_topk",
     "embedding_quantize_int8",
-    "embedding_standardize",
     "event_dedup_last_write_wins",
     "join_fk_enrichment",
     "json_source_roundtrip",

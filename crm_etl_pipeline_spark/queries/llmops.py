@@ -2179,10 +2179,12 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chunking window: 32-token chunks advancing 24 tokens (25% overlap)
 CHUNK_W, CHUNK_S = 32, 24
 
-
-@query(
-    "chunk_documents",
-    oracle=f"""
+# extracted to a constant in round 14 so chunk_bm25_retrieval can embed
+# the SAME chunker as a subquery (the _COMPONENTS_CTES pattern); the
+# rendered chunk_documents oracle is md5-pinned byte-identical to the
+# certified inline form (7f207f675a25279a900120feb17f5588) in
+# tests/test_llmops.py — the Spark side is untouched
+_CHUNKS_SQL = f"""
     WITH sized AS (
       SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t,
              len(string_split(COALESCE(text, ''), ' ')) AS n
@@ -2203,7 +2205,12 @@ CHUNK_W, CHUNK_S = 32, 24
              t[chunk_id * {CHUNK_S} + 1 : chunk_id * {CHUNK_S} + {CHUNK_W}],
              ' ') AS chunk_text
     FROM exploded
-    """,
+    """
+
+
+@query(
+    "chunk_documents",
+    oracle=_CHUNKS_SQL,
     survey="§2.9 training prep (overlapping token-window chunking for context-length-bounded training)",
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2246,6 +2253,119 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "chunk_text"
             ),
         )
+    )
+
+
+@query(
+    "chunk_bm25_retrieval",
+    oracle=f"""
+    WITH chunks AS ({_CHUNKS_SQL}),
+    stats AS (
+      SELECT COUNT(*) AS n_chunks,
+             CAST(SUM(n_chunk_tokens) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM chunks
+    ), tf AS (
+      SELECT doc_id, chunk_id, tok, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (SELECT doc_id, chunk_id, n_chunk_tokens AS dl,
+                   unnest(string_split(chunk_text, ' ')) AS tok
+            FROM chunks)
+      WHERE tok IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, chunk_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      -- bm25_topk_search's scoring tree VERBATIM at CHUNK grain
+      -- (n_docs -> n_chunks; pinned by the cross-query test)
+      SELECT doc_id, chunk_id,
+             CAST(SUM(CAST(FLOOR(
+               ((n_chunks - df + 0.5) / (df + 0.5))
+               * ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * (dl / avgdl))))
+               * 1000000) AS BIGINT)) AS BIGINT) AS score_fp,
+             COUNT(*) AS n_terms_hit
+      FROM tf JOIN df USING (tok) CROSS JOIN stats
+      GROUP BY doc_id, chunk_id
+    )
+    SELECT doc_id, chunk_id, score_fp, n_terms_hit FROM scored
+    ORDER BY score_fp DESC, doc_id ASC NULLS FIRST, chunk_id LIMIT 10
+    """,
+    survey="§2.9 retrieval (RAG passage retrieval: BM25 ranked search at "
+    "CHUNK grain over the overlapping-window chunker — retrieval units "
+    "are passages with (doc_id, chunk_id) provenance, the shape every "
+    "RAG serving stack indexes)",
+)
+def chunk_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level BM25 retrieval — the RAG serving shape (every
+    production retrieval stack indexes context-window-sized CHUNKS, not
+    whole documents, so the retrieved unit fits the prompt budget and
+    carries (doc_id, chunk_id) provenance for citation): run the
+    certified overlapping-window chunker, then rank chunks with
+    bm25_topk_search's exact fixed-point scoring tree at chunk grain
+    (corpus stats become chunk stats: n_chunks, mean chunk length).
+
+    COMPOSITION: the Spark side calls the registered chunk_documents
+    plan as a subplan (the dedup_cluster_keep_best precedent) and the
+    oracle embeds the identical chunker via _CHUNKS_SQL (rendered
+    byte-identical to the certified inline form, md5-pinned). Scoring
+    is the BM25 tree verbatim with n_docs -> n_chunks — every per-term
+    score is the same fixed IEEE expression on exact integer inputs,
+    floored to a BIGINT micro-score, summed order-independently.
+
+    Identity contracts: chunking is per-ROW symmetric (the certified
+    chunker's contract), so a collided doc_id's chunks MERGE at the
+    (doc_id, chunk_id, tok) tf grain — deterministically, in both
+    engines; a NULL doc_id chunk group survives to the output, so the
+    top-10 cut spells doc_id ASC NULLS FIRST in both engines (Spark's
+    ASC default, made explicit per the round-13 campaign).
+
+    Scale shape: the chunker pipelines inside the scan (zero shuffles,
+    certified); the IN-filter runs before the tf groupBy so fanout is
+    |term matches|, not |chunk tokens|; df re-aggregates tf's narrow
+    output; the 1-row stats broadcast attaches via the non-foldable
+    always-1 equi-key; the global top-10 compiles to
+    TakeOrderedAndProject — per-partition heads, no corpus sort. The
+    overlap factor (W/S = 4/3) multiplies the scan constant, not the
+    complexity class."""
+    chunks = chunk_documents(spark, sf_dir)
+    stats = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.sum("n_chunk_tokens").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).select(
+        "n_chunks",
+        "avgdl",
+        F.least(F.col("n_chunks"), F.lit(1)).cast("int").alias("_k"),
+    )
+    tf = (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.col("n_chunk_tokens").alias("dl"),
+            F.explode(F.split(F.col("chunk_text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "chunk_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.col("n_chunks") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    satur = (F.col("tf") * F.lit(2.5)) / (
+        F.col("tf") + F.lit(1.5) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+    )
+    term_fp = F.floor(idf * satur * F.lit(1000000))
+    return (
+        tf.join(df, "tok")
+        .withColumn("_k", F.least(F.col("tf"), F.lit(1)).cast("int"))
+        .join(F.broadcast(stats), "_k")
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.sum(term_fp).alias("score_fp"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(
+            F.col("score_fp").desc(),
+            F.col("doc_id").asc_nulls_first(),
+            F.col("chunk_id").asc(),
+        )
+        .limit(10)
     )
 
 

@@ -1348,3 +1348,43 @@ def test_keep_best_selects_longest_member(spark):
     assert any(r.keep_doc_id != r.component for r in winners), (
         "keep-longest never diverged from keep-smallest-id — vacuous rule"
     )
+
+
+def test_chunks_sql_rendering_pinned():
+    """The round-14 extraction of chunk_documents' oracle into
+    _CHUNKS_SQL (so chunk_bm25_retrieval can embed the SAME chunker)
+    must render the registered oracle byte-identical to the certified
+    inline form — the _COMPONENTS_CTES precedent."""
+    import hashlib
+
+    assert (
+        hashlib.md5(REGISTRY["chunk_documents"].oracle.encode()).hexdigest()
+        == "7f207f675a25279a900120feb17f5588"
+    )
+
+
+def test_chunk_retrieval_provenance_and_scoring(spark):
+    """Chunk-grain BM25 contract: (1) every retrieved (doc_id, chunk_id)
+    exists in chunk_documents' output and its hit terms genuinely occur
+    in that chunk's text; (2) scores are positive with n_terms_hit >= 1
+    and rows arrive in (score_fp DESC, doc_id, chunk_id) order; (3) the
+    retrieval is genuinely passage-level — some retrieved doc
+    contributes a chunk_id > 0 OR two chunks of one doc both rank
+    (chunk grain differs from doc grain on this corpus)."""
+    from crm_etl_pipeline_spark.queries.llmops import _BM25_TERMS
+
+    chunks = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in _rows(spark, "chunk_documents")
+    }
+    rows = _rows(spark, "chunk_bm25_retrieval")
+    assert rows
+    for r in rows:
+        assert (r.doc_id, r.chunk_id) in chunks
+        toks = set(chunks[(r.doc_id, r.chunk_id)].split(" "))
+        assert r.n_terms_hit >= 1 and r.score_fp > 0
+        assert len(toks & set(_BM25_TERMS)) == r.n_terms_hit
+    keys = [(-r.score_fp, r.doc_id, r.chunk_id) for r in rows]
+    assert keys == sorted(keys)
+    docs = [r.doc_id for r in rows]
+    assert any(r.chunk_id > 0 for r in rows) or len(set(docs)) < len(docs)

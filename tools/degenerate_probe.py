@@ -953,7 +953,7 @@ PROBES = [
       "abc_pareto_classification", "rfm_segmentation"]),
     ("empty_docs", {"documents": const_col("text", "", pa.string())},
      ["bm25_topk_search", "token_rarity_score", "chunk_documents",
-      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample"]),
+      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "chunk_bm25_retrieval"]),
     ("unique_docs", {"documents": unique_docs},
      ["minhash_near_dup", "simhash_near_dup", "dedup_components",
       "prefix_filter_setsim_join", "exact_dedup_documents", "ngram_jaccard_verify",
@@ -1016,7 +1016,7 @@ PROBES = [
       "skew_salted_join", "variant_props_shred"]),
     ("null_text", {"documents": null_every_10th("text")},
      ["text_stats", "token_rarity_score", "chunk_documents", "bm25_topk_search",
-      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best"]),
+      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
     ("one_lineitem", {"lineitem": one_row},
      ["rollup_revenue", "cube_lineitem_flags", "pivot_status_by_priority",
       "grouping_sets_region_segment"]),
@@ -1063,14 +1063,14 @@ PROBES = [
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "curation_pipeline",
-      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best"]),
+      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
     ("one_document", {"documents": one_document},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "audio_energy_windows", "utf8_ingest_quarantine",
-      "bpe_encode", "pack_bpe_sequences", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best"]),
+      "bpe_encode", "pack_bpe_sequences", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
     ("null_langs", {"documents": null_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
       "train_split_stratified", "language_id_ngram", "dsir_importance_resample"]),
@@ -1094,7 +1094,7 @@ PROBES = [
       "bm25_topk_search", "language_temperature_sample",
       "train_split_stratified", "pack_training_sequences",
       "multimodal_byte_dedup", "doc_quality_score",
-      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best"]),
+      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
     ("const_ts", {"events": const_ts_events},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
@@ -1113,7 +1113,7 @@ PROBES = [
       "ngram_jaccard_verify", "contamination_ngram_overlap",
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
-      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best"]),
+      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
     ("mega_doc", {"documents": mega_doc},
      ["minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
       "dedup_components", "prefix_filter_setsim_join",
@@ -1123,7 +1123,7 @@ PROBES = [
       "vocab_top_tokens", "tfidf_top_terms", "bm25_topk_search",
       "inverted_index_postings", "curation_pipeline",
       "pack_training_sequences", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup",
-      "utf8_ingest_quarantine", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best"]),
+      "utf8_ingest_quarantine", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
     ("far_future_ts", {"events": far_future_ts},
      ["ewma_user_value", "streaming_stateful_sessions",
       "streaming_rate_limit", "sessionization", "session_window_builtin",
@@ -1132,19 +1132,19 @@ PROBES = [
     ("crlf_docs", {"documents": crlf_docs},
      ["boilerplate_line_removal", "exact_dedup_documents",
       "chunk_documents", "text_stats", "doc_fingerprint",
-      "repeated_span_mining", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+      "repeated_span_mining", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "chunk_bm25_retrieval"]),
     ("whitespace_storm", {"documents": whitespace_storm_docs},
      ["exact_dedup_documents", "dedup_incremental_new_docs",
       "token_profile", "text_stats", "vocab_top_tokens",
       "chunk_documents", "pack_training_sequences",
-      "boilerplate_line_removal", "doc_quality_score", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+      "boilerplate_line_removal", "doc_quality_score", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "chunk_bm25_retrieval"]),
     ("unicode_text", {"documents": unicode_docs},
      ["text_stats", "language_id_ngram", "vocab_top_tokens",
       "token_rarity_score", "doc_fingerprint", "doc_quality_score",
       "minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
       "chunk_documents", "pii_redaction", "doc_repetition_ratio",
       "tfidf_top_terms", "boilerplate_line_removal",
-      "token_profile", "dedup_incremental_new_docs", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter"]),
+      "token_profile", "dedup_incremental_new_docs", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "chunk_bm25_retrieval"]),
     ("const_etype", {"events": const_etype_events},
      ["event_type_routing", "funnel_conversion", "event_transition_matrix",
       "session_path_trigrams", "countmin_heavy_hitters",
@@ -1190,7 +1190,7 @@ PROBES = [
       "minhash_near_dup", "simhash_near_dup",
       "sample_stratified_hashrank", "pack_training_sequences", "train_split_stratified",
       "curation_pipeline", "utf8_ingest_quarantine",
-      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best"]),
+      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
     ("null_doc_ids", {"documents": null_doc_ids},
      ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
@@ -1199,7 +1199,7 @@ PROBES = [
       "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
-      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best"]),
+      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
     ("negative_doc_ids", {"documents": negative_doc_ids},
      ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
@@ -1208,7 +1208,7 @@ PROBES = [
       "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
-      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best"]),
+      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
     ("null_event_ids", {"events": null_event_ids},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
