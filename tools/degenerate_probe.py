@@ -1259,6 +1259,18 @@ PROBES = [
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
       "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+    # round-14(c) COMPOSED batch: the round-14 collision-grain fix
+    # (_ASSIGN_SQL's per-row argmin) composed with the zero-norm axis —
+    # a COLLIDED id where one payload row is the all-zero vector, so
+    # the identity winner rules, seed orderings and cosine zero-norm
+    # contract must all hold on the SAME row at once.
+    ("id_collision_zero_vec",
+     {"embeddings": lambda t: zero_first_vec(id_collision_embs(t))},
+     ["ann_cosine_topk", "ann_ivf_probe", "ann_ivf_nprobe2",
+      "ann_ivf_persisted_index", "ann_pq_adc", "ann_recall_selfcheck",
+      "embedding_kmeans", "kmeans_cluster_purity", "semantic_dedup",
+      "ann_ivf_incremental_index", "hybrid_rank_fusion",
+      "embedding_near_dup"]),
     ("id_collision_embs", {"embeddings": id_collision_embs},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
