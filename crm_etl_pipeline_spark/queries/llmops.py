@@ -2275,7 +2275,9 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
     ), scored AS (
       -- bm25_topk_search's scoring tree VERBATIM at CHUNK grain
-      -- (n_docs -> n_chunks; pinned by the cross-query test)
+      -- (n_docs -> n_chunks; pinned by tests/test_llmops.py::
+      -- test_chunk_retrieval_scoring_matches_bm25_tree, which proves
+      -- exact score equality on a corpus where chunk grain == doc grain)
       SELECT doc_id, chunk_id,
              CAST(SUM(CAST(FLOOR(
                ((n_chunks - df + 0.5) / (df + 0.5))
@@ -3717,10 +3719,16 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold product needs N_docs < ~1.8e11 — both far past 100 TB;
     re-scale the 1e6 quantum before the corpus crosses those.
 
-    Scale shape: one corpus pass explodes features (fanout = tokens +
-    bigrams ≈ 2× tokens); the model table is EXACTLY B rows — broadcast
-    onto the feature stream, so the hot stopword buckets never shuffle
-    (no Zipf skew path at all); per-doc weights are one
+    Scale shape: the feature explode (fanout = tokens + bigrams ≈ 2×
+    tokens) runs TWICE — once to build the B-row model, once on the
+    probe side of the model join — a deliberate recompute-over-
+    materialize call: checkpointing the feature-grain frame would
+    write ~2× the corpus to storage, while re-running the codegen'd
+    explode+hash costs one extra scan (the doc-grain `weights` frame,
+    corpus-CARDINALITY not feature-cardinality, IS checkpointed below
+    for its three consumers). The model table is EXACTLY B rows —
+    broadcast onto the feature stream, so the hot stopword buckets
+    never shuffle (no Zipf skew path at all); per-doc weights are one
     map-side-combinable groupBy(doc_id). The global prefix sum is the
     pps_systematic_sample two-phase decomposition (cumulate inside
     256 md5-prefix groups in parallel, serial offset pass over the

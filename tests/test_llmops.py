@@ -1388,3 +1388,51 @@ def test_chunk_retrieval_provenance_and_scoring(spark):
     assert keys == sorted(keys)
     docs = [r.doc_id for r in rows]
     assert any(r.chunk_id > 0 for r in rows) or len(set(docs)) < len(docs)
+
+
+def test_chunk_retrieval_scoring_matches_bm25_tree(spark, tmp_path):
+    """The cross-query pin the chunk oracle's comment promises: on a
+    corpus where every document fits in ONE chunk (<= CHUNK_W tokens),
+    chunk grain degenerates to doc grain — n_chunks == n_docs, chunk
+    dl == doc dl — so chunk_bm25_retrieval's scores must equal
+    bm25_topk_search's EXACTLY, value for value. This guards the third
+    copy of the BM25 expression tree against drift (the triplication
+    is deliberate: re-rendering the certified bm25/hybrid bytes around
+    a shared helper was judged riskier than pinned duplication)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.io import table
+    from crm_etl_pipeline_spark.queries.llmops import CHUNK_W
+
+    src = SF_DIR
+    out = tmp_path / "one_chunk_corpus"
+    out.mkdir()
+    for t in ("documents",):
+        trunc = table(spark, src, t).select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.split("text", " "), 1, CHUNK_W)
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        trunc.coalesce(1).write.parquet(str(out / f"{t}.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", out / f"{t}.parquet")
+
+    doc_rows = {
+        r.doc_id: (r.score_fp, r.n_terms_hit)
+        for r in REGISTRY["bm25_topk_search"].fn(spark, str(out)).collect()
+    }
+    chunk_rows = REGISTRY["chunk_bm25_retrieval"].fn(spark, str(out)).collect()
+    assert doc_rows, "truncated corpus must still match BM25 terms"
+    assert len(chunk_rows) == len(doc_rows)
+    for r in chunk_rows:
+        assert r.chunk_id == 0, "every doc must be a single chunk"
+        assert (r.score_fp, r.n_terms_hit) == doc_rows[r.doc_id], (
+            f"chunk tree diverged from bm25 tree at doc {r.doc_id}"
+        )
