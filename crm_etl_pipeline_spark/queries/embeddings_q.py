@@ -61,7 +61,20 @@ def _emb(spark: SparkSession, sf_dir: str):
     element yields NULL -> exists NULL -> filter drops) while DuckDB's
     NOT list_bool_or(...) ignores NULL lambda results and KEEPS it,
     feeding NULL into the fixed-point pipeline — a latent cross-engine
-    split. Both sides now name x IS NULL a corruption outright."""
+    split. Both sides now name x IS NULL a corruption outright.
+
+    A RAGGED dimension is corrupt too (round-14 advisor find, closed
+    family-wide in round 15): a vector shorter or longer than _DIM has
+    no defined position in the 64-dim feature space, and the two
+    engines fail it ASYMMETRICALLY — Spark's zip_with pads the short
+    side with NULL so the fixed-point fold null-propagates (whole dot
+    becomes NULL), while _fixed_dot_sql's range(1, 65) correlated SUM
+    skips the NULL terms and returns a partial sum; a LONG vector is
+    silently truncated by the SQL twin but fully folded by zip_with.
+    Both sides now quarantine on exact length (size(embedding) = _DIM
+    / len(embedding) = 64 in every oracle scan) — one mis-shaped row
+    is one excluded row, never a cross-engine split. The
+    ragged_dim_embs sweep batch pins the agreement."""
     return (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
@@ -73,6 +86,7 @@ def _emb(spark: SparkSession, sf_dir: str):
                 | (F.abs(x) == F.lit(float("inf"))),
             )
         )
+        .filter(F.size("embedding") == _DIM)
     )
 
 # --- identity-collision contract for TRAINING pipelines (round-10
@@ -150,7 +164,7 @@ def _fixed_dot_sql(a: str, b: str) -> str:
     WITH n AS (
       SELECT vec_id, label,
              {_fixed_dot_sql('embedding', 'embedding')} AS n2q
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     )
     SELECT vec_id, label, CAST(n2q AS BIGINT) AS n2q,
            SQRT(CAST(n2q AS DOUBLE) / 1e12) AS l2_norm
@@ -201,11 +215,11 @@ _BRUTE_TOPK_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe,
              {_fixed_dot_sql('embedding', 'embedding')} AS qn2
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND vec_id < {_N_QUERIES}
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64 AND vec_id < {_N_QUERIES}
     ), c AS (
       SELECT vec_id AS cand_id, embedding AS ce,
              {_fixed_dot_sql('embedding', 'embedding')} AS cn2
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     ), scored AS (
       SELECT query_id, cand_id, qn2, cn2,
              {_fixed_dot_sql('qe', 'ce')} AS dotq
@@ -279,7 +293,7 @@ _SIGN_BUCKET_SQL = " + ".join(
     WITH e AS (
       SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket,
              {_fixed_dot_sql('embedding', 'embedding')} AS n2
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     ), q AS (
       SELECT vec_id AS query_id, embedding AS qe, bucket, n2 AS qn2
       FROM e WHERE vec_id < {_N_QUERIES}
@@ -347,7 +361,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
              / 1e12 / COUNT(*) AS mean_val
     FROM embeddings, unnest(range(1, 65)) t(i)
-    WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+    WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     GROUP BY label, i
     """,
     survey="§2.9 similarity search (per-label centroids — the IVF training step)",
@@ -388,7 +402,7 @@ _PERT_DIM = 10  # outside the 8 sign-bucket dims → clone lands in the same buc
       -- duplicated row would inflate bucket membership/rank caps and
       -- emit duplicate candidate pairs
       SELECT DISTINCT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     ), corpus AS (
       SELECT vec_id, vd FROM base
       UNION ALL
@@ -504,7 +518,7 @@ _CENTROID_SQL = f"""
              CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
                / 1e12 / COUNT(*) AS c
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
       GROUP BY label, i
 """
 
@@ -532,7 +546,7 @@ _ASSIGN_SQL = f"""
              SUM(CAST(FLOOR((CAST(e.embedding[dim] AS DOUBLE) - cen.c)
                             * (CAST(e.embedding[dim] AS DOUBLE) - cen.c) * 1e12) AS BIGINT)) AS d2q
       FROM embeddings e, centroids cen
-      WHERE e.embedding IS NOT NULL AND NOT list_bool_or(list_transform(e.embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      WHERE e.embedding IS NOT NULL AND NOT list_bool_or(list_transform(e.embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(e.embedding) = 64
       GROUP BY e.vec_id, e.embedding, cen.label
     )
 """
@@ -818,7 +832,7 @@ _IVF_INCREMENTAL_ORACLE = f"""
              CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
                / 1e12 / COUNT(*) AS c
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
         AND (COALESCE(ABS(vec_id), 0) % 5) <> 2
       GROUP BY label, i
     ),
@@ -928,7 +942,7 @@ _OUT_DIMS = 8  # output the first 8 dims (stats still span all 64)
       SELECT vec_id, i,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     ), stats AS (
       SELECT i, COUNT(*) AS n, SUM(xq) AS s1, SUM(xq * xq) AS s2 FROM q GROUP BY i
     ), s AS (
@@ -1016,7 +1030,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, i,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MOMENT_SCALE}) AS BIGINT) AS xq
       FROM embeddings, unnest(range(1, {_DIM + 1})) t(i)
-      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     ), ext AS (
       SELECT i, MIN(xq) AS mn, MAX(xq) AS mx FROM q GROUP BY i
     )
@@ -1144,7 +1158,7 @@ def _kmeans_core_sql(src: str) -> str:
     oracle=f"""
     WITH raw_emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     ), emb AS (
       -- ONE row per vec_id: byte-identical re-ingest collapses (round-8
       -- dup contract) and a COLLIDED id resolves to the deterministic
@@ -1340,7 +1354,7 @@ _SEM_CELL_CAP = 512
       -- keep/drop verdict is PER IDENTITY — a NULL vec_id cannot be
       -- kept or dropped, so it is excluded symmetrically up front
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
         AND vec_id IS NOT NULL
     ), base AS (
       -- one row per vec_id (round-8 dup + round-10 collision contracts)
@@ -1498,10 +1512,10 @@ _NOISE_K = 5
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND vec_id < {_NOISE_PROBES}
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64 AND vec_id < {_NOISE_PROBES}
     ), c AS (
       SELECT vec_id AS cand_id, embedding AS ce, label AS clabel
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     ), scored AS (
       SELECT query_id, qlabel, cand_id, clabel,
              {_fixed_dot_sql('qe', 'ce')} AS dotq
@@ -1588,7 +1602,7 @@ _PQ_K = 8  # codes per subspace (fixture-sized; 256 at production scale)
 _PQ_ADC_ORACLE = f"""
     WITH raw_emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)))
+      FROM embeddings WHERE embedding IS NOT NULL AND NOT list_bool_or(list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) AND len(embedding) = 64
     ), emb AS (
       -- ONE row per vec_id (round-8 dup + round-10 identity-collision
       -- contracts): the per-subspace seed ranks tie on a collided id;

@@ -1163,14 +1163,18 @@ def test_bpe_subword_vocab_matches_reference(spark):
 
 def test_kmeans_core_sql_rendering_pinned():
     """_kmeans_core_sql("emb") must render embedding_kmeans's oracle
-    byte-identical to the r10-certified inline form — the round-14
+    byte-identical to the certified form — the round-14
     parameterization (for semantic_dedup's clone-augmented corpus) is a
-    pure extraction, not a semantic change."""
+    pure extraction, not a semantic change. Re-pinned in round 15 when
+    the family-wide ragged-dimension guard (`len(embedding) = 64`)
+    joined every embedding oracle scan (the r10 pin was
+    ed8ebb80376e7976f253bbfa91295935; the guard is the ONLY text
+    delta, verified by diff at the re-pin)."""
     import hashlib
 
     assert (
         hashlib.md5(REGISTRY["embedding_kmeans"].oracle.encode()).hexdigest()
-        == "ed8ebb80376e7976f253bbfa91295935"
+        == "016ee3bd4d8ed1639ef2abfdfdad553c"
     )
 
 
@@ -1264,6 +1268,78 @@ def test_hybrid_fusion_rrf_arithmetic_and_order(spark):
     assert keys == sorted(keys), "output must be (rrf_fp DESC, doc_id) ordered"
     assert any(r.lex_rank is not None for r in rows)
     assert any(r.dense_rank is not None for r in rows)
+
+
+def test_hybrid_ctes_rendering_pinned():
+    """The round-15 extraction of hybrid_rank_fusion's oracle CTE chain
+    into _HYBRID_CTES (so rerank_fused_topk can embed the SAME two-arm
+    fusion chain) must render the registered oracle byte-identical to
+    the certified pre-extraction form (md5 taken at the extraction,
+    AFTER the round-15 ragged-dimension guard joined the emb_ok scan —
+    the _kmeans_core_sql / _CHUNKS_SQL precedent)."""
+    import hashlib
+
+    assert (
+        hashlib.md5(REGISTRY["hybrid_rank_fusion"].oracle.encode()).hexdigest()
+        == "cf32a3ab39283ca1d95a09f7c2222698"
+    )
+
+
+def test_chunk_bm25_ctes_rendering_pinned():
+    """The round-15 extraction of chunk_bm25_retrieval's oracle CTE
+    chain into _CHUNK_BM25_CTES (so chunk_hybrid_retrieval can embed
+    the SAME chunk-grain scoring chain) must render the registered
+    oracle byte-identical to the r14-certified form."""
+    import hashlib
+
+    assert (
+        hashlib.md5(REGISTRY["chunk_bm25_retrieval"].oracle.encode()).hexdigest()
+        == "73aad9c88a9a57aef7eb09be62d35185"
+    )
+
+
+def test_hybrid_lexical_arm_null_id_stats(spark, tmp_path):
+    """The round-14 ADVICE pin: hybrid's lexical arm computes its
+    corpus stats (n_docs/avgdl) over the NON-NULL-doc_id population
+    (the fusion's id-keyed join excludes NULL ids up front), while
+    bm25_topk_search computes stats over ALL documents. The intended
+    relationship on a NULL-id corpus: the arm equals bm25 run on the
+    NULL-STRIPPED corpus — not bm25 on the full corpus. Build both
+    fixtures from the same documents table and assert the arm's top-10
+    matches the stripped-corpus bm25 exactly, value for value."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crm_etl_pipeline_spark.io import table
+    from crm_etl_pipeline_spark.queries.llmops import _hybrid_arm_frames
+
+    src = SF_DIR
+    docs = table(spark, src, "documents")
+    with_nulls = docs.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(None)).otherwise(F.col("doc_id")),
+    )
+    stripped = with_nulls.filter(F.col("doc_id").isNotNull())
+    for name, frame in (("nullids", with_nulls), ("stripped", stripped)):
+        d = tmp_path / name
+        d.mkdir()
+        frame.coalesce(1).write.parquet(str(d / "documents.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+
+    arm, _dense = _hybrid_arm_frames(spark, str(tmp_path / "nullids"))
+    arm_top = (
+        arm.orderBy(F.col("score_fp").desc(), "doc_id").limit(10).collect()
+    )
+    bm25_top = (
+        REGISTRY["bm25_topk_search"].fn(spark, str(tmp_path / "stripped")).collect()
+    )
+    assert arm_top, "NULL-id corpus must still score lexical candidates"
+    assert [(r.doc_id, r.score_fp) for r in arm_top] == [
+        (r.doc_id, r.score_fp) for r in bm25_top
+    ], "arm-vs-stripped-bm25 drift: the stats-population contract broke"
 
 
 def test_dsir_resample_draw_count_and_target_skew(spark):

@@ -507,6 +507,32 @@ def nan_inf_embeddings(tbl):
     )
 
 
+def ragged_dim_embs(tbl):
+    # RAGGED dimensions (round-15 close of the round-14 ADVICE find):
+    # every 7th vector truncated to 32 dims, every 11th extended to 80
+    # dims (tail repeated), one vector cut to a single component. The
+    # engines fail a mis-shaped vector ASYMMETRICALLY — Spark's
+    # zip_with null-pads so the fixed-point fold null-propagates,
+    # DuckDB's range(1,65) correlated SUM partial-sums a short vector
+    # and silently truncates a long one — so the family-wide exact-
+    # length quarantine (size/len(embedding) = 64) is the only
+    # cross-engine-stable contract. This batch pins it.
+    embs = tbl.column("embedding").to_pylist()
+    for i in range(0, len(embs), 7):
+        if embs[i] is not None:
+            embs[i] = list(embs[i][:32])
+    for i in range(0, len(embs), 11):
+        if embs[i] is not None:
+            embs[i] = list(embs[i]) + list(embs[i][-16:])
+    if embs and embs[3] is not None:
+        embs[3] = list(embs[3][:1])
+    return tbl.set_column(
+        tbl.column_names.index("embedding"),
+        "embedding",
+        pa.array(embs, tbl.schema.field("embedding").type),
+    )
+
+
 def id_collision_embs(tbl):
     # identity collision for vectors (round-10 probe, the embedding twin
     # of id_collision_docs): every 31st vector takes its predecessor's
@@ -1176,6 +1202,16 @@ PROBES = [
       "backoff_penalty_audit",
       "skew_salted_join"]),
     ("nan_inf_embeddings", {"embeddings": nan_inf_embeddings},
+     ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+      "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
+      "embedding_standardize",
+      "embedding_quantize_int8", "embedding_centroid_per_label",
+      "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+    # round-15 batch: ragged vector dimensions (the round-14 ADVICE
+    # find) — the exact-length quarantine must agree cross-engine on
+    # short, long and single-component vectors
+    ("ragged_dim_embs", {"embeddings": ragged_dim_embs},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
       "embedding_standardize",
