@@ -321,9 +321,12 @@ def token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_quality_score",
-    oracle=f"""
+# extracted to a constant in round 15 so rerank_fused_topk can embed
+# the certified quality gate as a subquery (the _CHUNKS_SQL whole-
+# query-embed pattern); rendering is byte-identical to the inline
+# form — md5-pinned in tests/test_llmops.py::
+# test_doc_quality_sql_rendering_pinned
+_DOC_QUALITY_SQL = f"""
     WITH m AS (
       SELECT doc_id, lang,
              len(string_split(text, ' ')) AS n_tokens,
@@ -341,7 +344,12 @@ def token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN n_tokens >= 15 THEN 'review'
                 ELSE 'drop' END AS quality_bucket
     FROM m
-    """,
+    """
+
+
+@query(
+    "doc_quality_score",
+    oracle=_DOC_QUALITY_SQL,
     survey="§2.9 text analysis (quality scoring: length/stopword/diversity gates)",
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2223,6 +2231,227 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- feature-fusion reranking over the fused candidates (round 15) ---------
+# the serving-stack stage AFTER hybrid_rank_fusion: re-score the RRF
+# top-10 with an exact feature combination — candidate-set min-max
+# normalized arm scores on a 1e4 quantum (range * 1e4 must stay under
+# 2^63: ample for the serving convention of unit-normalized embeddings,
+# where |dotq| <= ~1e12 at the 1e12 dot quantum), weighted 6:4
+# lexical:dense, gated by the certified quality bucket
+# (keep x4 / review-or-unassessable x2 / drop x1)
+_RERANK_Q = 10**4
+_RERANK_W_LEX = 6
+_RERANK_W_DENSE = 4
+
+
+@query(
+    "rerank_fused_topk",
+    oracle=f"""
+    WITH {_HYBRID_CTES},
+    cands AS (
+      SELECT doc_id, lex_rank, dense_rank, rrf_fp FROM fused
+      ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    ), quality AS (
+      SELECT doc_id, quality_bucket FROM ({_DOC_QUALITY_SQL}) q
+    ), feat AS (
+      -- a collided doc_id reaches here ONCE from each arm (lex_scored
+      -- is doc-grain, dense_scored is cand-grain) but the quality join
+      -- multiplies it once per payload row — symmetrically in both
+      -- engines (see docstring identity contract)
+      SELECT c.doc_id, c.lex_rank, c.dense_rank, c.rrf_fp,
+             ls.score_fp AS lex_fp, ds.dotq AS dense_fp,
+             CASE WHEN q.quality_bucket = 'keep' THEN 4
+                  WHEN q.quality_bucket = 'drop' THEN 1
+                  ELSE 2 END AS quality_mult
+      FROM cands c
+      LEFT JOIN lex_scored ls ON c.doc_id = ls.doc_id
+      LEFT JOIN dense_scored ds ON c.doc_id = ds.cand_id
+      LEFT JOIN quality q ON c.doc_id = q.doc_id
+    ), ext AS (
+      SELECT MAX(lex_fp) AS max_lex, MIN(lex_fp) AS min_lex,
+             MAX(dense_fp) AS max_dense, MIN(dense_fp) AS min_dense
+      FROM feat
+    ), normed AS (
+      SELECT doc_id, lex_rank, dense_rank, rrf_fp, quality_mult,
+             CAST(CASE WHEN max_lex IS NULL THEN 0
+                  WHEN max_lex > min_lex
+                  THEN ((COALESCE(lex_fp, min_lex) - min_lex) * {_RERANK_Q}) // (max_lex - min_lex)
+                  ELSE {_RERANK_Q} END AS BIGINT) AS lex_frac_fp,
+             CAST(CASE WHEN max_dense IS NULL THEN 0
+                  WHEN max_dense > min_dense
+                  THEN ((COALESCE(dense_fp, min_dense) - min_dense) * {_RERANK_Q}) // (max_dense - min_dense)
+                  ELSE {_RERANK_Q} END AS BIGINT) AS dense_frac_fp
+      FROM feat CROSS JOIN ext
+    ), reranked AS (
+      SELECT doc_id, lex_rank, dense_rank, rrf_fp, quality_mult,
+             lex_frac_fp, dense_frac_fp,
+             CAST(quality_mult * ({_RERANK_W_LEX} * lex_frac_fp
+                                + {_RERANK_W_DENSE} * dense_frac_fp) AS BIGINT) AS rerank_fp
+      FROM normed
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY rerank_fp DESC, doc_id) AS final_rank,
+           rerank_fp, lex_frac_fp, dense_frac_fp,
+           CAST(quality_mult AS BIGINT) AS quality_mult,
+           lex_rank, dense_rank, rrf_fp
+    FROM reranked
+    ORDER BY final_rank
+    """,
+    survey="§2.9 retrieval (serving-stack reranking: exact feature-fusion "
+    "rerank of the RRF candidate set — candidate-set-normalized BM25 and "
+    "dense-dot features, quality-bucket gate, deterministic final order "
+    "with full provenance)",
+)
+def rerank_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate reranking — the stage every production serving stack
+    runs AFTER first-phase retrieval (the cross-encoder slot: a
+    cheap-recall candidate generator feeds an expensive-precision
+    re-scorer over the tiny candidate set). The candidate set is
+    hybrid_rank_fusion's fused top-10 VERBATIM (the _HYBRID_CTES chain
+    embedded as a subquery; Spark composes the same shared
+    _hybrid_arm_frames/_hybrid_fuse helpers); in place of a learned
+    cross-encoder forward pass — no model weights are a cross-engine
+    contract — the re-score is a deterministic exact feature
+    combination of the three signals the stack already certifies:
+
+      rerank_fp = quality_mult * (6 * lex_frac + 4 * dense_frac)
+
+    where lex_frac/dense_frac are the candidate-set MIN-MAX normalized
+    arm scores on a 1e4 fixed-point quantum (normalization makes the
+    incomparable BM25-micro and dot-product scales commensurable —
+    the classic learning-to-rank feature-scaling step, exact in
+    BIGINT), and quality_mult gates by doc_quality_score's certified
+    bucket (keep x4, drop x1, review-or-unassessable x2 — a
+    dense-only candidate with no document row CANNOT be
+    quality-assessed and stays neutral). A candidate absent from one
+    arm COALESCEs to that feature's candidate-set minimum ("no
+    evidence = weakest observed evidence" — scores can be negative, so
+    0 is not a floor). All-absent features (max IS NULL) read 0; an
+    all-tied feature (max == min) reads the full quantum in both
+    engines. Numerators are non-negative by construction, so BIGINT
+    `div`/`//` never sees a negative operand (the engines' rounding
+    modes differ there).
+
+    Identity contracts: candidates carry non-NULL ids (the fusion's
+    keyset contract); a COLLIDED doc_id reaches the candidate set once
+    (both arm frames are id-grain aggregates) but multiplies through
+    the per-row quality LEFT join once per payload row — symmetrically
+    in both engines, and the duplicated output rows are identical in
+    every column except final_rank, whose assignment among identical
+    rows is multiset-deterministic.
+
+    Scale shape: the two arm corpus passes run EXACTLY ONCE each —
+    lex_scored/dense_scored are reliable-checkpointed doc-grain narrow
+    frames (the DSIR `weights` precedent) consumed twice (fusion +
+    feature attach); the candidate id list (<= 10 rows) broadcasts
+    into each feature join, so the attach is three BroadcastHashJoins
+    that prune to candidate rows — no corpus shuffle after the arms.
+    The quality pass is per-row column algebra pipelined in its scan.
+    Normalization stats aggregate <= 10 rows; the final rank window
+    runs over <= 10 rows. Past the arms, the whole stage is
+    constant-size at any corpus scale."""
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
+    lex_scored, dense_scored = _hybrid_arm_frames(spark, sf_dir)
+    lex_ck = reliable_checkpoint(lex_scored)
+    dense_ck = reliable_checkpoint(dense_scored)
+    cands = (
+        _hybrid_fuse(lex_ck, dense_ck)
+        .orderBy(F.col("rrf_fp").desc(), "doc_id")
+        .limit(10)
+    )
+    ids = cands.select("doc_id")
+    cand_lex = (
+        lex_ck.join(F.broadcast(ids), "doc_id")
+        .withColumnRenamed("score_fp", "lex_fp")
+    )
+    cand_dense = (
+        dense_ck.withColumnRenamed("cand_id", "doc_id")
+        .join(F.broadcast(ids), "doc_id")
+        .withColumnRenamed("dotq", "dense_fp")
+    )
+    qual = (
+        doc_quality_score(spark, sf_dir)
+        .select("doc_id", "quality_bucket")
+        .join(F.broadcast(ids), "doc_id")
+    )
+    feat = (
+        cands.join(F.broadcast(cand_lex), "doc_id", "left")
+        .join(F.broadcast(cand_dense), "doc_id", "left")
+        .join(F.broadcast(qual), "doc_id", "left")
+        .withColumn(
+            "quality_mult",
+            F.when(F.col("quality_bucket") == "keep", F.lit(4))
+            .when(F.col("quality_bucket") == "drop", F.lit(1))
+            .otherwise(F.lit(2)),
+        )
+        .drop("quality_bucket")
+    )
+    ext = feat.agg(
+        F.max("lex_fp").alias("max_lex"),
+        F.min("lex_fp").alias("min_lex"),
+        F.max("dense_fp").alias("max_dense"),
+        F.min("dense_fp").alias("min_dense"),
+        # non-foldable always-1 scalar key (the _attach1 contract); the
+        # no-groupBy agg emits exactly one row even on an empty corpus
+        F.least(F.count(F.lit(1)) + F.lit(1), F.lit(1)).cast("int").alias("_k"),
+    )
+    # probe key: rrf_fp >= floor(1e9/110) > 0 on every candidate row
+    normed = _attach1(
+        feat, ext, F.least(F.col("rrf_fp"), F.lit(1)).cast("int")
+    ).select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        "rrf_fp",
+        "quality_mult",
+        F.when(F.col("max_lex").isNull(), F.lit(0).cast("bigint"))
+        .when(
+            F.col("max_lex") > F.col("min_lex"),
+            F.expr(
+                f"((coalesce(lex_fp, min_lex) - min_lex) * {_RERANK_Q})"
+                " div (max_lex - min_lex)"
+            ),
+        )
+        .otherwise(F.lit(_RERANK_Q).cast("bigint"))
+        .cast("bigint")
+        .alias("lex_frac_fp"),
+        F.when(F.col("max_dense").isNull(), F.lit(0).cast("bigint"))
+        .when(
+            F.col("max_dense") > F.col("min_dense"),
+            F.expr(
+                f"((coalesce(dense_fp, min_dense) - min_dense) * {_RERANK_Q})"
+                " div (max_dense - min_dense)"
+            ),
+        )
+        .otherwise(F.lit(_RERANK_Q).cast("bigint"))
+        .cast("bigint")
+        .alias("dense_frac_fp"),
+    )
+    reranked = normed.withColumn(
+        "rerank_fp",
+        (
+            F.col("quality_mult").cast("bigint")
+            * (
+                F.lit(_RERANK_W_LEX) * F.col("lex_frac_fp")
+                + F.lit(_RERANK_W_DENSE) * F.col("dense_frac_fp")
+            )
+        ).cast("bigint"),
+    )
+    w = Window.orderBy(F.col("rerank_fp").desc(), F.col("doc_id").asc())
+    return reranked.select(
+        "doc_id",
+        F.row_number().over(w).alias("final_rank"),
+        "rerank_fp",
+        "lex_frac_fp",
+        "dense_frac_fp",
+        F.col("quality_mult").cast("bigint").alias("quality_mult"),
+        "lex_rank",
+        "dense_rank",
+        "rrf_fp",
+    ).orderBy("final_rank")
+
+
 # chunking window: 32-token chunks advancing 24 tokens (25% overlap)
 CHUNK_W, CHUNK_S = 32, 24
 
@@ -2434,6 +2663,199 @@ def chunk_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").asc_nulls_first(),
             F.col("chunk_id").asc(),
         )
+        .limit(10)
+    )
+
+
+# --- chunk-grain hybrid retrieval (round 15) --------------------------------
+# the dense arm's chunk representation is the FEATURE-HASHING embedding
+# (Weinberger et al., ICML 2009 — the hashing trick): every token hashes
+# to one of D=64 buckets via the cross-engine md5->52-bit idiom, a chunk
+# is its bucket-count vector, and the score against the fixed probe text
+# is the exact integer dot product MEAN-POOLED by the chunk's certified
+# token count (dot(q, c/n) on a 1e6 quantum) — a real dense retrieval
+# shape with zero floats and zero model weights, so it is a cross-engine
+# contract. Production swaps the hashed space for trained embeddings;
+# every plan shape (per-chunk vector build, broadcast probe, top-K arm,
+# passage-grain RRF fusion) is identical.
+_CHUNK_HASH_D = 64
+_CHUNK_HASH_SEED = 7
+_CHUNK_PROBE = "spark hash merge window join batch shuffle partition"
+_CHUNK_DENSE_Q = 10**6
+
+
+@query(
+    "chunk_hybrid_retrieval",
+    oracle=f"""
+    WITH {_CHUNK_BM25_CTES},
+    bm_arm AS (
+      -- keyset non-NULL-key contract (the hybrid_rank_fusion
+      -- precedent): the fusion joins the arms on (doc_id, chunk_id),
+      -- so NULL-id chunks are excluded from BOTH arms up front — the
+      -- arm's ranks therefore match chunk_bm25_retrieval's registered
+      -- output exactly iff the corpus has no NULL doc_ids (pinned on
+      -- the NULL-free fixture by test_chunk_hybrid_bm25_arm_pinned)
+      SELECT doc_id, chunk_id, bm25_rank FROM (
+        SELECT doc_id, chunk_id,
+               ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id, chunk_id) AS bm25_rank
+        FROM scored WHERE doc_id IS NOT NULL) r
+      WHERE bm25_rank <= {_RRF_DEPTH}
+    ), cvec AS (
+      -- a collided doc_id's chunks MERGE at the (doc_id, chunk_id, b)
+      -- grain (count-sum is order-free); MAX(n_chunk_tokens) is the
+      -- deterministic normalizer under the merge
+      SELECT doc_id, chunk_id, b, COUNT(*) AS c, MAX(n_chunk_tokens) AS n_toks
+      FROM (
+        SELECT doc_id, chunk_id, n_chunk_tokens,
+               CAST('0x' || substr(md5('{_CHUNK_HASH_SEED}|' || CAST(tok AS VARCHAR)), 1, 13) AS BIGINT) % {_CHUNK_HASH_D} AS b
+        FROM (SELECT doc_id, chunk_id, n_chunk_tokens,
+                     unnest(string_split(chunk_text, ' ')) AS tok
+              FROM chunks WHERE doc_id IS NOT NULL) t0) t1
+      GROUP BY doc_id, chunk_id, b
+    ), qvec AS (
+      SELECT b, COUNT(*) AS qc FROM (
+        SELECT CAST('0x' || substr(md5('{_CHUNK_HASH_SEED}|' || CAST(tok AS VARCHAR)), 1, 13) AS BIGINT) % {_CHUNK_HASH_D} AS b
+        FROM unnest(string_split('{_CHUNK_PROBE}', ' ')) t(tok)) q0
+      GROUP BY b
+    ), dense_scored AS (
+      SELECT doc_id, chunk_id,
+             CAST(SUM(c * qc) * {_CHUNK_DENSE_Q} // MAX(n_toks) AS BIGINT) AS dscore_fp
+      FROM cvec JOIN qvec USING (b)
+      GROUP BY doc_id, chunk_id
+    ), dense_arm AS (
+      SELECT doc_id, chunk_id, dense_rank FROM (
+        SELECT doc_id, chunk_id,
+               ROW_NUMBER() OVER (ORDER BY dscore_fp DESC, doc_id, chunk_id) AS dense_rank
+        FROM dense_scored) r
+      WHERE dense_rank <= {_RRF_DEPTH}
+    ), fusedc AS (
+      SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+             COALESCE(b.chunk_id, d.chunk_id) AS chunk_id,
+             b.bm25_rank, d.dense_rank,
+             CAST(COALESCE({10**9} // ({_RRF_K} + b.bm25_rank), 0)
+                + COALESCE({10**9} // ({_RRF_K} + d.dense_rank), 0) AS BIGINT) AS rrf_fp
+      FROM bm_arm b FULL OUTER JOIN dense_arm d
+        ON b.doc_id = d.doc_id AND b.chunk_id = d.chunk_id
+    )
+    SELECT doc_id, chunk_id, bm25_rank, dense_rank, rrf_fp FROM fusedc
+    ORDER BY rrf_fp DESC, doc_id, chunk_id LIMIT 10
+    """,
+    survey="§2.9 retrieval (chunk-grain hybrid retrieval: the certified "
+    "chunk-BM25 lexical arm fused by reciprocal-rank fusion with a "
+    "hashed-feature dense arm — mean-pooled bag-of-hashed-tokens chunk "
+    "vectors, exact integer dot against a fixed probe — at passage "
+    "grain with (doc_id, chunk_id) provenance)",
+)
+def chunk_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval at PASSAGE grain — the full RAG serving shape
+    (hybrid_rank_fusion certifies the two-arm fusion at document
+    grain; real serving stacks retrieve chunks, so both arms must rank
+    the chunker's output): the lexical arm is chunk_bm25_retrieval's
+    scoring chain VERBATIM (_CHUNK_BM25_CTES embedded; Spark composes
+    the shared _chunk_bm25_scored helper), the dense arm scores each
+    chunk's FEATURE-HASHED vector (Weinberger et al., ICML 2009:
+    tokens -> D=64 buckets via the cross-engine md5->52-bit idiom,
+    chunk vector = bucket counts) against the fixed probe text by the
+    exact integer dot product, MEAN-POOLED by the chunk's certified
+    token count (dot * 1e6 // n_tokens — the length normalization that
+    makes a chunk vector the mean of its token one-hots). Each arm's
+    top-50 fuses by the same Σ floor(1e9/(60+rank)) RRF rule at
+    (doc_id, chunk_id) grain — pure BIGINT end to end.
+
+    Identity contracts: NULL-id chunks are excluded from BOTH arms up
+    front (the fusion's full-outer join is (doc_id, chunk_id)-keyed —
+    the hybrid keyset precedent; the arm's ranks match
+    chunk_bm25_retrieval's registered output exactly on NULL-free
+    corpora, pinned by test_chunk_hybrid_bm25_arm_pinned); a COLLIDED
+    doc_id's chunks merge at the (doc_id, chunk_id, b) count grain
+    with MAX(n_chunk_tokens) as the deterministic normalizer — the
+    chunk-BM25 tf-grain rule's dense twin. Integer division never sees
+    a negative operand (counts and token counts are non-negative), so
+    the engines' div-rounding modes cannot split.
+
+    Scale shape: the chunker pipelines inside the scan for each arm
+    (the deliberate recompute-over-materialize call — checkpointing
+    the chunk_text-wide frame would write ~4/3 of the corpus to
+    storage, the DSIR explode precedent); the dense arm is one
+    map-side-combinable groupBy to (doc_id, chunk_id, b) grain
+    (fanout <= 32 tokens x 1 bucket each), a <= 64-row broadcast probe
+    join, and one more combinable groupBy back to chunk grain; both
+    arms' top-50 compile to TakeOrderedAndProject (per-partition
+    heads), the rank windows run over <= 50 rows, and the fusion joins
+    two <= 50-row frames. At 100 TB the arms scale as two linear
+    passes; the fusion is constant-size."""
+    from crm_etl_pipeline_spark.queries.sketch_filters_q import _hash_long
+
+    bm = _chunk_bm25_scored(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    w_bm = Window.orderBy(
+        F.col("score_fp").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc()
+    )
+    bm_arm = (
+        bm.orderBy(F.col("score_fp").desc(), "doc_id", "chunk_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", "chunk_id", F.row_number().over(w_bm).alias("bm25_rank"))
+    )
+
+    chunks = chunk_documents(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    cvec = (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            F.explode(F.split(F.col("chunk_text"), " ")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            (_hash_long(F.col("tok"), _CHUNK_HASH_SEED) % _CHUNK_HASH_D).alias("b"),
+        )
+        .groupBy("doc_id", "chunk_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("n_chunk_tokens").alias("n_toks"))
+    )
+    qvec = (
+        spark.range(1)
+        .select(F.explode(F.split(F.lit(_CHUNK_PROBE), " ")).alias("tok"))
+        .select((_hash_long(F.col("tok"), _CHUNK_HASH_SEED) % _CHUNK_HASH_D).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("qc"))
+    )
+    dense_scored = (
+        cvec.join(F.broadcast(qvec), "b")
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.expr(
+                f"CAST(sum(c * qc) * {_CHUNK_DENSE_Q} div max(n_toks) AS BIGINT)"
+            ).alias("dscore_fp")
+        )
+    )
+    w_d = Window.orderBy(
+        F.col("dscore_fp").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc()
+    )
+    dense_arm = (
+        dense_scored.orderBy(F.col("dscore_fp").desc(), "doc_id", "chunk_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", "chunk_id", F.row_number().over(w_d).alias("dense_rank"))
+    ).withColumnRenamed("doc_id", "d_doc_id").withColumnRenamed("chunk_id", "d_chunk_id")
+
+    fused = bm_arm.join(
+        dense_arm,
+        (bm_arm["doc_id"] == dense_arm["d_doc_id"])
+        & (bm_arm["chunk_id"] == dense_arm["d_chunk_id"]),
+        "full_outer",
+    )
+    part = lambda rank: F.coalesce(  # noqa: E731 — local fused-score term
+        F.expr(f"{10**9}L div ({_RRF_K} + {rank})"), F.lit(0).cast("bigint")
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("d_doc_id")).alias("doc_id"),
+            F.coalesce(F.col("chunk_id"), F.col("d_chunk_id")).alias("chunk_id"),
+            "bm25_rank",
+            "dense_rank",
+            (part("bm25_rank") + part("dense_rank")).cast("bigint").alias("rrf_fp"),
+        )
+        .orderBy(F.col("rrf_fp").desc(), "doc_id", "chunk_id")
         .limit(10)
     )
 

@@ -1342,6 +1342,91 @@ def test_hybrid_lexical_arm_null_id_stats(spark, tmp_path):
     ], "arm-vs-stripped-bm25 drift: the stats-population contract broke"
 
 
+def test_doc_quality_sql_rendering_pinned():
+    """The round-15 extraction of doc_quality_score's oracle into
+    _DOC_QUALITY_SQL (so rerank_fused_topk can embed the certified
+    quality gate as a subquery) must render the registered oracle
+    byte-identical to the certified inline form."""
+    import hashlib
+
+    assert (
+        hashlib.md5(REGISTRY["doc_quality_score"].oracle.encode()).hexdigest()
+        == "51a490335244526559d4c202fb4eae55"
+    )
+
+
+def test_rerank_arithmetic_and_candidate_set(spark):
+    """rerank_fused_topk contract: (1) its candidate set IS
+    hybrid_rank_fusion's fused top-10 (same ids, same provenance
+    columns — the composition pin); (2) rerank_fp is exactly
+    quality_mult * (6*lex_frac + 4*dense_frac), recomputable in pure
+    Python from the output row; (3) final_rank is the dense
+    (rerank_fp DESC, doc_id) order with no gaps; (4) fracs live in
+    [0, 1e4] and quality_mult in {1, 2, 4}; (5) on this corpus the
+    normalization is non-degenerate — some candidate hits the full
+    quantum on each feature and some sits strictly inside."""
+    fused = {r.doc_id: (r.lex_rank, r.dense_rank, r.rrf_fp)
+             for r in _rows(spark, "hybrid_rank_fusion")}
+    rows = _rows(spark, "rerank_fused_topk")
+    assert {r.doc_id for r in rows} == set(fused), "candidate set drifted"
+    for r in rows:
+        assert (r.lex_rank, r.dense_rank, r.rrf_fp) == fused[r.doc_id]
+        assert r.rerank_fp == r.quality_mult * (
+            6 * r.lex_frac_fp + 4 * r.dense_frac_fp
+        )
+        assert 0 <= r.lex_frac_fp <= 10_000 and 0 <= r.dense_frac_fp <= 10_000
+        assert r.quality_mult in (1, 2, 4)
+    ranks = sorted(r.final_rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1)), "final_rank must be dense"
+    order = sorted(rows, key=lambda r: (-r.rerank_fp, r.doc_id))
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.final_rank)] == [
+        r.doc_id for r in order
+    ]
+    assert any(r.lex_frac_fp == 10_000 for r in rows)
+    assert any(r.dense_frac_fp == 10_000 for r in rows)
+    assert any(0 < r.lex_frac_fp < 10_000 for r in rows)
+
+
+def test_chunk_hybrid_bm25_arm_pinned(spark):
+    """chunk_hybrid_retrieval's lexical arm is chunk_bm25_retrieval's
+    scoring chain VERBATIM (the _CHUNK_BM25_CTES embed): on the
+    NULL-free fixture every fused row carrying bm25_rank <= 10 must
+    name exactly the (doc_id, chunk_id) chunk_bm25_retrieval ranks at
+    that position."""
+    bm = [(r.doc_id, r.chunk_id) for r in _rows(spark, "chunk_bm25_retrieval")]
+    rows = _rows(spark, "chunk_hybrid_retrieval")
+    checked = 0
+    for r in rows:
+        if r.bm25_rank is not None and r.bm25_rank <= len(bm):
+            assert bm[r.bm25_rank - 1] == (r.doc_id, r.chunk_id), (
+                f"bm25_rank {r.bm25_rank}: fusion says "
+                f"{(r.doc_id, r.chunk_id)}, chunk_bm25 says {bm[r.bm25_rank - 1]}"
+            )
+            checked += 1
+    assert checked >= 1, "fused top-10 never met the chunk-bm25 top-10 — vacuous pin"
+
+
+def test_chunk_hybrid_rrf_arithmetic_and_order(spark):
+    """rrf_fp is exactly Σ floor(1e9/(60+rank)) over the arms present,
+    rows arrive in (rrf_fp DESC, doc_id, chunk_id) order, both arms
+    contribute somewhere in the top-10, and a row with NO arm cannot
+    exist."""
+    rows = _rows(spark, "chunk_hybrid_retrieval")
+    assert rows, "fixture corpus must produce a fused top-10"
+    for r in rows:
+        expect = 0
+        if r.bm25_rank is not None:
+            expect += 10**9 // (60 + r.bm25_rank)
+        if r.dense_rank is not None:
+            expect += 10**9 // (60 + r.dense_rank)
+        assert r.bm25_rank is not None or r.dense_rank is not None
+        assert r.rrf_fp == expect
+    keys = [(-r.rrf_fp, r.doc_id, r.chunk_id) for r in rows]
+    assert keys == sorted(keys)
+    assert any(r.bm25_rank is not None for r in rows)
+    assert any(r.dense_rank is not None for r in rows)
+
+
 def test_dsir_resample_draw_count_and_target_skew(spark):
     """DSIR contract: (1) the systematic walk draws EXACTLY K=50 total
     hits whenever any weight is positive (SUM(n_hits) == K by the

@@ -979,7 +979,7 @@ PROBES = [
       "abc_pareto_classification", "rfm_segmentation"]),
     ("empty_docs", {"documents": const_col("text", "", pa.string())},
      ["bm25_topk_search", "token_rarity_score", "chunk_documents",
-      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "chunk_bm25_retrieval"]),
+      "text_stats", "inverted_index_postings", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("unique_docs", {"documents": unique_docs},
      ["minhash_near_dup", "simhash_near_dup", "dedup_components",
       "prefix_filter_setsim_join", "exact_dedup_documents", "ngram_jaccard_verify",
@@ -991,11 +991,11 @@ PROBES = [
     ("tiny_embeddings", {"embeddings": lambda t: t.slice(0, 3)},
      ["knn_label_disagreement", "embedding_kmeans", "kmeans_cluster_purity",
       "ann_cosine_topk", "embedding_standardize", "embedding_quantize_int8",
-      "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     ("zero_vec", {"embeddings": zero_first_vec},
      ["ann_cosine_topk", "embedding_near_dup", "ann_lsh_bucketed",
       "ann_ivf_probe", "ann_ivf_nprobe2", "embedding_norm_topk",
-      "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     ("single_event", {"events": one_row},
      ["sessionization", "session_window_builtin", "session_path_trigrams",
       "event_transition_matrix", "ewma_user_value", "funnel_conversion",
@@ -1042,7 +1042,7 @@ PROBES = [
       "skew_salted_join", "variant_props_shred"]),
     ("null_text", {"documents": null_every_10th("text")},
      ["text_stats", "token_rarity_score", "chunk_documents", "bm25_topk_search",
-      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
+      "minhash_near_dup", "exact_dedup_documents", "boilerplate_line_removal", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("one_lineitem", {"lineitem": one_row},
      ["rollup_revenue", "cube_lineitem_flags", "pivot_status_by_priority",
       "grouping_sets_region_segment"]),
@@ -1089,14 +1089,14 @@ PROBES = [
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "curation_pipeline",
-      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
+      "chunk_documents", "language_temperature_sample", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("one_document", {"documents": one_document},
      ["multimodal_manifest", "multimodal_features",
       "multimodal_real_decode", "multimodal_frame_sample",
       "multimodal_byte_dedup", "multimodal_decode_quarantine",
       "multimodal_mp4_seek_plan",
       "pii_redaction", "pack_training_sequences", "audio_energy_windows", "utf8_ingest_quarantine",
-      "bpe_encode", "pack_bpe_sequences", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
+      "bpe_encode", "pack_bpe_sequences", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("null_langs", {"documents": null_every_10th("lang")},
      ["language_temperature_sample", "text_stats",
       "train_split_stratified", "language_id_ngram", "dsir_importance_resample"]),
@@ -1107,7 +1107,7 @@ PROBES = [
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
-      "embedding_kmeans", "knn_label_disagreement", "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "embedding_kmeans", "knn_label_disagreement", "ann_pq_adc", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     ("dup_docs", {"documents": duplicate_every_7th},
      ["exact_dedup_documents", "minhash_near_dup", "simhash_near_dup",
       "lsh_bucket_profile", "ngram_jaccard_verify",
@@ -1120,7 +1120,7 @@ PROBES = [
       "bm25_topk_search", "language_temperature_sample",
       "train_split_stratified", "pack_training_sequences",
       "multimodal_byte_dedup", "doc_quality_score",
-      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
+      "embedding_near_dup", "audio_energy_windows", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("const_ts", {"events": const_ts_events},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
@@ -1139,7 +1139,7 @@ PROBES = [
       "ngram_jaccard_verify", "contamination_ngram_overlap",
       "boilerplate_line_removal", "repeated_span_mining",
       "tfidf_top_terms", "bm25_topk_search", "token_rarity_score",
-      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
+      "doc_repetition_ratio", "doc_fingerprint", "vocab_top_tokens", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("mega_doc", {"documents": mega_doc},
      ["minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
       "dedup_components", "prefix_filter_setsim_join",
@@ -1149,7 +1149,7 @@ PROBES = [
       "vocab_top_tokens", "tfidf_top_terms", "bm25_topk_search",
       "inverted_index_postings", "curation_pipeline",
       "pack_training_sequences", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup",
-      "utf8_ingest_quarantine", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
+      "utf8_ingest_quarantine", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("far_future_ts", {"events": far_future_ts},
      ["ewma_user_value", "streaming_stateful_sessions",
       "streaming_rate_limit", "sessionization", "session_window_builtin",
@@ -1158,19 +1158,19 @@ PROBES = [
     ("crlf_docs", {"documents": crlf_docs},
      ["boilerplate_line_removal", "exact_dedup_documents",
       "chunk_documents", "text_stats", "doc_fingerprint",
-      "repeated_span_mining", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "chunk_bm25_retrieval"]),
+      "repeated_span_mining", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "chunk_bm25_retrieval", "chunk_hybrid_retrieval"]),
     ("whitespace_storm", {"documents": whitespace_storm_docs},
      ["exact_dedup_documents", "dedup_incremental_new_docs",
       "token_profile", "text_stats", "vocab_top_tokens",
       "chunk_documents", "pack_training_sequences",
-      "boilerplate_line_removal", "doc_quality_score", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "chunk_bm25_retrieval"]),
+      "boilerplate_line_removal", "doc_quality_score", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "chunk_bm25_retrieval", "chunk_hybrid_retrieval"]),
     ("unicode_text", {"documents": unicode_docs},
      ["text_stats", "language_id_ngram", "vocab_top_tokens",
       "token_rarity_score", "doc_fingerprint", "doc_quality_score",
       "minhash_near_dup", "simhash_near_dup", "exact_dedup_documents",
       "chunk_documents", "pii_redaction", "doc_repetition_ratio",
       "tfidf_top_terms", "boilerplate_line_removal",
-      "token_profile", "dedup_incremental_new_docs", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "chunk_bm25_retrieval"]),
+      "token_profile", "dedup_incremental_new_docs", "utf8_ingest_quarantine", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "chunk_bm25_retrieval", "chunk_hybrid_retrieval"]),
     ("const_etype", {"events": const_etype_events},
      ["event_type_routing", "funnel_conversion", "event_transition_matrix",
       "session_path_trigrams", "countmin_heavy_hitters",
@@ -1191,7 +1191,7 @@ PROBES = [
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     ("extreme_values", {"events": extreme_values},
      ["event_value_anomalies", "streaming_moments_anomalies",
       "winsorize_event_values", "robust_outliers_mad",
@@ -1207,7 +1207,7 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     # round-15 batch: ragged vector dimensions (the round-14 ADVICE
     # find) — the exact-length quarantine must agree cross-engine on
     # short, long and single-component vectors
@@ -1217,7 +1217,7 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     ("id_collision_docs", {"documents": id_collision_docs},
      ["exact_dedup_documents", "dedup_incremental_new_docs",
       "chunk_documents", "doc_fingerprint", "bm25_topk_search",
@@ -1226,7 +1226,7 @@ PROBES = [
       "minhash_near_dup", "simhash_near_dup",
       "sample_stratified_hashrank", "pack_training_sequences", "train_split_stratified",
       "curation_pipeline", "utf8_ingest_quarantine",
-      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
+      "multimodal_manifest", "multimodal_byte_dedup", "token_profile", "bpe_merge_training", "bpe_encode", "bpe_subword_vocab", "pack_bpe_sequences", "streaming_incremental_dedup", "bigram_lm_quality_filter", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("null_doc_ids", {"documents": null_doc_ids},
      ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
@@ -1235,7 +1235,7 @@ PROBES = [
       "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
-      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
+      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("negative_doc_ids", {"documents": negative_doc_ids},
      ["exact_dedup_documents", "minhash_near_dup", "dedup_components",
       "pack_training_sequences", "curation_pipeline", "chunk_documents",
@@ -1244,7 +1244,7 @@ PROBES = [
       "sample_stratified_hashrank", "train_split_stratified", "language_temperature_sample",
       "dedup_incremental_new_docs", "bpe_merge_training", "bpe_encode",
       "bpe_subword_vocab", "pack_bpe_sequences",
-      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval"]),
+      "bigram_lm_quality_filter", "streaming_incremental_dedup", "hybrid_rank_fusion", "dsir_importance_resample", "dedup_cluster_keep_best", "chunk_bm25_retrieval", "rerank_fused_topk", "chunk_hybrid_retrieval"]),
     ("null_event_ids", {"events": null_event_ids},
      ["sessionization", "session_window_builtin", "fifo_head",
       "asof_join_latest_order", "event_dedup_last_write_wins",
@@ -1282,7 +1282,7 @@ PROBES = [
     # round-13 second-order tie shape).
     ("null_ids_both_axes",
      {"documents": null_doc_ids, "embeddings": null_vec_ids},
-     ["hybrid_rank_fusion"]),
+     ["hybrid_rank_fusion", "rerank_fused_topk"]),
     ("null_langs_null_doc_ids",
      {"documents": lambda t: null_every_10th("lang")(null_doc_ids(t))},
      ["dsir_importance_resample", "language_temperature_sample",
@@ -1294,7 +1294,7 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     # round-14(c) COMPOSED batch: the round-14 collision-grain fix
     # (_ASSIGN_SQL's per-row argmin) composed with the zero-norm axis —
     # a COLLIDED id where one payload row is the all-zero vector, so
@@ -1306,14 +1306,14 @@ PROBES = [
       "ann_ivf_persisted_index", "ann_pq_adc", "ann_recall_selfcheck",
       "embedding_kmeans", "kmeans_cluster_purity", "semantic_dedup",
       "ann_ivf_incremental_index", "hybrid_rank_fusion",
-      "embedding_near_dup"]),
+      "embedding_near_dup", "rerank_fused_topk"]),
     ("id_collision_embs", {"embeddings": id_collision_embs},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_pq_adc", "ann_ivf_persisted_index",
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     ("id_collision_events", {"events": id_collision_events},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_soft_delete", "scd2_expire_versions",
@@ -1353,14 +1353,14 @@ PROBES = [
       "embedding_standardize",
       "embedding_quantize_int8", "embedding_centroid_per_label",
       "embedding_norm_topk", "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     ("dup_embs", {"embeddings": duplicate_every_7th},
      ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
       "ann_ivf_nprobe2", "ann_ivf_persisted_index",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
       "embedding_kmeans", "kmeans_cluster_purity",
-      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     ("dup_events", {"events": duplicate_every_7th},
      ["event_dedup_last_write_wins", "scd2_versioned_store",
       "scd2_current_view", "scd2_expire_versions", "version_counts_per_key",
@@ -1386,7 +1386,7 @@ PROBES = [
       "ann_ivf_nprobe2", "embedding_kmeans", "kmeans_cluster_purity",
       "embedding_standardize", "embedding_quantize_int8",
       "embedding_centroid_per_label", "embedding_norm_topk",
-      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion"]),
+      "knn_label_disagreement", "embedding_near_dup", "ann_pq_adc", "ann_recall_selfcheck", "semantic_dedup", "ann_ivf_incremental_index", "hybrid_rank_fusion", "rerank_fused_topk"]),
     ("empty_orders", {"orders": empty_table},
      ["join_left_missing", "join_semi", "join_anti", "join_full_outer",
       "latest_order_per_customer", "topk_orders_by_revenue",
