@@ -603,25 +603,40 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy dst — the standard Pregel-as-join formulation; the
     symmetric co-purchase graph has no dangling nodes, so no global
     redistribution term. Fixed iteration budget with an external
-    convergence check, like the k-means note."""
+    convergence check, like the k-means note.
+
+    Round-15 measured restructure (guide §2.3/§2.4, A/B at sf0.1,
+    bit-identical output):
+    - the pair distinct runs at CANONICAL (src < dst) grain and the
+      symmetric edge list is its mirror union — half the rows through
+      the distinct exchange, the mirror is a shuffle-free projection;
+    - the edge list is reliable_checkpoint-ed once: the unrolled DAG's
+      per-iteration consumers start from materialized blocks instead of
+      leaning on ReuseExchange across a 90-Exchange plan (re-measured:
+      the r11 'checkpoint changes nothing' reading no longer holds on
+      the grown plan — ckpt + the node-grain quantization below is
+      ~20% off the query);
+    - the per-edge contribution floor(r/d*1e12) is constant per SOURCE
+      node, so it is quantized at NODE grain (20k rows) and the edge
+      join ships one ready BIGINT instead of computing the division
+      2.4M times and carrying (r double, d long) to edge grain — one
+      join per iteration instead of two."""
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
     basket = (
         table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     )
     a = basket.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = basket.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
+    und = (
         a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
-    # the edge list appears once per unrolled iteration plus the degree
-    # aggregate, but needs NO explicit materialization: distinct() ends
-    # the subtree in an Exchange, which ReuseExchange dedupes across the
-    # whole unrolled DAG (A/B-measured at sf0.1: an explicit
-    # reliable_checkpoint changes nothing). Contrast
-    # prefix_filter_setsim_join, whose shared shingle subtree ends in a
-    # projection and therefore DOES need the explicit cut.
+    edges = reliable_checkpoint(
+        und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n = deg.agg(F.count(F.lit(1)).alias("nn")).select(
         "nn", F.least(F.col("nn"), F.lit(1)).cast("int").alias("_k")
@@ -632,15 +647,15 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.length(F.col("node").cast("string")), F.lit(1)).cast("int"),
     ).select("node", (F.lit(1.0) / F.col("nn")).alias("r"))
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+        node_cq = (
+            ranks.withColumnRenamed("node", "src")
             .join(deg, "src")
             .select(
-                "dst",
+                "src",
                 F.floor(F.col("r") / F.col("d") * F.lit(1e12)).cast("bigint").alias("cq"),
             )
         )
-        sums = contrib.groupBy("dst").agg(F.sum("cq").alias("sq"))
+        sums = edges.join(node_cq, "src").groupBy("dst").agg(F.sum("cq").alias("sq"))
         ranks = _scalar_attach(
             sums, n, F.least(F.length(F.col("dst").cast("string")), F.lit(1)).cast("int")
         ).select(

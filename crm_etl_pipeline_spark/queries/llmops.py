@@ -3482,36 +3482,60 @@ def _bpe_train(words: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     twin of the tok0/tok1..tok3 CTE chain in _BPE_TRAIN_CTES; see the
     bpe_merge_training docstring for the semantics and scale argument).
 
-    Returns ``(tok_final, outs)``: ``tok_final`` is the final symbol
-    table (word, f, pos, sym) — every distinct word's ENCODED subword
-    sequence under the learned merges — and ``outs`` holds one 1-row
-    frame per iteration (iter, merge_a, merge_b, pair_count, n_syms),
-    each already carrying its vocab-size attach. Both are
-    reliable_checkpoint-ed, so consumers fan out without re-running
-    the chain or exponentiating the lineage."""
+    Returns ``(tok_arr, outs)``: ``tok_arr`` is the final symbol table
+    at WORD grain — (word, f, syms array<string>), every distinct
+    word's ENCODED subword sequence under the learned merges — and
+    ``outs`` holds one 1-row frame per iteration (iter, merge_a,
+    merge_b, pair_count, n_syms), each already carrying its vocab-size
+    attach.
+
+    Round-15 reformulation (guide §2.4 "remove shuffles outright",
+    measured 4.6 s -> 2.2 s at sf0.1, bit-identical output): the r13
+    implementation held symbols at (word, pos) grain and ran each merge
+    as FOUR window passes + a self-join + an eager per-iteration
+    checkpoint (7 eager jobs, each sorting the symbol table). Symbols
+    now live as one ARRAY per word and the greedy left-to-right
+    non-overlap merge is a per-row ``aggregate`` fold:
+
+      acc ← acc[:-1] ++ [a||b]   if last(acc) = a AND cur = b
+      acc ← acc ++ [cur]         otherwise
+
+    This fold IS the gaps-and-islands rule the window version encoded —
+    a merged cell can never be the left side of another merge this
+    iteration because len(a||b) > len(a), so a run of equal candidates
+    merges at odd offsets exactly as ROW_NUMBER() % 2 = 1 did (the
+    oracle's unrolled CTE chain is unchanged and pins the semantics).
+    Per iteration the only shuffle left is the pair-count groupBy (map-
+    side combinable); the merge itself is a broadcast attach + a
+    projection, so only tok0 and the three 1-row winners are ever
+    checkpointed — 4 eager jobs instead of 7, and no vocab-table sorts
+    at all. Word length is gated ≤ 16, so the fold's O(len²) array
+    copies are constant-bounded per row."""
     from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
 
-    tok = (
+    tok = reliable_checkpoint(
         words.select(
             "word",
             "f",
-            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+            ).alias("syms"),
         )
-        .withColumn("sym", F.expr("substr(word, cast(pos as int), 1)"))
     )
-    tok = reliable_checkpoint(tok)
-    w_word = Window.partitionBy("word").orderBy("pos")
-    key1 = F.least(F.length("sym"), F.lit(1)).cast("int")  # provably 1: sym non-empty
+    key1 = F.least(F.size("syms"), F.lit(1)).cast("int")  # provably 1: word length >= 2
     outs: list[DataFrame] = []
     for k in range(1, _BPE_MERGES + 1):
         pairs = (
             tok.select(
                 "f",
-                F.col("sym").alias("a"),
-                F.lead("sym").over(w_word).alias("b"),
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms)-1),"
+                        " (s, i) -> struct(s AS a, syms[i+1] AS b))"
+                    )
+                ).alias("p"),
             )
-            .filter(F.col("b").isNotNull())
-            .groupBy("a", "b")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("f").alias("cnt"))
         )
         best = (
@@ -3525,56 +3549,23 @@ def _bpe_train(words: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
             )
         )
         best = reliable_checkpoint(best)
-        cand = (
-            _attach1(tok, best, key1)
-            .select(
-                "word",
-                "pos",
-                (
-                    (F.col("sym") == F.col("a"))
-                    & (F.lead("sym").over(w_word) == F.col("b"))
-                ).alias("is_cand"),
-            )
-            .filter("is_cand")
+        tok = _attach1(tok, best, key1).select(
+            "word",
+            "f",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
+                "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND s = b "
+                "THEN concat(slice(acc, 1, size(acc)-1), array(concat(a, b))) "
+                "ELSE concat(acc, array(s)) END)"
+            ).alias("syms"),
         )
-        w_grp = Window.partitionBy("word", "grp").orderBy("pos")
-        merge = (
-            cand.select(
-                "word", "pos", (F.col("pos") - F.row_number().over(w_word)).alias("grp")
-            )
-            .withColumn("rn", F.row_number().over(w_grp))
-            .filter(F.col("rn") % 2 == 1)
-            .select("word", "pos", F.lit(True).alias("is_merge"))
-        )
-        tok = (
-            tok.join(merge, ["word", "pos"], "left")
-            .withColumn("is_merge", F.coalesce("is_merge", F.lit(False)))
+        n_syms = (
+            tok.select(F.explode("syms").alias("sym"))
+            .agg(F.countDistinct("sym").alias("n_syms"))
             .select(
-                "word",
-                "f",
-                "pos",
-                F.when(
-                    F.col("is_merge"),
-                    F.concat("sym", F.lead("sym").over(w_word)),
-                )
-                .otherwise(F.col("sym"))
-                .alias("sym2"),
-                F.coalesce(F.lag("is_merge").over(w_word), F.lit(False)).alias(
-                    "consumed"
-                ),
+                "n_syms",
+                F.least(F.col("n_syms") + F.lit(1), F.lit(1)).cast("int").alias("_k"),
             )
-            .filter(~F.col("consumed"))
-            .select(
-                "word",
-                "f",
-                F.row_number().over(w_word).alias("pos"),
-                F.col("sym2").alias("sym"),
-            )
-        )
-        tok = reliable_checkpoint(tok)
-        n_syms = tok.agg(F.countDistinct("sym").alias("n_syms")).select(
-            "n_syms",
-            F.least(F.col("n_syms") + F.lit(1), F.lit(1)).cast("int").alias("_k"),
         )
         outs.append(
             _attach1(
@@ -3687,13 +3678,18 @@ _BPE_ENCODE_ORACLE = rf"""
 """
 
 
-def _bpe_wenc(tok_final: DataFrame) -> DataFrame:
+def _bpe_wenc(tok_arr: DataFrame) -> DataFrame:
     """Spark twin of _BPE_WENC_SQL: (word, n_syms, n_merged) — each
     distinct word's subword count and applied-merge count under the
-    learned merges."""
-    return tok_final.groupBy("word").agg(
-        F.count(F.lit(1)).alias("n_syms"),
-        F.sum((F.length("sym") > 1).cast("bigint")).alias("n_merged"),
+    learned merges. On the round-15 array-grain symbol table this is a
+    pure PROJECTION (array size + filtered size) — the r13 (word, pos)
+    grain needed a groupBy(word) shuffle here."""
+    return tok_arr.select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_syms"),
+        F.size(F.filter("syms", lambda s: F.length(s) > 1))
+        .cast("bigint")
+        .alias("n_merged"),
     )
 
 
@@ -3737,8 +3733,8 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast when it fits and shuffle when it does not; per-doc
     aggregation is map-side combinable on doc_id. Exact BIGINT
     arithmetic end to end — no doubles anywhere."""
-    tok_final, _ = _bpe_train(_bpe_words(spark, sf_dir))
-    wenc = _bpe_wenc(tok_final)
+    tok_arr, _ = _bpe_train(_bpe_words(spark, sf_dir))
+    wenc = _bpe_wenc(tok_arr)
     doc_tok = (
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -3801,9 +3797,10 @@ def bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol table (positions-per-word rows over ~1e6 distinct words at
     web scale), map-side combinable; output is the vocabulary itself.
     Nothing here touches corpus bytes a second time."""
-    tok_final, _ = _bpe_train(_bpe_words(spark, sf_dir))
+    tok_arr, _ = _bpe_train(_bpe_words(spark, sf_dir))
     return (
-        tok_final.groupBy(F.col("sym").alias("subword"))
+        tok_arr.select("word", "f", F.explode("syms").alias("sym"))
+        .groupBy(F.col("sym").alias("subword"))
         .agg(
             F.sum("f").cast("bigint").alias("corpus_freq"),
             F.countDistinct("word").cast("bigint").alias("n_words"),
@@ -3885,8 +3882,8 @@ def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified running sum pack_training_sequences argues); `div` is
     exact integer division — floor(double) would drift at large
     cumulative counts."""
-    tok_final, _ = _bpe_train(_bpe_words(spark, sf_dir))
-    wenc = _bpe_wenc(tok_final)
+    tok_arr, _ = _bpe_train(_bpe_words(spark, sf_dir))
+    wenc = _bpe_wenc(tok_arr)
     doc_tok = (
         _one_per_doc(
             table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
