@@ -1024,6 +1024,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
     )
+    # Convergence terminator (round-15, guide §1.2 per-task work): labels
+    # only ever DECREASE under min-propagation and the doc_id key set is
+    # fixed, so the iteration is converged iff the label sum is unchanged
+    # — one scalar aggregate over the just-materialized checkpoint
+    # instead of the old full self-join + count per round. DECIMAL(38,0)
+    # keeps the sum exact at any scale (1e9 rows x 9.2e18 max id fits in
+    # 38 digits; a BIGINT sum could wrap and alias two states).
+    prev_sum = None
     for _ in range(15):
         neighbor = edges.join(
             labels.select(F.col("doc_id").alias("src"), "label"), "src"
@@ -1031,15 +1039,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = reliable_checkpoint(
             labels.unionAll(neighbor).groupBy("doc_id").agg(F.min("label").alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("label").alias("component"))
 
 

@@ -1191,7 +1191,15 @@ def incremental_dedup_stream(
                 winners["content_hash"].eqNullSafe(accepted["_acc_hash"]),
                 "left_anti",
             )
-        winners.write.mode("append").parquet(store)
+        # one file per micro-batch append (guide §6 small-files): the
+        # un-coalesced write landed one tiny file per shuffle partition
+        # (~32/batch), and every LATER batch's store anti-join re-listed
+        # and re-opened all of them — measured ~0.5 s off the 4-batch
+        # drain at sf0.1. Winners are the batch's NEW distinct hashes
+        # (bounded by batch size); at production batch sizes the knob is
+        # file-size-targeted (maxRecordsPerFile / a REBALANCE hint), not
+        # a constant 1.
+        winners.coalesce(1).write.mode("append").parquet(store)
 
     q = (
         raw.writeStream.foreachBatch(dedup_batch)
