@@ -4038,38 +4038,45 @@ def bigram_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean attach via the non-foldable always-1 equi-key so the plan
     stays BroadcastHashJoin. Everything downstream of the scan is
     grouping and joining on string keys — no Python, no UDFs."""
+    # Round-15 reformulation (guide §2.4, measured 2.2 s -> 1.2 s at
+    # sf0.1, bit-identical): the r12 shape held tokens at (doc, idx)
+    # grain — a posexplode + gate + ROW_NUMBER window + LEAD window —
+    # and that whole pipeline re-ran for each of its FOUR consumers
+    # (bi, uni, the scoring join, |V|). Tokens now stay as one ordered
+    # ARRAY per doc (the gate is an array filter, which preserves order,
+    # so array adjacency IS the renumbered-survivor adjacency the
+    # windows computed), checkpointed once; pairs are a transform over
+    # adjacent elements — zero window sorts, and every consumer starts
+    # from the materialized array table.
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
     docs = _one_per_doc(
         table(spark, sf_dir, "documents").select("doc_id", "text"), ("text",)
     )
-    toks = (
-        docs.filter(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.posexplode(F.split(F.col("text"), "[" + _WS_CLASS + "]+")).alias(
-                "pos", "w"
-            ),
-        )
-        .filter(F.col("w").rlike(_TOKEN_GATE_RE) & (F.length("w") >= 2))
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.partitionBy("doc_id").orderBy("pos"))
-            .alias("idx"),
-            "w",
-        )
+    gated = F.filter(
+        F.split(F.col("text"), "[" + _WS_CLASS + "]+"),
+        lambda w: w.rlike(_TOKEN_GATE_RE) & (F.length(w) >= 2),
     )
-    pairs = (
-        toks.select(
-            "doc_id",
-            F.col("w").alias("w1"),
-            F.lead("w").over(Window.partitionBy("doc_id").orderBy("idx")).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
+    docs_arr = reliable_checkpoint(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", gated.alias("tt"))
     )
+    pairs = docs_arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tt, 1, size(tt)-1),"
+                " (s, i) -> struct(s AS w1, tt[i+1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = toks.agg(F.countDistinct("w").alias("vsz")).select(
-        "vsz", F.least(F.col("vsz") + F.lit(1), F.lit(1)).cast("int").alias("_k")
+    v = (
+        docs_arr.select(F.explode("tt").alias("w"))
+        .agg(F.countDistinct("w").alias("vsz"))
+        .select(
+            "vsz", F.least(F.col("vsz") + F.lit(1), F.lit(1)).cast("int").alias("_k")
+        )
     )
     key1 = F.least(F.length("w1"), F.lit(1)).cast("int")
     scored = (
