@@ -210,7 +210,14 @@ def multimodal_mp4_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     but a thumbnailer samples only ``WHERE presented AND is_sync``.
     Arrow-batched mapInPandas over binary payloads, non-MP4 rows
     filtered JVM-side before Python."""
-    media = multimodal.fabricate_media(table(spark, sf_dir, "documents"))
+    # Round-15: same mime-predicate pushdown as audio_energy_windows —
+    # only MP4 docs (Python int(i) % 4 == 3 ≡ pmod 3) reach the
+    # fabricator, so 3/4 of the payload bytes never cross the Python
+    # boundary (guide §4.1). Local wall unchanged (the MP4 walk
+    # dominates); the cut is Arrow traffic + wasted builder CPU.
+    media = multimodal.fabricate_media(
+        table(spark, sf_dir, "documents").filter(F.pmod(F.col("doc_id"), F.lit(4)) == 3)
+    )
     return multimodal.mp4_sample_offsets(media).select(
         "doc_id",
         "sample_idx",
@@ -375,6 +382,19 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     in fabricator, RIFF walk, or window reduction breaks the match.
     Only audio payloads cross the Python boundary — the mime filter
     runs JVM-side on the fabricated frame."""
-    docs = table(spark, sf_dir, "documents").select("doc_id").dropDuplicates()
+    # Round-15 (guide §4.1: pass only what the function needs): the mime
+    # is a pure function of doc_id (Python int(i) % 4 == 0 -> WAV, i.e.
+    # pmod), so the WAV predicate runs on the skinny doc_id frame BEFORE
+    # fabrication — the builders no longer fabricate (and Arrow no
+    # longer ships) the 3/4 of payloads the mime filter discarded.
+    # pmod mirrors the builder's Python % exactly (incl. negatives);
+    # the JVM-side mime filter stays as the contract gate. Measured
+    # 1.14 -> 0.92 s at sf0.1, bit-identical.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .dropDuplicates()
+        .filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
+    )
     media = multimodal.fabricate_media(docs).filter(F.col("mime") == "audio/wav")
     return multimodal.audio_energy_windows(media)
