@@ -585,6 +585,42 @@ def _ivf_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_cell_inline(frame: DataFrame, codebook: DataFrame) -> DataFrame:
+    """``frame`` + a ``cell`` column — nearest-codebook assignment as a
+    pure PROJECTION (round-15, guide §2.4): the codebook collapses to a
+    one-row array attached via the non-foldable always-1 equi-key, and
+    the argmin is ``array_min`` over (d2q, cen_label) structs — struct
+    ordering IS the (d2q, cen_label) tiebreak ``_ivf_assign``'s window
+    encodes, so the assigned cell is bit-identical. Unlike
+    ``_ivf_assign`` + join-back this needs NO argmin-window shuffle and
+    NO re-join of the payload — the shape a per-micro-batch ingest
+    wants (O(batch·k) with zero exchanges; A/B ~0.4 s off the 4-batch
+    incremental-IVF drain at sf0.1). The d2 quantization is the same
+    zip_with/aggregate/floor expression as ``_ivf_assign``."""
+    cb1 = codebook.agg(F.collect_list(F.struct("cen_label", "cvec")).alias("cb")).select(
+        "cb", F.lit(1).cast("int").alias("_k")
+    )
+    key = F.least(F.coalesce(F.abs(F.col("vec_id")), F.lit(0)) + 1, F.lit(1)).cast("int")
+    cand = lambda c: F.struct(  # noqa: E731 — local expression builder
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                c["cvec"],
+                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + F.floor(p * F.lit(_SCALE)).cast("bigint"),
+        ).alias("d2q"),
+        c["cen_label"].alias("cen_label"),
+    )
+    return (
+        frame.withColumn("_k", key)
+        .join(F.broadcast(cb1), "_k")
+        .withColumn("cell", F.array_min(F.transform("cb", cand))["cen_label"])
+        .drop("cb")
+    )
+
+
 def _ivf_assign(emb: DataFrame, centroids: DataFrame, max_rank: int) -> DataFrame:
     """(vec_id, cell, rnk): rank the ``max_rank`` nearest codebook
     centroids per vector — broadcast codebook, one argmin window, zero

@@ -1335,7 +1335,7 @@ def incremental_ivf_stream(spark: SparkSession, sf_dir: str, workdir: str) -> st
     from crm_etl_pipeline_spark.queries.embeddings_q import (
         _emb,
         _fixed_norm2,
-        _ivf_assign,
+        _ivf_cell_inline,
         _ivf_codebook,
     )
 
@@ -1351,13 +1351,20 @@ def incremental_ivf_stream(spark: SparkSession, sf_dir: str, workdir: str) -> st
     store = os.path.join(workdir, "ivf_index")
 
     def indexed(frame: DataFrame) -> DataFrame:
-        cells = _ivf_assign(frame, codebook, max_rank=1).select("vec_id", "cell")
-        return frame.join(cells, "vec_id").select(
+        # Round-15: cell assignment inlined as a projection
+        # (_ivf_cell_inline — bit-identical argmin, see its docstring)
+        # instead of _ivf_assign + a vec_id join-back, which cost an
+        # argmin-window shuffle plus a payload re-join PER MICRO-BATCH.
+        # repartition("cell"): each append lands one file per touched
+        # cell instead of one per (task × cell) — the store read-back
+        # and the touched-cell contract are unchanged, the file count
+        # is ~task-count times smaller (guide §6 small files).
+        return _ivf_cell_inline(frame, codebook).select(
             "vec_id",
             "embedding",
             _fixed_norm2(F.col("embedding")).alias("n2"),
             "cell",
-        )
+        ).repartition("cell")
 
     indexed(boot).write.mode("overwrite").partitionBy("cell").parquet(store)
 
