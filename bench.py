@@ -101,6 +101,17 @@ TIER2 = [
     "bpe_encode",
     "pack_bpe_sequences",
     "bpe_subword_vocab",
+    # round-15 additions (the round-14 verdict's task 6: the round-14
+    # registrations promoted at the boundary, read-only members land
+    # here): the hybrid retrieval pair (anchors 0.923 / 0.664), DSIR
+    # (1.481 post-repartition-fix), the cluster canonical selector
+    # (2.746, rides dedup_components' r15 convergence-check win), and
+    # SemDeDup (read-only k-means + cell-bounded pair verify)
+    "hybrid_rank_fusion",
+    "chunk_bm25_retrieval",
+    "dsir_importance_resample",
+    "dedup_cluster_keep_best",
+    "semantic_dedup",
 ]
 
 # Tier 3 (new in round 8): the MAINTENANCE jobs — write-inclusive
@@ -130,6 +141,12 @@ TIER3 = [
     # write-inclusive, the tier-3 regime, unlike its read-only batch
     # twin exact_dedup_documents in tier 1). Loaded-draw anchor 3.027.
     "streaming_incremental_dedup",
+    # round-15 addition (verdict task 6): the incremental IVF harness
+    # is fully write-inclusive — every run trains + lands the
+    # cell-partitioned bootstrap store, drains a real 4-batch
+    # readStream of arrivals and appends touched cells — so it belongs
+    # in the maintenance regime with its streaming-dedup sibling
+    "ann_ivf_incremental_index",
 ]
 
 # Host-normalization control (round-14 protocol, replacing the
