@@ -4072,11 +4072,15 @@ def bigram_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_arr = reliable_checkpoint(
         docs.filter(F.col("text").isNotNull()).select("doc_id", gated.alias("tt"))
     )
+    # greatest(.., 0): a doc with ZERO gated tokens makes size(tt)-1
+    # negative, and slice() REJECTS negative lengths — the old LEAD
+    # window emitted no pair row there and so must this (caught by the
+    # empty_docs sweep batch in this round's targeted re-run)
     pairs = docs_arr.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(slice(tt, 1, size(tt)-1),"
+                "transform(slice(tt, 1, greatest(size(tt)-1, 0)),"
                 " (s, i) -> struct(s AS w1, tt[i+1] AS w2))"
             )
         ).alias("p"),
