@@ -1243,11 +1243,24 @@ def embedding_kmeans(
     return _kmeans_assign(emb, iters)
 
 
-def _kmeans_assign(emb: DataFrame, iters: int = _KMEANS_ITERS) -> DataFrame:
+def _kmeans_assign(
+    emb: DataFrame, iters: int = _KMEANS_ITERS, ckpt: bool = False
+) -> DataFrame:
     """Spark twin of _kmeans_core_sql over a deduped (vec_id, vd) frame
     (extracted from embedding_kmeans in round 14 so semantic_dedup can
     train on its clone-augmented corpus; the loop body is the
-    r10-certified code verbatim). Returns (vec_id, cluster, dq)."""
+    r10-certified code verbatim). Returns (vec_id, cluster, dq).
+
+    ``ckpt`` (round 15, guide §1.2): reliable_checkpoint each
+    iteration's 8-row centroid table and the final assignment — cuts
+    the unrolled chain's repeated subtrees for callers that consume the
+    assignment more than once on a bigger corpus (semantic_dedup: two
+    consumers of assign over the clone-augmented corpus, interleaved
+    A/B 7.0 -> 5.1 s at sf0.1). Measured NEUTRAL for the single-
+    consumer embedding_kmeans/purity path, which keeps the default.
+    Checkpointing is execution-transparent — assignments unchanged."""
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+
     probe = emb.withColumn(
         "_k", F.least(F.col("vec_id") + 1, F.lit(1)).cast("int")
     )  # vec_id >= 0 → key is provably 1 but non-foldable
@@ -1267,6 +1280,8 @@ def _kmeans_assign(emb: DataFrame, iters: int = _KMEANS_ITERS) -> DataFrame:
     )
 
     for _ in range(iters):
+        if ckpt:
+            centroids = reliable_checkpoint(centroids)
         cent_b = centroids.withColumn(
             "_k", F.least(F.col("cluster") + 1, F.lit(1)).cast("int")
         )
@@ -1301,7 +1316,7 @@ def _kmeans_assign(emb: DataFrame, iters: int = _KMEANS_ITERS) -> DataFrame:
                 lambda s: s["mean_d"],
             ).alias("cv")
         )
-    return assign
+    return reliable_checkpoint(assign) if ckpt else assign
 
 
 # purity oracle: the full kmeans oracle embedded as a subquery, so the
@@ -1490,7 +1505,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vd"),
     )
     corpus = base.unionAll(pert)
-    assigned = _kmeans_assign(corpus).select(
+    # ckpt=True (round 15): assign is consumed TWICE below (membership
+    # build + final keep-join) over the clone-augmented corpus —
+    # checkpointing the iteration state measured 7.0 -> 5.1 s at sf0.1
+    # (see _kmeans_assign's docstring); assignments are unchanged
+    assigned = _kmeans_assign(corpus, ckpt=True).select(
         "vec_id", F.col("cluster").alias("cell")
     )
     m = corpus.join(assigned, "vec_id").select(
