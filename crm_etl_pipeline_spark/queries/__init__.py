@@ -71,31 +71,46 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #         _chunk_bm25_scored helper (oracle text pinned
 #         byte-identical, but the fn bytes moved — changed is
 #         changed).
-#   (d) 15 of the 37 r11 rows (age 4 — the verdict's leaders by
-#       importance plus its task-7 streaming pair):
-#       curation_pipeline, dedup_components, minhash_near_dup,
-#       typed_field_decode, flagship_segment_revenue,
-#       zorder_incremental_compact, streaming_dim_enrichment,
-#       streaming_zorder_ingest, prefix_filter_setsim_join,
-#       lsh_bucket_profile, simhash_near_dup, pricing_summary,
-#       schema_evolution_read, wap_publish_roundtrip,
-#       skew_salted_join.
-#   (e) TWENTY-TWO defers to round 16, promised by name (the r11
-#       remainder — unchanged bytes, all pytest-oracle-green every
-#       round, age 5 when round 16 checks them first):
+#   (d) THE OPTIMIZATION ROUND'S CHANGED-BYTES ROWS (changed code
+#       outranks age — the same rule that ranked (c) above the r11
+#       stratum; every one is a round-15 optimization proven
+#       bit-identical in-session AND by its pytest oracle, but the
+#       driver's own hash row is the certification the house policy
+#       demands for any changed bytes): copurchase_pagerank,
+#       bpe_merge_training, bpe_encode, pack_bpe_sequences,
+#       bpe_subword_vocab, bigram_lm_quality_filter,
+#       audio_energy_windows, multimodal_mp4_seek_plan,
+#       scd2_compact_small_files, streaming_incremental_dedup,
+#       ngram_jaccard_verify, dedup_cluster_keep_best (embeds the
+#       re-converged components subplan), plus dedup_components and
+#       zorder_incremental_compact, which were already seated here for
+#       age and are ALSO changed — their seats do double duty.
+#       curation_pipeline keeps one age seat (the verdict's
+#       top-importance r11 leader, unchanged bytes).
+#   (e) Defers to round 16, promised by name. The r11 remainder from
+#       the original cut (unchanged bytes, pytest-oracle-green every
+#       round; age 5 when round 16 checks them first):
 #       array_csv_roundtrip, catalog_fields_tree,
 #       composite_key_roundtrip, date_parse_reformat,
 #       decile_gains_table, event_type_routing,
 #       histogram_order_values, html_strip_normalize, join_full_outer,
 #       join_left_missing, kmv_sketch_merge, mom_revenue_growth,
-#       money_decimal_cast, ngram_jaccard_verify, orc_source_roundtrip,
+#       money_decimal_cast, orc_source_roundtrip,
 #       pearson_correlation_matrix, repeated_span_mining,
 #       retry_and_dead_letter, rollup_revenue, value_percentiles,
-#       version_counts_per_key, xml_source_roundtrip.
-#
-# Age accounting if this window lands 50/50: registry 199; r15:50,
-# r14:33, r13:49, r12:45, r11:22 (the named (e) defers), r10:0 —
-# zero never-checked, the age-5 ceiling fully drained this round.
+#       version_counts_per_key, xml_source_roundtrip
+#       (ngram_jaccard_verify left this list — changed bytes seated it
+#       in (d)); PLUS the unchanged r11 rows displaced by (d):
+#       typed_field_decode, flagship_segment_revenue,
+#       streaming_dim_enrichment, streaming_zorder_ingest,
+#       prefix_filter_setsim_join, lsh_bucket_profile,
+#       simhash_near_dup, pricing_summary, schema_evolution_read,
+#       wap_publish_roundtrip, skew_salted_join (minhash_near_dup and
+#       curation_pipeline kept age seats in (d)) — age 5 at the
+#       round-16 check; round 16's window MUST seat these 32 first
+#       (the same ceiling promise round 14 made for the r10 defers,
+#       and round 15 honored): 21 from the original (e) cut + 11
+#       displaced.
 #
 # registry.load_all reorders REGISTRY to put these at the front; the
 # rest follow in module order. Keep this list <= 50
@@ -139,20 +154,23 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_selfcheck",
     "hybrid_rank_fusion",
     "chunk_bm25_retrieval",
-    # --- (d) the 15 windowed r11 age rows ---
-    "curation_pipeline",
+    # --- (d) the round-15 optimization changed-bytes rows ---
+    "copurchase_pagerank",
+    "bpe_merge_training",
+    "bpe_encode",
+    "pack_bpe_sequences",
+    "bpe_subword_vocab",
+    "bigram_lm_quality_filter",
+    "audio_energy_windows",
+    # (multimodal_mp4_seek_plan is also changed-bytes but already
+    # holds an (a) seat — double duty, like knn/standardize in (c))
+    "scd2_compact_small_files",
+    "streaming_incremental_dedup",
+    "ngram_jaccard_verify",
+    "dedup_cluster_keep_best",
     "dedup_components",
-    "minhash_near_dup",
-    "typed_field_decode",
-    "flagship_segment_revenue",
     "zorder_incremental_compact",
-    "streaming_dim_enrichment",
-    "streaming_zorder_ingest",
-    "prefix_filter_setsim_join",
-    "lsh_bucket_profile",
-    "simhash_near_dup",
-    "pricing_summary",
-    "schema_evolution_read",
-    "wap_publish_roundtrip",
-    "skew_salted_join",
+    # --- two age seats: the r11 stratum's top-importance leaders ---
+    "curation_pipeline",
+    "minhash_near_dup",
 ]
