@@ -172,10 +172,17 @@ def run_pipeline(
                 F.count(F.when(F.col("failed_attempts") >= DLQ_THRESHOLD, 1)).alias("n_dead"),
                 F.count(F.when(F.col("failed_attempts") < DLQ_THRESHOLD, 1)).alias("n_queued"),
             ).first()
+            # coalesce(1): both branches are batch-bounded row sets, and
+            # every file appended here is RE-LISTED by each subsequent
+            # drain pass (the queue feeds a file-source stream) or DLQ
+            # read — one file per append instead of one per task keeps
+            # the drain loop's per-pass listing/open cost flat (guide
+            # §6). Production sizes by bytes instead (maxRecordsPerFile
+            # / a REBALANCE hint), same as the incremental-dedup store.
             if stats["n_dead"]:
-                dead.write.mode("append").parquet(str(paths["dlq"]))
+                dead.coalesce(1).write.mode("append").parquet(str(paths["dlq"]))
             if stats["n_queued"]:
-                queued.write.mode("append").parquet(str(paths["retry_queue"]))
+                queued.coalesce(1).write.mode("append").parquet(str(paths["retry_queue"]))
         finally:
             batch.unpersist()
 
@@ -261,10 +268,17 @@ def drain_retry_queue(spark: SparkSession, paths: dict[str, object]) -> int:
                 F.count(F.when(F.col("failed_attempts") >= DLQ_THRESHOLD, 1)).alias("n_dead"),
                 F.count(F.when(F.col("failed_attempts") < DLQ_THRESHOLD, 1)).alias("n_queued"),
             ).first()
+            # coalesce(1): each pass re-lists and re-opens every file in
+            # the queue dir (stream listing) and the requeued set is
+            # batch-bounded, so one file per hop instead of one per task
+            # keeps pass N's input at N files, not N·tasks (guide §6 —
+            # measured: the un-coalesced replay drain accumulated 109
+            # queue part files over 19 hops). Production knob:
+            # maxRecordsPerFile, as documented for the dedup store.
             if stats["n_dead"]:
-                dead.write.mode("append").parquet(str(paths["dlq"]))
+                dead.coalesce(1).write.mode("append").parquet(str(paths["dlq"]))
             if stats["n_queued"]:
-                requeued.write.mode("append").parquet(queue_dir)
+                requeued.coalesce(1).write.mode("append").parquet(queue_dir)
         finally:
             bumped.unpersist()
 
@@ -330,7 +344,10 @@ def replay_dlq(spark: SparkSession, paths: dict[str, object], reset_to: int = 0)
     replayed = spark.read.parquet(dlq_dir).withColumn(
         "failed_attempts", F.lit(reset_to).cast("int")
     )
-    replayed.write.mode("append").parquet(queue_dir)
+    # coalesce(1): O(DLQ) bounded rows, and the drain's first pass
+    # re-opens every file written here (guide §6; maxRecordsPerFile in
+    # production, same as the drain-loop appends above).
+    replayed.coalesce(1).write.mode("append").parquet(queue_dir)
     return drain_retry_queue(spark, paths)
 
 
