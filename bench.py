@@ -374,23 +374,33 @@ def main() -> None:
             )
     else:
         control["skipped"] = True
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(tier1.values()), 4),
-                "unit": "sec",
-                "queries": tier1,
-                "tier2": tier2,
-                "tier2_total": round(sum(tier2.values()), 4),
-                "tier3": tier3,
-                "tier3_total": round(sum(tier3.values()), 4),
-                "calib": calib,
-                "control": control,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(tier1.values()), 4),
+            "unit": "sec",
+            "queries": tier1,
+            "tier2": tier2,
+            "tier2_total": round(sum(tier2.values()), 4),
+            "tier3": tier3,
+            "tier3_total": round(sum(tier3.values()), 4),
+            "calib": calib,
+            "control": control,
+            "sf": sf,
+        }
     )
+    print(line)
+    # Also persist the line next to the repo (round-16 hygiene): the
+    # round-15 PERF diff went blind because the prior round's captured
+    # stdout tail truncated the (very long) line mid-JSON. Same bytes
+    # as stdout; best-effort (a read-only checkout must not fail the
+    # bench).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

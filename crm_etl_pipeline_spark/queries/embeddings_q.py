@@ -596,7 +596,16 @@ def _ivf_cell_inline(frame: DataFrame, codebook: DataFrame) -> DataFrame:
     NO re-join of the payload — the shape a per-micro-batch ingest
     wants (O(batch·k) with zero exchanges; A/B ~0.4 s off the 4-batch
     incremental-IVF drain at sf0.1). The d2 quantization is the same
-    zip_with/aggregate/floor expression as ``_ivf_assign``."""
+    zip_with/aggregate/floor expression as ``_ivf_assign``.
+
+    PRECONDITION (round-15 ADVICE, stated so the contract is local):
+    ``frame`` must be row-grain with non-NULL ``vec_id`` — the
+    ``_emb`` corruption gate upstream guarantees both today. The old
+    ``_ivf_assign`` + inner join-back silently DROPPED NULL-vec_id
+    rows and collapsed colliding vec_ids to one shared rnk=1 cell;
+    this inline form keeps every input row and assigns each row its
+    own argmin cell, so feeding it NULL/collided identities would
+    diverge from the window form."""
     cb1 = codebook.agg(F.collect_list(F.struct("cen_label", "cvec")).alias("cb")).select(
         "cb", F.lit(1).cast("int").alias("_k")
     )

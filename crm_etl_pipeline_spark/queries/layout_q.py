@@ -107,14 +107,17 @@ def scd2_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 9 per-batch file sets: the base load, then the 8 update chunks.
     # Round-15 (guide §2.6 overlap/§1.2 distributed algorithm): the 8
     # chunks land in ONE job — range-repartitioned on the chunk id so
-    # each chunk is its own output file — instead of 8 sequential
-    # filter+append jobs that each re-scanned events. The log CONTENT
-    # is byte-identical (the between(0,7) gate reproduces the old
-    # per-chunk equality filters' inclusion, incl. dropping rows whose
-    # event_id % 8 falls outside 0..7); only the fabrication cost
-    # changes (measured 2.6 s -> 1.4 s at sf0.1). The many-small-files
-    # premise the maintenance job needs is preserved: the log still
-    # holds the base generation plus 8 chunk files.
+    # each chunk lands in ≈its own output file — instead of 8
+    # sequential filter+append jobs that each re-scanned events. The
+    # log CONTENT is byte-identical (the between(0,7) gate reproduces
+    # the old per-chunk equality filters' inclusion, incl. dropping
+    # rows whose event_id % 8 falls outside 0..7); only the fabrication
+    # cost changes (measured 2.6 s -> 1.4 s at sf0.1). The
+    # many-small-files premise the maintenance job needs is preserved:
+    # the log still holds the base generation plus ≈8 chunk files
+    # (range boundaries come from reservoir sampling, so a skewed draw
+    # MAY co-locate two chunk ids — the premise weakens gracefully,
+    # never the content; round-15 ADVICE honesty fix).
     _base(spark, sf_dir).write.mode("append").parquet(log)
     upd = _updates(spark, sf_dir)
     (
@@ -418,10 +421,11 @@ def zorder_incremental_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in [0,4); NULL ids shard to chunk 0.
         #
         # Round-15: the 4 chunks land in ONE range-repartitioned write
-        # (one file per chunk) instead of 4 sequential filter+append
-        # jobs that each re-derived the curve columns — identical delta
-        # content, measured 4.2 s -> 2.8 s off the whole query at sf0.1
-        # (see scd2_compact_small_files for the same restructure).
+        # (≈one file per chunk — range sampling MAY co-locate two chunk
+        # ids; content is unaffected, see scd2_compact_small_files)
+        # instead of 4 sequential filter+append jobs that each
+        # re-derived the curve columns — identical delta content,
+        # measured 4.2 s -> 2.8 s off the whole query at sf0.1.
         chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
         (
             tail.withColumn("_c", chunk)

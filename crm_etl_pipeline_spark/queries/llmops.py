@@ -2102,12 +2102,28 @@ def _hybrid_arm_frames(spark: SparkSession, sf_dir: str):
     tests/test_llmops.py::test_hybrid_lexical_arm_null_id_stats pins
     the intended divergence: the arm over a NULL-id corpus equals
     bm25_topk_search run on the NULL-stripped corpus."""
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
     from crm_etl_pipeline_spark.queries.embeddings_q import _emb, _fixed_dot
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    # ONE tokenizing corpus pass (round 16, guide §1.2): the stats
+    # aggregate and the tf explode both need the tokenized text, and as
+    # separate subtrees they each re-scanned and re-split the text
+    # column. Tokenize once into a NARROW per-doc frame (dl + the
+    # IN-filtered token list — a handful of tokens per doc, vs the full
+    # text payload) and reliable-checkpoint it; both consumers read the
+    # checkpoint. Values are unchanged: size(tokens) is dl either way,
+    # and filter-before-explode == explode-then-filter (explode drops
+    # empty/NULL arrays — exactly the docs that contributed no tf rows).
+    per_doc = reliable_checkpoint(
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).alias("dl"),
+            F.filter(_tokens(), lambda t: t.isin(*_BM25_TERMS)).alias("ftoks"),
+        )
+    )
     stats = (
-        docs.select(F.size(_tokens()).alias("dl"))
-        .agg(
+        per_doc.agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         )
@@ -2118,8 +2134,7 @@ def _hybrid_arm_frames(spark: SparkSession, sf_dir: str):
         )
     )
     tf = (
-        docs.select("doc_id", F.size(_tokens()).alias("dl"), F.explode(_tokens()).alias("tok"))
-        .filter(F.col("tok").isin(*_BM25_TERMS))
+        per_doc.select("doc_id", "dl", F.explode("ftoks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
@@ -2550,14 +2565,77 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chunk_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chunk_feats(
+    spark: SparkSession, sf_dir: str, buckets: bool = False
+) -> DataFrame:
+    """ONE chunker pass (round 16, guide §1.2) shared by every consumer
+    of the chunk-grain scoring chains: run the certified chunker once
+    and reliable-checkpoint a NARROW per-chunk feature frame —
+    (doc_id, chunk_id, n_chunk_tokens, ftoks = the IN-filtered BM25
+    term list; plus bs = the feature-hash bucket id per token when the
+    dense arm needs it). The stats aggregate, the tf explode and (for
+    chunk_hybrid_retrieval) the bucket-count build all read this
+    checkpoint instead of each re-running the chunker subplan over the
+    chunk_text payload. Unlike checkpointing the chunk_text-wide frame
+    (rejected in round 15: ~4/3 of the corpus re-written), ftoks/bs are
+    a few ints/strings per chunk. NULL-id chunks are KEPT (the bm25
+    stats population includes them; consumers filter where their
+    contract says so)."""
+    from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
+    from crm_etl_pipeline_spark.queries.sketch_filters_q import _hash_long
+
+    chunks = chunk_documents(spark, sf_dir)
+    toks = F.split(F.col("chunk_text"), " ")
+    cols = [
+        F.col("doc_id"),
+        F.col("chunk_id"),
+        F.col("n_chunk_tokens"),
+        F.filter(toks, lambda t: t.isin(*_BM25_TERMS)).alias("ftoks"),
+    ]
+    if buckets:
+        cols.append(
+            F.transform(
+                toks, lambda t: _hash_long(t, _CHUNK_HASH_SEED) % _CHUNK_HASH_D
+            ).alias("bs")
+        )
+    return reliable_checkpoint(chunks.select(*cols))
+
+
+def _chunk_bm25_scored(
+    spark: SparkSession, sf_dir: str, feats: DataFrame | None = None
+) -> DataFrame:
     """The chunk-grain BM25 scored frame SHARED by chunk_bm25_retrieval
     and chunk_hybrid_retrieval (the Spark twin of _CHUNK_BM25_CTES):
-    runs the certified chunker as a subplan and scores every chunk with
-    bm25_topk_search's fixed-point tree at chunk grain — returns
-    (doc_id, chunk_id, score_fp, n_terms_hit), pre-ranking."""
-    chunks = chunk_documents(spark, sf_dir)
-    stats = chunks.agg(
+    scores every chunk with bm25_topk_search's fixed-point tree at
+    chunk grain — returns (doc_id, chunk_id, score_fp, n_terms_hit),
+    pre-ranking.
+
+    Without ``feats`` the stats/tf subtrees read the chunker subplan
+    directly — two pipelined passes, NO materialization: the certified
+    round-14 single-consumer shape, which the round-16 A/B measured
+    FASTER at local scale than paying an eager checkpoint (0.77 vs
+    1.05 s — the _kmeans_assign ckpt discipline: single consumers
+    don't pay materialization). chunk_hybrid_retrieval passes its
+    wider checkpointed _chunk_feats frame so all THREE of its chunker
+    passes collapse to one."""
+    if feats is None:
+        chunks = chunk_documents(spark, sf_dir)
+        stats_src = chunks.select("n_chunk_tokens")
+        tf_pre = chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.col("n_chunk_tokens").alias("dl"),
+            F.explode(F.split(F.col("chunk_text"), " ")).alias("tok"),
+        ).filter(F.col("tok").isin(*_BM25_TERMS))
+    else:
+        stats_src = feats.select("n_chunk_tokens")
+        tf_pre = feats.select(
+            "doc_id",
+            "chunk_id",
+            F.col("n_chunk_tokens").alias("dl"),
+            F.explode("ftoks").alias("tok"),
+        )
+    stats = stats_src.agg(
         F.count(F.lit(1)).alias("n_chunks"),
         (F.sum("n_chunk_tokens").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     ).select(
@@ -2565,16 +2643,8 @@ def _chunk_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avgdl",
         F.least(F.col("n_chunks"), F.lit(1)).cast("int").alias("_k"),
     )
-    tf = (
-        chunks.select(
-            "doc_id",
-            "chunk_id",
-            F.col("n_chunk_tokens").alias("dl"),
-            F.explode(F.split(F.col("chunk_text"), " ")).alias("tok"),
-        )
-        .filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "chunk_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    tf = tf_pre.groupBy("doc_id", "chunk_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = (F.col("n_chunks") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -2804,7 +2874,14 @@ def chunk_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes; the fusion is constant-size."""
     from crm_etl_pipeline_spark.queries.sketch_filters_q import _hash_long
 
-    bm = _chunk_bm25_scored(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    # one chunker pass (round 16): both arms read the checkpointed
+    # per-chunk feature frame (ftoks for the BM25 arm, bs for the
+    # dense arm) instead of re-running the chunker subplan three times
+    # (bm25 stats + bm25 tf + dense bucket build)
+    feats = _chunk_feats(spark, sf_dir, buckets=True)
+    bm = _chunk_bm25_scored(spark, sf_dir, feats=feats).filter(
+        F.col("doc_id").isNotNull()
+    )
     w_bm = Window.orderBy(
         F.col("score_fp").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc()
     )
@@ -2814,19 +2891,13 @@ def chunk_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chunk_id", F.row_number().over(w_bm).alias("bm25_rank"))
     )
 
-    chunks = chunk_documents(spark, sf_dir).filter(F.col("doc_id").isNotNull())
     cvec = (
-        chunks.select(
-            "doc_id",
-            "chunk_id",
-            "n_chunk_tokens",
-            F.explode(F.split(F.col("chunk_text"), " ")).alias("tok"),
-        )
+        feats.filter(F.col("doc_id").isNotNull())
         .select(
             "doc_id",
             "chunk_id",
             "n_chunk_tokens",
-            (_hash_long(F.col("tok"), _CHUNK_HASH_SEED) % _CHUNK_HASH_D).alias("b"),
+            F.explode("bs").alias("b"),
         )
         .groupBy("doc_id", "chunk_id", "b")
         .agg(F.count(F.lit(1)).alias("c"), F.max("n_chunk_tokens").alias("n_toks"))
@@ -3567,7 +3638,18 @@ def _bpe_train(words: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
             )
         )
         best = reliable_checkpoint(best)
-        tok = _attach1(tok, best, key1).select(
+        # LEFT join, not _attach1's inner (round-15 ADVICE): on a
+        # degenerate corpus where an iteration finds ZERO pairs (every
+        # word already one symbol), an inner join would EMPTY the
+        # symbol table, while the oracle's tok{k} CTE LEFT JOINs
+        # merge{k} and keeps it. With a/b NULL the fold's CASE
+        # predicate is NULL -> ELSE branch -> every symbol appended
+        # unchanged: the exact no-op merge the oracle encodes.
+        # Unreachable on the fixtures (words gated length>=2, diverse
+        # pairs) — pinned by test_bpe_train_empty_merge_noop.
+        tok = tok.withColumn("_k", key1).join(
+            F.broadcast(best), "_k", "left"
+        ).drop("_k").select(
             "word",
             "f",
             F.expr(

@@ -1597,3 +1597,20 @@ def test_chunk_retrieval_scoring_matches_bm25_tree(spark, tmp_path):
         assert (r.score_fp, r.n_terms_hit) == doc_rows[r.doc_id], (
             f"chunk tree diverged from bm25 tree at doc {r.doc_id}"
         )
+
+
+def test_bpe_train_empty_merge_noop(spark):
+    """Round-15 ADVICE guard: an iteration that finds ZERO pairs (every
+    word already collapsed to one symbol) must keep the symbol table —
+    the oracle's tok{k} CTE LEFT JOINs merge{k} — not empty it (the old
+    inner-join attach dropped every row). One 2-char word: merge 1
+    fuses it to a single symbol, merges 2-3 find no pairs."""
+    from crm_etl_pipeline_spark.queries.llmops import _bpe_train
+
+    words = spark.createDataFrame([("ab", 5)], "word string, f long")
+    tok_arr, outs = _bpe_train(words)
+    rows = tok_arr.collect()
+    assert [(r.word, r.f, r.syms) for r in rows] == [("ab", 5, ["ab"])]
+    it1 = outs[0].collect()
+    assert len(it1) == 1 and (it1[0].merge_a, it1[0].merge_b) == ("a", "b")
+    assert outs[1].count() == 0 and outs[2].count() == 0

@@ -543,3 +543,25 @@ def test_audio_energy_windows_against_stdlib_decode():
         # the last window is ragged unless 50 | n_samples
         n_samples = 100 + doc_id % 500
         assert got_n[-1] == (n_samples % multimodal.AUDIO_WIN or multimodal.AUDIO_WIN) * n_ch
+
+
+def test_mime_rotation_pinned_for_pushdown(spark):
+    """Round-15 ADVICE: audio_energy_windows / multimodal_mp4_seek_plan
+    push pmod(doc_id, 4) == {0, 3} below fabrication, duplicating
+    fabricate_media's Python ``int(i) % 4`` mime rotation at a
+    distance. Pin the rotation (1) directly — fabricated mimes for
+    doc_ids 0..7 must follow the %4 table — and (2) behaviorally: both
+    single-mime queries must return rows at sf0.001 (a reordered
+    rotation would silently fabricate the wrong subset and the JVM-side
+    mime gate would mask it as an EMPTY result, never an error)."""
+    from crm_etl_pipeline_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    got = {
+        r.doc_id: r.mime
+        for r in multimodal.fabricate_media(docs).select("doc_id", "mime").collect()
+    }
+    rotation = {0: "audio/wav", 1: "image/bmp", 2: "image/png", 3: "video/mp4"}
+    assert got == {i: rotation[i % 4] for i in range(8)}
+    assert REGISTRY["audio_energy_windows"].fn(spark, SF_DIR).limit(1).count() == 1
+    assert REGISTRY["multimodal_mp4_seek_plan"].fn(spark, SF_DIR).limit(1).count() == 1
