@@ -751,8 +751,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w1 = oriented.select(F.col("s"), F.col("t").alias("b"))
     w2 = oriented.select(F.col("s"), F.col("t").alias("c"))
+    # shuffle_hash on the wedge self-join too (round 16, guide §3.1):
+    # the default sort-merge SORTS the oriented edge table twice just
+    # to stream wedges out of it, and the wedge stream is consumed
+    # UNSORTED by the closing semi-join anyway. Hashing one copy of
+    # the (pivot-partitioned) edge set and streaming the other skips
+    # both sorts — same per-partition memory argument as the closing
+    # join below (build side is |E|/partitions). Interleaved A/B at
+    # sf0.1: 5.88 -> 4.06 s best-of-3, consistent in every block.
     wedge = (
-        w1.join(w2, "s")
+        w1.join(w2.hint("shuffle_hash"), "s")
         .filter(F.col("b") < F.col("c"))
         .select(F.col("s").alias("a"), "b", "c")
     )

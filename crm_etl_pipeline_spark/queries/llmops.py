@@ -3122,6 +3122,16 @@ def prefix_filter_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes = ordered.select(
         "doc_id", "n", F.explode(F.slice("st", 1, plen.cast("int"))).alias("tok")
     )
+    # Checkpoint the prefix table too (round 16): both sides of the
+    # candidate self-join rebuild the SAME explode→df-join→sort-prefix
+    # pipeline in the initial plan (a genuine 2× subtree — runtime
+    # ReuseExchange papered over most of it, which is why the round-15
+    # A/B read "within noise"). Re-measured per the round-15 verdict:
+    # two sessions × 3 interleaved blocks on a quiet host, variant won
+    # 3 / tied 2 / lost 1, bests 3.30→3.11 and 3.06→2.91 s — small but
+    # repeatable, and the materialized frame is prefix-grain narrow
+    # (doc_id, n, tok), so the scale posture matches the sh checkpoint.
+    prefixes = reliable_checkpoint(prefixes)
     a = prefixes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "tok")
     b = prefixes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "tok")
     cand = (
