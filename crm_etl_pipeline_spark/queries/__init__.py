@@ -24,9 +24,56 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 )
 
 # Queries the driver's bounded correctness prefix should check FIRST
-# this round. Round-15 rotation, executing the round-14 verdict's
-# ranked task 1 verbatim (defers first), with the round-15
-# changed-bytes rows folded in:
+# this round. ROUND-16 rotation, executing the round-15 verdict's task
+# 5 verbatim: the 32 defers promised by name are seated FIRST, then
+# this round's changed-bytes rows, then the 5 oldest unchanged rows.
+#
+#   (a) THE 32 NAMED DEFERS (round-15 window comment, stratum (e):
+#       21 from the original r11 cut + 11 displaced by r15's (d) —
+#       age 5 at this check; the ceiling promise r14 made and r15
+#       honored): array_csv_roundtrip, catalog_fields_tree,
+#       composite_key_roundtrip, date_parse_reformat,
+#       decile_gains_table, event_type_routing,
+#       histogram_order_values, html_strip_normalize, join_full_outer,
+#       join_left_missing, kmv_sketch_merge, mom_revenue_growth,
+#       money_decimal_cast, orc_source_roundtrip,
+#       pearson_correlation_matrix, repeated_span_mining,
+#       retry_and_dead_letter, rollup_revenue, value_percentiles,
+#       version_counts_per_key, xml_source_roundtrip,
+#       typed_field_decode, flagship_segment_revenue,
+#       streaming_dim_enrichment, streaming_zorder_ingest,
+#       prefix_filter_setsim_join, lsh_bucket_profile,
+#       simhash_near_dup, pricing_summary, schema_evolution_read,
+#       wap_publish_roundtrip, skew_salted_join.
+#       (prefix_filter_setsim_join is ALSO changed-bytes this round —
+#       the prefix-table checkpoint — so its seat does double duty.)
+#   (b) ROUND-16 CHANGED-BYTES rows (changed code outranks age; every
+#       one proven result-identical in-session via exceptAll both ways
+#       AND pytest-oracle-green, but the driver's own hash row is the
+#       certification the house policy demands):
+#       - the DLQ/retry-loop coalesce(1) appends (streaming.py
+#         process_batch / drain_retry_queue / replay_dlq):
+#         streaming_scd2_state, streaming_dlq, streaming_requeue,
+#         streaming_dlq_replay;
+#       - the one-pass tokenize fold in _hybrid_arm_frames:
+#         hybrid_rank_fusion, rerank_fused_topk;
+#       - the _chunk_feats/_chunk_bm25_scored restructure:
+#         chunk_bm25_retrieval, chunk_hybrid_retrieval;
+#       - the _bpe_train LEFT-join empty-merge guard (round-15 ADVICE):
+#         bpe_merge_training, bpe_encode, pack_bpe_sequences,
+#         bpe_subword_vocab;
+#       - the wedge-join shuffle_hash hint: triangle_count.
+#   (c) Five age seats: the oldest unchanged rows by last driver check
+#       (r12, age 4): cube_lineitem_flags, pivot_status_by_priority,
+#       having_filter, props_json_extract, point_lookup.
+#   (d) Defers to round 17, promised by name: the remaining r12
+#       stratum by module order (filtered_scan, topk_orders_by_revenue,
+#       safe_numeric_cast, system_column_enrichment,
+#       latest_order_per_customer, running_revenue,
+#       kmv_distinct_sketch, …) — seat the oldest of these first next
+#       round, after any changed bytes.
+#
+# The round-15 rotation rationale below is kept for the audit trail:
 #
 # CORRECTNESS_r14 landed 50/50 green; the r1-r14 union is 197 checked,
 # zero latest-check failures, ages r14:50 r13:49 r12:45 r11:37 r10:16.
@@ -116,61 +163,57 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 # rest follow in module order. Keep this list <= 50
 # (test_driver_priority_window enforces the fit).
 DRIVER_PRIORITY: list[str] = [
-    # --- (a) the sixteen named age-5 defers, seated first ---
-    "join_anti",
-    "join_semi",
-    "setops_segments",
-    "hidden_field_projection",
-    "return_type_fallback",
-    "props_from_json_typed",
-    "partition_pruned_scan",
-    "abc_pareto_classification",
-    "multimodal_manifest",
-    "multimodal_mp4_seek_plan",
-    "multimodal_frame_sample",
-    "interpolate_daily_user_value",
-    "text_stats",
-    "chunk_documents",
-    "knn_label_disagreement",
-    "embedding_standardize",
-    # --- (b) never-checked new registrations ---
-    "rerank_fused_topk",
-    "chunk_hybrid_retrieval",
-    # --- (c) changed-bytes rows (ragged guard + helper extractions) ---
-    "embedding_norm_topk",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "embedding_centroid_per_label",
-    "embedding_near_dup",
-    "ann_ivf_probe",
-    "ann_ivf_nprobe2",
-    "ann_ivf_persisted_index",
-    "ann_ivf_incremental_index",
-    "embedding_quantize_int8",
-    "embedding_kmeans",
-    "kmeans_cluster_purity",
-    "semantic_dedup",
-    "ann_pq_adc",
-    "ann_recall_selfcheck",
+    # --- (a) the 32 named age-5 defers, seated FIRST (the promise) ---
+    "array_csv_roundtrip",
+    "catalog_fields_tree",
+    "composite_key_roundtrip",
+    "date_parse_reformat",
+    "decile_gains_table",
+    "event_type_routing",
+    "histogram_order_values",
+    "html_strip_normalize",
+    "join_full_outer",
+    "join_left_missing",
+    "kmv_sketch_merge",
+    "mom_revenue_growth",
+    "money_decimal_cast",
+    "orc_source_roundtrip",
+    "pearson_correlation_matrix",
+    "repeated_span_mining",
+    "retry_and_dead_letter",
+    "rollup_revenue",
+    "value_percentiles",
+    "version_counts_per_key",
+    "xml_source_roundtrip",
+    "typed_field_decode",
+    "flagship_segment_revenue",
+    "streaming_dim_enrichment",
+    "streaming_zorder_ingest",
+    "prefix_filter_setsim_join",
+    "lsh_bucket_profile",
+    "simhash_near_dup",
+    "pricing_summary",
+    "schema_evolution_read",
+    "wap_publish_roundtrip",
+    "skew_salted_join",
+    # --- (b) round-16 changed-bytes rows ---
+    "streaming_scd2_state",
+    "streaming_dlq",
+    "streaming_requeue",
+    "streaming_dlq_replay",
     "hybrid_rank_fusion",
+    "rerank_fused_topk",
     "chunk_bm25_retrieval",
-    # --- (d) the round-15 optimization changed-bytes rows ---
-    "copurchase_pagerank",
+    "chunk_hybrid_retrieval",
     "bpe_merge_training",
     "bpe_encode",
     "pack_bpe_sequences",
     "bpe_subword_vocab",
-    "bigram_lm_quality_filter",
-    "audio_energy_windows",
-    # (multimodal_mp4_seek_plan is also changed-bytes but already
-    # holds an (a) seat — double duty, like knn/standardize in (c))
-    "scd2_compact_small_files",
-    "streaming_incremental_dedup",
-    "ngram_jaccard_verify",
-    "dedup_cluster_keep_best",
-    "dedup_components",
-    "zorder_incremental_compact",
-    # --- two age seats: the r11 stratum's top-importance leaders ---
-    "curation_pipeline",
-    "minhash_near_dup",
+    "triangle_count",
+    # --- (c) five age seats: oldest unchanged rows (last checked r12) ---
+    "cube_lineitem_flags",
+    "pivot_status_by_priority",
+    "having_filter",
+    "props_json_extract",
+    "point_lookup",
 ]
