@@ -112,6 +112,15 @@ TIER2 = [
     "dsir_importance_resample",
     "dedup_cluster_keep_best",
     "semantic_dedup",
+    # round-16 boundary promotion (the frozen promote-next-round
+    # convention for round-15 registrations; additive only — no entry
+    # removed or renamed): the serving-stack rerank stage and the
+    # passage-grain hybrid fusion. Both were restructured THIS round
+    # (one-pass corpus folds, see OPTIMIZATION_r16.md change 4), so
+    # these first readings are of the optimized forms; the old-form
+    # numbers live in the committed interleaved A/Bs.
+    "rerank_fused_topk",
+    "chunk_hybrid_retrieval",
 ]
 
 # Tier 3 (new in round 8): the MAINTENANCE jobs — write-inclusive

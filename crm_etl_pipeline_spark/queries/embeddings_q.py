@@ -1524,6 +1524,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = corpus.join(assigned, "vec_id").select(
         "cell", "vec_id", "vd", _fixed_norm2(F.col("vd")).alias("n2")
     )
+    # NO pair prefilter can land here (round-16 closure of the norm-
+    # prefilter candidate, proof): (1) cosine is scale-invariant —
+    # a=(1,0), b=(1000,0) has cosine 1.0 at norm ratio 1000 — so no
+    # norm-ratio bound on cosine exists at any threshold; (2) even a
+    # sound threshold prune would corrupt best_earlier_sim, which is a
+    # DECLARED output column holding the exact max cosine for every
+    # row including sub-threshold maxima. The pairwise stage must stay
+    # exhaustive within the capped cell membership.
     cells = lsh.bounded_sorted_members(
         m,
         ["cell"],
