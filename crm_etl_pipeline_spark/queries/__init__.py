@@ -63,15 +63,18 @@ from crm_etl_pipeline_spark.queries import (  # noqa: F401
 #         bpe_merge_training, bpe_encode, pack_bpe_sequences,
 #         bpe_subword_vocab;
 #       - the wedge-join shuffle_hash hint: triangle_count.
-#   (c) Five age seats: the oldest unchanged rows by last driver check
+#   (c) Four age seats: the oldest unchanged rows by last driver check
 #       (r12, age 4): cube_lineitem_flags, pivot_status_by_priority,
-#       having_filter, props_json_extract, point_lookup.
-#   (d) Defers to round 17, promised by name: the remaining r12
-#       stratum by module order (filtered_scan, topk_orders_by_revenue,
-#       safe_numeric_cast, system_column_enrichment,
-#       latest_order_per_customer, running_revenue,
-#       kmv_distinct_sketch, …) — seat the oldest of these first next
-#       round, after any changed bytes.
+#       having_filter, props_json_extract. (point_lookup held the
+#       fifth until copurchase_pagerank's round-16 restructure landed
+#       late in the round — changed code outranks age, the same rule
+#       as (b).)
+#   (d) Defers to round 17, promised by name: point_lookup plus the
+#       remaining r12 stratum by module order (filtered_scan,
+#       topk_orders_by_revenue, safe_numeric_cast,
+#       system_column_enrichment, latest_order_per_customer,
+#       running_revenue, kmv_distinct_sketch, …) — seat the oldest of
+#       these first next round, after any changed bytes.
 #
 # The round-15 rotation rationale below is kept for the audit trail:
 #
@@ -210,10 +213,10 @@ DRIVER_PRIORITY: list[str] = [
     "pack_bpe_sequences",
     "bpe_subword_vocab",
     "triangle_count",
-    # --- (c) five age seats: oldest unchanged rows (last checked r12) ---
+    "copurchase_pagerank",
+    # --- (c) four age seats: oldest unchanged rows (last checked r12) ---
     "cube_lineitem_flags",
     "pivot_status_by_priority",
     "having_filter",
     "props_json_extract",
-    "point_lookup",
 ]

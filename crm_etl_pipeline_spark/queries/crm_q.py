@@ -620,7 +620,28 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       node, so it is quantized at NODE grain (20k rows) and the edge
       join ships one ready BIGINT instead of computing the division
       2.4M times and carrying (r double, d long) to edge grain — one
-      join per iteration instead of two."""
+      join per iteration instead of two.
+
+    Round-16 restructure (guide §2.4 "share one exchange", measured at
+    sf0.1 AND sf1, bit-identical): the edge checkpoint is PARTITIONED
+    BY dst, and the per-iteration rank attach is a BROADCAST join, so
+    the join preserves the dst hash-partitioning and each iteration's
+    groupBy(dst) aggregate runs WITHOUT its own exchange — the 3
+    edge-grain shuffles per query (24M rows each at sf1) collapse into
+    the one repartition paid once inside the checkpoint job. The
+    checkpointed LogicalRDD carries its outputPartitioning, which is
+    what makes the reuse visible to the planner across the lineage
+    cut. Interleaved A/B: sf0.1 best 3.47 -> 2.50 (-28%), sf1 best
+    23.9 -> 15.4 (-35%), variant faster in every block. The broadcast
+    hint is LOAD-BEARING here (an SMJ on src would re-shuffle the
+    edges and destroy the dst partitioning) — this supersedes the r15
+    note that a bare broadcast hint on the node table lost: it lost
+    WITHOUT the dst-prepartitioned edges, because there was no
+    partitioning to preserve. The broadcast side is the node table
+    (part-catalog-bounded, not corpus-bounded: ~16 B/node, ~320 MB at
+    a 20M-part catalog), well under the broadcast cap at any plausible
+    catalog; if a deployment ever exceeds it, drop the hint and AQE
+    re-plans to the pre-r16 shape."""
     from crm_etl_pipeline_spark.checkpointing import reliable_checkpoint
 
     basket = (
@@ -636,6 +657,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = reliable_checkpoint(
         und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("dst")  # round-16: see docstring — one exchange, reused 3x
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n = deg.agg(F.count(F.lit(1)).alias("nn")).select(
@@ -655,7 +677,13 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("r") / F.col("d") * F.lit(1e12)).cast("bigint").alias("cq"),
             )
         )
-        sums = edges.join(node_cq, "src").groupBy("dst").agg(F.sum("cq").alias("sq"))
+        # broadcast is load-bearing: it preserves edges' dst
+        # partitioning through the join (docstring, round 16)
+        sums = (
+            edges.join(F.broadcast(node_cq), "src")
+            .groupBy("dst")
+            .agg(F.sum("cq").alias("sq"))
+        )
         ranks = _scalar_attach(
             sums, n, F.least(F.length(F.col("dst").cast("string")), F.lit(1)).cast("int")
         ).select(
